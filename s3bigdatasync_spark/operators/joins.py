@@ -1,0 +1,331 @@
+"""Join-class operators (SURVEY §2 J1-J5, B1 batching, C-block expressions
+they carry).
+
+The reference expresses join semantics as row-at-a-time RPC lookups; here they
+are real relational joins so Catalyst picks the physical strategy:
+  * J1 dedup anti-join   — broadcast left-anti when the sent-log is small;
+                           at 100 TB the sent-log is bucketed by msg_id and
+                           the join stays shuffle-free (SMJ on bucketed key).
+  * J2 time spine        — generated spine is tiny → broadcast left join.
+  * J4 inventory diff    — the flagship full-outer join; both snapshots are
+                           shuffled on `key` once (AQE handles skew), then
+                           classified with a single CASE. At 100 TB: partition
+                           both inventories by bucket/key-prefix at write time
+                           so the diff co-locates without a full shuffle.
+  * J5 verification join — metadata-compare; broadcast the part-geometry side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import prepared
+from ..views import oracle_cte
+
+# --- B1 + J1: task batching and idempotent dispatch -------------------------
+
+BATCH_SIZE = 100  # message_body_max_num, ListProducer/ListProducer.py:17
+
+
+def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: group the dispatch worklist into ≤100-object messages.
+
+    Reference buffers 100 rows then sends one SQS message
+    (ListProducer.py:111-118). Spark shape: a global row_number here for the
+    oracle-checkable test; the scale path is per-partition batching at the
+    sink (foreachPartition), which needs no global ordering/shuffle.
+    msg_id = md5 over batch content (inventory_lib.py:74 analogue, hardened
+    with etag per SURVEY §7.4 risk 4).
+    """
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    w = Window.orderBy("key")
+    batches = (
+        inv.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("batch_id", (F.col("rn") / BATCH_SIZE).cast("long"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum("size").alias("batch_size"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws("#", "key", "etag"))))).alias(
+                "msg_id"
+            ),
+        )
+    )
+    return batches.orderBy("batch_id")
+
+
+_TASK_BATCHES_SQL = oracle_cte("inventory_src") + f"""
+SELECT batch_id,
+       count(*) AS n_objects,
+       sum(size) AS batch_size,
+       md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
+FROM (
+  SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
+  FROM inventory_src
+)
+GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3: skip already-sent messages.
+
+    Reference does a per-msg-id DynamoDB get_item ("已经发送" skip,
+    inventory_lib.py:146-162). Here: left-anti join of new batches against the
+    sent log. The sent log (every 3rd batch) is small → Catalyst broadcasts;
+    at a billion-row sent-log, bucket both sides by msg_id.
+    """
+    batches = task_batches(spark, sf_dir)
+    sent_log = batches.filter(F.col("batch_id") % 3 == 0).select("msg_id")
+    return (
+        batches.join(F.broadcast(sent_log), "msg_id", "left_anti")
+        .select("batch_id", "msg_id", "n_objects", "batch_size")
+        .orderBy("batch_id")
+    )
+
+
+_DEDUP_ANTI_SQL = oracle_cte("inventory_src") + f"""
+, batches AS (
+  SELECT batch_id,
+         count(*) AS n_objects,
+         sum(size) AS batch_size,
+         md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
+  FROM (
+    SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
+    FROM inventory_src
+  )
+  GROUP BY batch_id
+), sent_log AS (SELECT msg_id FROM batches WHERE batch_id % 3 = 0)
+SELECT batch_id, msg_id, n_objects, batch_size
+FROM batches WHERE msg_id NOT IN (SELECT msg_id FROM sent_log)
+ORDER BY batch_id
+"""
+
+
+# --- J2: dense time-spine left join + zero-fill ------------------------------
+
+SPINE_START = "2024-01-15 07:00:00"  # an hour inside the events range
+
+
+def time_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: 60-minute dashboard spine with zero-filled empty minutes
+    (UICenter/BackEnd/ddbModel.py:252-275). The spine is generated
+    (sequence+explode), broadcast to the per-minute agg."""
+    log = prepared(spark, sf_dir).table("copy_log")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(SPINE_START)),
+                F.to_timestamp(F.lit(SPINE_START)) + F.expr("INTERVAL 59 MINUTES"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    per_min = (
+        log.withColumn("minute", F.date_trunc("minute", F.col("replication_time")))
+        .groupBy("minute")
+        .agg(
+            F.sum(F.when(F.col("replication_status") == 1, F.col("size")).otherwise(0)).alias(
+                "s_size"
+            ),
+            F.sum(F.when(F.col("replication_status") == 1, 1).otherwise(0)).alias("s_num"),
+            F.sum(F.when(F.col("replication_status") == 0, F.col("size")).otherwise(0)).alias(
+                "f_size"
+            ),
+            F.sum(F.when(F.col("replication_status") == 0, 1).otherwise(0)).alias("f_num"),
+        )
+    )
+    return (
+        spine.join(per_min, "minute", "left")
+        .select(
+            F.col("minute").cast("long").alias("minute_ts"),
+            F.coalesce("s_size", F.lit(0)).alias("success_object_size"),
+            F.coalesce("s_num", F.lit(0)).alias("success_object_num"),
+            F.coalesce("f_size", F.lit(0)).alias("failed_object_size"),
+            F.coalesce("f_num", F.lit(0)).alias("failed_object_num"),
+        )
+        .orderBy("minute_ts")
+    )
+
+
+_TIME_SPINE_SQL = oracle_cte("copy_log") + f"""
+, spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '{SPINE_START}',
+                                TIMESTAMP '{SPINE_START}' + INTERVAL 59 MINUTE,
+                                INTERVAL 1 MINUTE)) AS minute
+), per_min AS (
+  SELECT date_trunc('minute', replication_time) AS minute,
+         sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS s_size,
+         sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS s_num,
+         sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS f_size,
+         sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS f_num
+  FROM copy_log GROUP BY 1
+)
+SELECT epoch_us(spine.minute) // 1000000 AS minute_ts,
+       coalesce(s_size, 0) AS success_object_size,
+       coalesce(s_num, 0) AS success_object_num,
+       coalesce(f_size, 0) AS failed_object_size,
+       coalesce(f_num, 0) AS failed_object_num
+FROM spine LEFT JOIN per_min ON spine.minute = per_min.minute
+ORDER BY minute_ts
+"""
+
+
+# --- J4: the flagship inventory diff -----------------------------------------
+
+
+def inventory_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: src-vs-dst snapshot diff → Variance ∈ {New, Update, Delete}.
+
+    The reference consumes these diff rows but never computes them
+    (diff_azure_inventory_sqs.py:26-35, README.md:12); this is the declared
+    dst-diff analysis as one full-outer join. Scale shape: single shuffle on
+    `key` for both sides (AQE skew-split); with bucketed inventory tables the
+    shuffle disappears entirely.
+    """
+    spark = prepared(spark, sf_dir)
+    src = spark.table("inventory_src").select(
+        F.col("key"),
+        F.col("size").alias("src_size"),
+        F.col("etag").alias("src_etag"),
+    )
+    dst = spark.table("inventory_dst").select(
+        F.col("key"),
+        F.col("size").alias("dst_size"),
+        F.col("etag").alias("dst_etag"),
+    )
+    joined = src.join(dst, "key", "full_outer")
+    return (
+        joined.withColumn(
+            "variance",
+            F.when(F.col("dst_etag").isNull(), "New")
+            .when(F.col("src_etag").isNull(), "Delete")
+            .when(
+                (F.col("src_etag") != F.col("dst_etag"))
+                | (F.col("src_size") != F.col("dst_size")),
+                "Update",
+            )
+            .otherwise("Same"),
+        )
+        .filter(F.col("variance") != "Same")
+        .select("key", "src_size", "dst_size", "variance")
+        .orderBy("key")
+    )
+
+
+_INVENTORY_DIFF_SQL = oracle_cte("inventory_src", "inventory_dst") + """
+, src AS (SELECT key, size AS src_size, etag AS src_etag FROM inventory_src),
+  dst AS (SELECT key, size AS dst_size, etag AS dst_etag FROM inventory_dst)
+SELECT coalesce(src.key, dst.key) AS key, src_size, dst_size,
+       CASE WHEN dst_etag IS NULL THEN 'New'
+            WHEN src_etag IS NULL THEN 'Delete'
+            WHEN src_etag <> dst_etag OR src_size <> dst_size THEN 'Update'
+       END AS variance
+FROM src FULL OUTER JOIN dst ON src.key = dst.key
+WHERE (CASE WHEN dst_etag IS NULL THEN 'New'
+            WHEN src_etag IS NULL THEN 'Delete'
+            WHEN src_etag <> dst_etag OR src_size <> dst_size THEN 'Update'
+            ELSE 'Same' END) <> 'Same'
+ORDER BY key
+"""
+
+
+def diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rollup: object count + bytes to move per variance class — the
+    reference's cost-estimation input (README.md:4 item 4)."""
+    d = inventory_diff(spark, sf_dir)
+    return (
+        d.groupBy("variance")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum(F.coalesce("src_size", F.lit(0))).alias("bytes_to_move"),
+        )
+        .orderBy("variance")
+    )
+
+
+_DIFF_SUMMARY_SQL = oracle_cte("inventory_src", "inventory_dst") + """
+, src AS (SELECT key, size AS src_size, etag AS src_etag FROM inventory_src),
+  dst AS (SELECT key, size AS dst_size, etag AS dst_etag FROM inventory_dst),
+  diff AS (
+    SELECT coalesce(src.key, dst.key) AS key, src_size,
+           CASE WHEN dst_etag IS NULL THEN 'New'
+                WHEN src_etag IS NULL THEN 'Delete'
+                WHEN src_etag <> dst_etag OR src_size <> dst_size THEN 'Update'
+                ELSE 'Same' END AS variance
+    FROM src FULL OUTER JOIN dst ON src.key = dst.key
+  )
+SELECT variance, count(*) AS n_objects,
+       sum(coalesce(src_size, 0)) AS bytes_to_move
+FROM diff WHERE variance <> 'Same'
+GROUP BY variance ORDER BY variance
+"""
+
+
+# --- J5: verification join ----------------------------------------------------
+
+
+def verification_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: per-object src/dst metadata verification
+    (AzureEtagCheck/etag_app.py:62-146): null-key coalesce (C7, 185-187),
+    mtime/size compare (93-94), multipart part math (C17, 38-52).
+
+    The ETag byte-level recompute is the pandas UDF in functions/etag.py
+    (exercised in tests); this query is the metadata-compare plan that feeds
+    it. At 100 TB the metadata fetch is a pre-materialized table, so this
+    stays a pure columnar join — no RPC in the hot path.
+    """
+    t = prepared(spark, sf_dir).table("etag_check_input")
+    return (
+        t.select(
+            F.coalesce("s3_key", "blob_name").alias("object_key"),
+            "storage_account",
+            "s3_size",
+            "blob_size",
+            F.when(F.col("blob_size") != F.col("s3_size"), "SIZE_MISMATCH")
+            .when(F.col("blob_mtime") > F.col("s3_mtime"), "SRC_NEWER")
+            .otherwise("OK")
+            .alias("check_result"),
+            F.ceil(F.col("s3_size") / F.col("part_size")).cast("long").alias("parts_count"),
+            F.when(
+                F.col("s3_size") % F.col("part_size") == 0, F.col("part_size")
+            )
+            .otherwise(F.col("s3_size") % F.col("part_size"))
+            .alias("last_part_size"),
+        )
+        .orderBy("object_key", "storage_account", "s3_size")
+    )
+
+
+_VERIFICATION_SQL = oracle_cte("etag_check_input") + """
+SELECT coalesce(s3_key, blob_name) AS object_key,
+       storage_account, s3_size, blob_size,
+       CASE WHEN blob_size <> s3_size THEN 'SIZE_MISMATCH'
+            WHEN blob_mtime > s3_mtime THEN 'SRC_NEWER'
+            ELSE 'OK' END AS check_result,
+       cast(ceil(s3_size / part_size) AS BIGINT) AS parts_count,
+       CASE WHEN s3_size % part_size = 0 THEN part_size
+            ELSE s3_size % part_size END AS last_part_size
+FROM etag_check_input
+ORDER BY object_key, storage_account, s3_size
+"""
+
+
+QUERIES = {
+    "task_batches": task_batches,
+    "dedup_anti_join": dedup_anti_join,
+    "time_spine_zero_fill": time_spine_zero_fill,
+    "inventory_diff": inventory_diff,
+    "diff_summary": diff_summary,
+    "verification_join": verification_join,
+}
+
+ORACLES = {
+    "task_batches": _TASK_BATCHES_SQL,
+    "dedup_anti_join": _DEDUP_ANTI_SQL,
+    "time_spine_zero_fill": _TIME_SPINE_SQL,
+    "inventory_diff": _INVENTORY_DIFF_SQL,
+    "diff_summary": _DIFF_SUMMARY_SQL,
+    "verification_join": _VERIFICATION_SQL,
+}

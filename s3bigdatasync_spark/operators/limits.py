@@ -1,0 +1,74 @@
+"""Limits / bounded takes (SURVEY §2 F2-F3).
+
+F3 (the GB-bounded dry-run cap, AzureTaskProducer config MAX_OBJ_TOTAL_*) is
+the interesting one: a size-bounded take = running-sum window + filter, per
+SURVEY §7.3 — no custom rule needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import prepared
+from ..views import oracle_cte
+
+
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: bounded query (limit=100 page, UICenter/BackEnd/ddbModel.py:132-175).
+    Spark plans this as TakeOrderedAndProject — no full sort materialization."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    return inv.select("key", "size", "etag").orderBy("key").limit(100)
+
+
+_ORDER_LIMIT_SQL = oracle_cte("inventory_src") + """
+SELECT key, size, etag FROM inventory_src ORDER BY key LIMIT 100
+"""
+
+MAX_TOTAL_BYTES = 50_000_000_000  # ≙ MAX_OBJ_TOTAL_SIZE cap (config.ini)
+MAX_TOTAL_NUM = 2_000  # ≙ MAX_OBJ_TOTAL_NUM cap
+
+
+def size_capped_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: early-exit caps on rows *and* cumulative bytes
+    (diff_azure_inventory_sqs.py:86-87,102-103; largeInventoryDiffToSQS.py:129-140).
+
+    Running sum over a window ordered by key, then filter. The global window
+    is single-partition; at 100 TB you'd cap per-partition with a two-phase
+    (per-partition prefix sums + driver-side offset) plan — for the dry-run
+    semantics the reference wants (a deterministic bounded sample), the
+    one-pass window is correct and the input to it is already filtered/pruned.
+    """
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        inv.select("key", "size")
+        .withColumn("cum_bytes", F.sum("size").over(w))
+        .withColumn("rn", F.row_number().over(Window.orderBy("key")))
+        .filter((F.col("cum_bytes") <= MAX_TOTAL_BYTES) & (F.col("rn") <= MAX_TOTAL_NUM))
+        .select("key", "size", "cum_bytes")
+        .orderBy("key")
+    )
+
+
+_SIZE_CAPPED_SQL = oracle_cte("inventory_src") + f"""
+SELECT key, size, cum_bytes FROM (
+  SELECT key, size,
+         sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum_bytes,
+         row_number() OVER (ORDER BY key) AS rn
+  FROM inventory_src
+)
+WHERE cum_bytes <= {MAX_TOTAL_BYTES} AND rn <= {MAX_TOTAL_NUM}
+ORDER BY key
+"""
+
+
+QUERIES = {
+    "order_limit": order_limit,
+    "size_capped_take": size_capped_take,
+}
+
+ORACLES = {
+    "order_limit": _ORDER_LIMIT_SQL,
+    "size_capped_take": _SIZE_CAPPED_SQL,
+}

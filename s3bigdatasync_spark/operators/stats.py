@@ -1,0 +1,187 @@
+"""Source-analysis aggregations (SURVEY §2 D1-D3, D7-D9, F4).
+
+Re-expresses the reference's per-row accumulator loops as single declarative
+aggregations: one parquet scan, map-side partial aggregation, one tiny shuffle
+of partial states. At 100 TB this is scan-bound (no wide shuffle — the groupBy
+keys here have tiny cardinality), which is the right shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+from ..views import oracle_cte
+
+# Cumulative size-bucket thresholds in bytes — ListProducer/ListProducer.py:22,
+# 60-100 (keys also docs/Schema.txt:27-34). Bucket = count of objects with
+# size <= threshold (cumulative, matching the reference's += per threshold).
+SIZE_BUCKETS: list[tuple[str, int]] = [
+    ("sub_1mb", 1_000_000),
+    ("sub_5mb", 5_000_000),
+    ("sub_10mb", 10_000_000),
+    ("sub_50mb", 50_000_000),
+    ("sub_100mb", 100_000_000),
+    ("sub_1gb", 1_000_000_000),
+    ("sub_5gb", 5_000_000_000),
+]
+
+
+def size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: cumulative size histogram over the source inventory.
+
+    Reference walks every row incrementing 7 cumulative counters
+    (ListProducer/ListProducer.py:60-100); here it's one whole-stage-codegen
+    aggregate — map-side partials, single-row result, no wide shuffle.
+    """
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    aggs = [
+        F.count("*").alias("total_objects"),
+        F.sum("size").alias("total_size_bytes"),
+    ] + [
+        F.sum(F.when(F.col("size") <= t, 1).otherwise(0)).alias(name)
+        for name, t in SIZE_BUCKETS
+    ]
+    return inv.agg(*aggs)
+
+
+_SIZE_HISTOGRAM_SQL = oracle_cte("inventory_src") + """
+SELECT
+  count(*) AS total_objects,
+  sum(size) AS total_size_bytes,
+""" + ",\n".join(
+    f"  sum(CASE WHEN size <= {t} THEN 1 ELSE 0 END) AS {name}"
+    for name, t in SIZE_BUCKETS
+) + "\nFROM inventory_src"
+
+
+def inventory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3: per-storage-class object counts + total size (stat-merge).
+
+    The reference merges per-file stat dicts (ListProducer.py:135-149) and
+    keeps running count/size accumulators (diff_azure_inventory_sqs.py:83-84);
+    both are one groupBy over the unioned scan.
+    """
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    return (
+        inv.groupBy("storage_class")
+        .agg(
+            F.count("*").alias("object_count"),
+            F.sum("size").alias("total_size"),
+            F.sum(F.when(F.col("is_multipart_uploaded") == "true", 1).otherwise(0)).alias(
+                "multipart_count"
+            ),
+        )
+    )
+
+
+_INVENTORY_STATS_SQL = oracle_cte("inventory_src") + """
+SELECT storage_class,
+       count(*) AS object_count,
+       sum(size) AS total_size,
+       sum(CASE WHEN is_multipart_uploaded = 'true' THEN 1 ELSE 0 END) AS multipart_count
+FROM inventory_src
+GROUP BY storage_class
+"""
+
+
+def progress_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8: global progress + derived throughput.
+
+    UICenter sums success size/num across all TimeUnit-1 stat rows via a full
+    paged scan (ddbModel.py:223-250) and derives estimateSpeed (243-246). Here:
+    one filter+agg over copy_log, speed as a post-agg scalar expression.
+    """
+    log = prepared(spark, sf_dir).table("copy_log")
+    agg = log.agg(
+        F.sum(F.when(F.col("replication_status") == 1, F.col("size")).otherwise(0)).alias(
+            "success_size"
+        ),
+        F.sum(F.when(F.col("replication_status") == 1, 1).otherwise(0)).alias("success_num"),
+        F.sum(F.when(F.col("replication_status") == 0, F.col("size")).otherwise(0)).alias(
+            "failed_size"
+        ),
+        F.sum(F.when(F.col("replication_status") == 0, 1).otherwise(0)).alias("failed_num"),
+        (
+            (F.max("replication_time").cast("long") - F.min("replication_time").cast("long"))
+            / 60.0
+        ).alias("elapsed_minutes"),
+    )
+    return agg.select(
+        "success_size",
+        "success_num",
+        "failed_size",
+        "failed_num",
+        F.round("elapsed_minutes", 4).alias("elapsed_minutes"),
+        F.round(F.col("success_size") / F.greatest(F.col("elapsed_minutes"), F.lit(1.0)), 4).alias(
+            "bytes_per_minute"
+        ),
+    )
+
+
+_PROGRESS_ROLLUP_SQL = oracle_cte("copy_log") + """
+WITH_AGG: SELECT
+  success_size, success_num, failed_size, failed_num,
+  round(elapsed_minutes, 4) AS elapsed_minutes,
+  round(success_size / greatest(elapsed_minutes, 1.0), 4) AS bytes_per_minute
+FROM (
+  SELECT
+    sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS success_size,
+    sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS success_num,
+    sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS failed_size,
+    sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS failed_num,
+    (epoch_us(max(replication_time)) // 1000000
+       - epoch_us(min(replication_time)) // 1000000) / 60.0 AS elapsed_minutes
+  FROM copy_log
+)
+"""
+
+
+def status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: success/error row counters (AzureEtagCheck/etag_app.py:219-282)."""
+    log = prepared(spark, sf_dir).table("copy_log")
+    return log.groupBy("replication_status").agg(
+        F.count("*").alias("n_rows"), F.sum("size").alias("total_size")
+    )
+
+
+_STATUS_COUNTERS_SQL = oracle_cte("copy_log") + """
+SELECT replication_status, count(*) AS n_rows, sum(size) AS total_size
+FROM copy_log GROUP BY replication_status
+"""
+
+
+def large_object_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: >5 GB outliers (excluded from buckets, ListProducer.py:63-65) —
+    these get the separate multipart plan (README.md:13). At scale this is a
+    pushed-down parquet min/max-pruned filter, not a full scan."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    return (
+        inv.filter(F.col("size") > 5_000_000_000)
+        .select("key", "size", "storage_class")
+        .orderBy("key")
+    )
+
+
+_LARGE_OUTLIERS_SQL = oracle_cte("inventory_src") + """
+SELECT key, size, storage_class FROM inventory_src
+WHERE size > 5000000000 ORDER BY key
+"""
+
+
+QUERIES = {
+    "size_histogram": size_histogram,
+    "inventory_stats": inventory_stats,
+    "progress_rollup": progress_rollup,
+    "status_counters": status_counters,
+    "large_object_outliers": large_object_outliers,
+}
+
+ORACLES = {
+    "size_histogram": _SIZE_HISTOGRAM_SQL,
+    "inventory_stats": _INVENTORY_STATS_SQL,
+    "progress_rollup": _PROGRESS_ROLLUP_SQL.replace("WITH_AGG: ", ""),
+    "status_counters": _STATUS_COUNTERS_SQL,
+    "large_object_outliers": _LARGE_OUTLIERS_SQL,
+}

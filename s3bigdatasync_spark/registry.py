@@ -1,0 +1,30 @@
+"""Central query/oracle registry — the driver contract's backing store.
+
+Merges every operator module's QUERIES/ORACLES; __spark_entry__.py re-exports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import expressions, joins, limits, stats, windows
+
+_MODULES = [stats, windows, joins, expressions, limits]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        for name, fn in m.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLES", {}))
+    return out

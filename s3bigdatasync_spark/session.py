@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Tuned for the testbed (local[32], 128 GiB) but with settings that hold on a
+real multi-executor cluster at ~100 TB: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), sane shuffle partition count, Arrow enabled
+for the few pandas-UDF operators, UTC session timezone so results are
+oracle-comparable and cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "s3bigdatasync-spark", cpus: int | None = None) -> SparkSession:
+    """Return (or create) the engine's SparkSession.
+
+    At 100 TB on a 1000-executor cluster the only knobs here that would change
+    are master/shuffle-partitions (set by the cluster manager / AQE target
+    size); everything else is scale-independent policy.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: coalesce tiny shuffle partitions, split skewed ones, re-plan
+        # joins with runtime stats. At 100 TB this is what converts a static
+        # 200-partition plan into right-sized stages.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Baseline pre-AQE shuffle width = cores here; on a cluster this would
+        # be ~2-3x total cores and AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        # Arrow for pandas UDF operators (multipart ETag, embedding ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic, oracle-comparable timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast small dimension tables aggressively (region/nation/spines
+        # are tiny; the 10 MB default is fine but make intent explicit).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Testdata parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert (views.register_base_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,216 @@
+"""Portable derived views: reference-native tables from the testdata star schema.
+
+The driver's correctness gate runs our Spark queries against DuckDB oracle SQL
+on the same parquet tables, so every reference-native input table
+(`FIXTURES.md §2`) is derived with ONE portable SQL text that parses and
+evaluates identically in Spark SQL and DuckDB. The Spark side registers these
+as temp views; the oracle side inlines them as CTEs.
+
+Portability rules (validated in tests/test_views.py):
+  * double→int conversion always goes through floor()/round() — DuckDB rounds
+    on CAST, Spark truncates.
+  * CAST(x AS STRING) is accepted by both dialects.
+  * md5(), concat(), date_trunc('unit', ts), %, CASE are identical.
+  * No strftime/date_format/epoch in view text (dialects differ).
+
+Reference schemas being modeled (cited file:line into /root/reference):
+  * s3_inventory        ListProducer/manifest.json:6, ListProducer/ListProducer.py:44-58
+  * copy_log (monitor)  TaskMonitor/ddb.yaml:40-55, TaskMonitor/s3_monitor_prepare.py:162-180
+  * azure_inventory_diff AzureTaskProducer/diff_azure_inventory_sqs.py:26-35
+  * etag_check_input    AzureEtagCheck/etag_app.py:176-192
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+BASE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# (l_orderkey, l_linenumber) alone is NOT unique in the testdata; the
+# 4-column composite is (verified at sf0.01/sf0.1) — uniqueness matters because
+# ORDER BY key must be deterministic for oracle comparison.
+_KEY = (
+    "concat(cast(l_orderkey AS STRING), '/', cast(l_linenumber AS STRING), "
+    "'/', cast(l_partkey AS STRING), '-', cast(l_suppkey AS STRING))"
+)
+
+# Object size in bytes. Exact-integer arithmetic (floor before multiply) so
+# Spark and DuckDB agree bit-for-bit; the (l_orderkey % 997 + 1) factor spreads
+# sizes across every reference histogram bucket boundary (1e6 … 5e9 bytes,
+# ListProducer/ListProducer.py:63-100) including >5 GB outliers.
+_SIZE = "cast(floor(l_extendedprice * 100) AS BIGINT) * ((l_orderkey % 997) + 1)"
+
+# --- s3_inventory: src and dst snapshots -----------------------------------
+# One row per "object". key/size/etag/storage_class/flags per the inventory
+# fileSchema (ListProducer/manifest.json:6); stringly 'true'/'false' multipart
+# flag and ''-vs-set replication status per TaskExecutor/TaskExecutor.py:58-64.
+INVENTORY_SRC_SQL = f"""
+SELECT
+  'src-bucket' AS bucket,
+  {_KEY} AS key,
+  {_SIZE} AS size,
+  l_shipdate AS last_modified,
+  md5({_KEY}) AS etag,
+  CASE cast(l_suppkey % 3 AS INT)
+    WHEN 0 THEN 'STANDARD' WHEN 1 THEN 'STANDARD_IA' ELSE 'GLACIER'
+  END AS storage_class,
+  CASE WHEN l_quantity > 25 THEN 'true' ELSE 'false' END AS is_multipart_uploaded,
+  CASE WHEN l_returnflag = 'N' THEN '' ELSE 'COMPLETED' END AS replication_status
+FROM lineitem
+""".strip()
+
+# dst snapshot: drops every linenumber=1 object (→ "New" in the diff) and
+# drifts etag+size where l_returnflag='R' (→ "Update"); objects only in dst
+# (l_linenumber = 7 ∧ flag N re-keyed) become "Delete".
+INVENTORY_DST_SQL = f"""
+SELECT
+  'dst-bucket' AS bucket,
+  CASE WHEN l_linenumber = 7 AND l_returnflag = 'N'
+       THEN concat({_KEY}, '/dst-only') ELSE {_KEY} END AS key,
+  CASE WHEN l_returnflag = 'R'
+       THEN {_SIZE} + 17
+       ELSE {_SIZE} END AS size,
+  l_shipdate AS last_modified,
+  CASE WHEN l_returnflag = 'R'
+       THEN md5(concat({_KEY}, '#v2')) ELSE md5({_KEY}) END AS etag,
+  CASE cast(l_suppkey % 3 AS INT)
+    WHEN 0 THEN 'STANDARD' WHEN 1 THEN 'STANDARD_IA' ELSE 'GLACIER'
+  END AS storage_class,
+  CASE WHEN l_quantity > 25 THEN 'true' ELSE 'false' END AS is_multipart_uploaded,
+  CASE WHEN l_returnflag = 'N' THEN '' ELSE 'COMPLETED' END AS replication_status
+FROM lineitem
+WHERE l_linenumber <> 1
+""".strip()
+
+# --- copy_log: one row per attempted object copy ----------------------------
+# Monitor-table semantics (status 1 success / 0 failed, docs/Schema.txt:46-62)
+# over the events stream.
+COPY_LOG_SQL = """
+SELECT
+  cast(user_id AS STRING) AS object_key,
+  ts AS replication_time,
+  CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS replication_status,
+  cast(floor(value * 1000000) AS BIGINT) AS size,
+  ts AS last_modified,
+  md5(cast(event_id AS STRING)) AS etag,
+  CASE WHEN event_type = 'purchase' THEN 'STANDARD_IA' ELSE 'STANDARD' END AS storage_class,
+  event_type = 'purchase' AS is_multipart_uploaded
+FROM events
+""".strip()
+
+# --- azure_inventory_diff: diff rows with Variance ---------------------------
+# Schema per AzureTaskProducer/diff_azure_inventory_sqs.py:26-35; Variance is
+# mixed-case on purpose to exercise the .upper() branch (diff:60-63).
+AZURE_DIFF_SQL = f"""
+SELECT
+  concat('acct', cast(l_suppkey % 5 AS STRING)) AS storage_account,
+  concat('data/', {_KEY}) AS name,
+  l_shipdate AS creation_time,
+  l_shipdate AS last_modified,
+  md5({_KEY}) AS etag,
+  {_SIZE} AS content_length,
+  CASE
+    WHEN l_returnflag = 'R' AND l_linenumber % 2 = 0 THEN 'Delete'
+    WHEN l_returnflag = 'R' THEN 'delete'
+    WHEN l_returnflag = 'A' THEN 'Update'
+    WHEN l_linenumber % 2 = 0 THEN 'New'
+    ELSE 'new'
+  END AS variance
+FROM lineitem
+""".strip()
+
+# --- etag_check_input: verification worklist + paired metadata --------------
+# Worklist columns per AzureEtagCheck/etag_app.py:176-192 (nullable s3_key →
+# coalesce, etag_app.py:185-187); paired s3/blob metadata for the J5 compare
+# (mtime/size checks etag_app.py:93-94); part geometry covers single-part,
+# exact-multiple, and remainder cases (etag_app.py:38-52).
+ETAG_CHECK_INPUT_SQL = """
+SELECT
+  concat('sa', cast(s_suppkey % 4 AS STRING)) AS storage_account,
+  'container1' AS container_name,
+  p_name AS blob_name,
+  'dst-bucket' AS s3_bucket,
+  CASE WHEN p_partkey % 10 = 0 THEN NULL ELSE p_name END AS s3_key,
+  cast(p_partkey * 100 AS BIGINT) AS s3_mtime,
+  cast(p_size AS BIGINT) * 3000000 + cast(p_partkey % 7 AS BIGINT) AS s3_size,
+  CASE WHEN p_partkey % 11 = 0
+       THEN cast(p_partkey * 100 + 60 AS BIGINT)
+       ELSE cast(p_partkey * 100 AS BIGINT) END AS blob_mtime,
+  CASE WHEN p_partkey % 13 = 0
+       THEN cast(p_size AS BIGINT) * 3000000 + cast(p_partkey % 7 AS BIGINT) + 1
+       ELSE cast(p_size AS BIGINT) * 3000000 + cast(p_partkey % 7 AS BIGINT) END AS blob_size,
+  cast(8388608 AS BIGINT) AS part_size
+FROM part
+JOIN supplier ON (p_partkey % 100) + 1 = s_suppkey
+""".strip()
+
+DERIVED_VIEWS: dict[str, str] = {
+    "inventory_src": INVENTORY_SRC_SQL,
+    "inventory_dst": INVENTORY_DST_SQL,
+    "copy_log": COPY_LOG_SQL,
+    "azure_inventory_diff": AZURE_DIFF_SQL,
+    "etag_check_input": ETAG_CHECK_INPUT_SQL,
+}
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we convert to timestamp here so
+    every downstream operator sees real timestamps, matching DuckDB."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata parquet tables as temp views (idempotent)."""
+    from pyspark.sql import functions as F
+
+    # The driver may hand us a vanilla session; these must hold regardless.
+    # nanosAsLong: testdata parquet uses TIMESTAMP(NANOS) which Spark cannot
+    # read natively. UTC: oracle comparability / location-independence.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    for name in BASE_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        df = spark.read.parquet(path)
+        for c in _nanos_ts_columns(path):
+            # integer division keeps full precision (nanos ~1.7e18 exceeds
+            # double's 53-bit mantissa); truncation matches DuckDB ns→us.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.createOrReplaceTempView(name)
+
+
+def register_derived_views(spark: SparkSession) -> None:
+    """Register the reference-native derived views on top of the base tables."""
+    for name, sql in DERIVED_VIEWS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    register_base_tables(spark, sf_dir)
+    register_derived_views(spark)
+
+
+def oracle_cte(*views: str) -> str:
+    """WITH-clause prefix inlining the named derived views for DuckDB oracle SQL.
+
+    The oracle runs against the same base parquet views the driver registers,
+    so the CTE text is exactly the Spark view text — one source of truth.
+    """
+    parts = [f"{name} AS ({DERIVED_VIEWS[name]})" for name in views]
+    return "WITH " + ",\n".join(parts) + "\n"

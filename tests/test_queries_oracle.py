@@ -1,0 +1,22 @@
+"""Differential test: every registered query vs its DuckDB oracle at sf0.01 —
+the same comparison the driver runs for CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3bigdatasync_spark import registry
+
+from .oracle_utils import assert_match
+
+_QUERIES = registry.all_queries()
+_ORACLES = registry.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    if name in _ORACLES:
+        assert_match(df, _ORACLES[name], sf_dir)
+    else:
+        assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
