@@ -1,0 +1,392 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over `documents` (+ embedding near-dup over `embeddings`):
+
+  exact        — content-hash groupBy. One shuffle on the hash; at 100 TB
+                 hash first (64-char md5 → 8-byte xxhash64 prefix works too),
+                 never shuffle raw text.
+  minhash+LSH  — shingle → k minhashes → banded signatures → bucket join.
+                 Candidate generation never goes O(n²): docs meet only inside
+                 a shared band bucket. The shuffles are on shingle (bounded by
+                 distinct-shingle cardinality) and band signature.
+  simhash      — 32-bit sign-of-weighted-sum fingerprint; identical-hash
+                 clustering is a plain groupBy, near-match via byte-band join.
+  n-gram Jaccard — exact verification join on shared shingles; selective when
+                 shingles are wide (5-gram), used as the verify stage after
+                 LSH candidates at scale.
+
+All deterministic (md5-derived hashes, no RNG) so a DuckDB oracle replays
+them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+
+SHINGLE_N = 5
+MINHASH_K = 12
+BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 3
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45  # testdata embeddings are class clusters, not dups:
+#                          max pairwise cosine ≈ 0.51 at sf0.01
+
+
+def _norm_text() -> Column:
+    return F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+    Output: one row per distinct content (hash, copies, keeper)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct — SHINGLE_N-gram over whitespace tokens.
+    Wide shingles keep the downstream self-join selective: the join key
+    cardinality is the number of distinct shingles, and a 5-gram from a small
+    vocabulary still has low collision probability."""
+    toks = F.regexp_extract_all(_norm_text(), F.lit(r"\S+"), F.lit(0))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = rf"""
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), ' ') AS shingle
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(regexp_replace(text, '\s+', ' ', 'g')), '\S+') AS toks
+        FROM documents),
+       unnest(generate_series(1, greatest(len(toks) - {SHINGLE_N - 1}, 0))) u(i)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (exact, via shared-shingle join).
+
+    |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|. No cross
+    join anywhere: pairs sharing zero shingles never materialize. At 100 TB
+    this runs after LSH candidate generation (minhash_lsh_pairs) as the
+    verification stage; standalone it is exact.
+    """
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ix"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NGRAM_JACCARD_SQL = rf"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(ix / (ca.n + cb.n - ix), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=12 independent hash functions as
+    min(md5(seed || shingle)) — string minima are portable across engines.
+    One groupBy over the shingle set; no per-row Python."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_MINHASH_SIG_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL})\nSELECT doc_id,\n"
+    + ",\n".join(
+        f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(MINHASH_K)
+    )
+    + "\nFROM sh GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (4 bands × 3 rows),
+    hash each band, join docs sharing a band bucket. The join key is
+    (band_idx, band_sig) — at scale the bucket sizes are the only quadratic
+    term, and banding keeps them tiny."""
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // BANDS
+    band_cols = []
+    for band in range(BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"), F.md5(F.concat(*[F.col(c) for c in cols])).alias("sig")
+            )
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_sig_sql(band: int) -> str:
+    rows_per_band = MINHASH_K // BANDS
+    cols = ", ".join(f"mh{band * rows_per_band + r}" for r in range(rows_per_band))
+    return f"SELECT doc_id, {band} AS band, md5(concat({cols})) AS sig FROM sigs"
+
+
+_MINHASH_LSH_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL}),\nsigs AS (\nSELECT doc_id,\n"
+    + ",\n".join(
+        f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(MINHASH_K)
+    )
+    + "\nFROM sh GROUP BY doc_id\n),\nbanded AS (\n"
+    + "\nUNION ALL\n".join(_band_sig_sql(b) for b in range(BANDS))
+    + """
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+)
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 8 hex chars of md5(token)
+
+
+def _hex_nibble_value(hex_col: str, pos: int) -> str:
+    """Portable SQL: value 0-15 of the pos-th (1-based) hex char."""
+    return f"(instr('0123456789abcdef', substr({hex_col}, {pos}, 1)) - 1)"
+
+
+def _bit_expr(hex_col: str, bit: int, idiv: str) -> str:
+    """SQL: bit (0-based, MSB-first within each nibble stream) of the 32-bit
+    prefix of an md5 hex string, as ±1. `idiv` is the integer-division
+    operator — the one dialect split ('div' Spark, '//' DuckDB)."""
+    nibble = bit // 4 + 1
+    shift = 3 - (bit % 4)
+    return f"CASE WHEN ({_hex_nibble_value(hex_col, nibble)} {idiv} {2 ** shift}) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit fingerprint = sign of per-bit sums of ±1 token-hash
+    bits. Identical-fingerprint clustering (the dedup decision) is a plain
+    groupBy — O(n), one shuffle on an 8-byte key.
+
+    The per-bit majority vote is expressed once in portable SQL (generated
+    below) and run through spark.sql — identical text feeds the oracle.
+    """
+    spark = prepared(spark, sf_dir)
+    return spark.sql(_SIMHASH_CORE_SQL)
+
+
+def _simhash_core(idiv: str) -> tuple[str, str]:
+    # token stream with per-token md5 (frequency-weighted: one row per
+    # occurrence, not DISTINCT — classic simhash uses term weights)
+    bit_sums = ",\n".join(
+        f"    sum({_bit_expr('h', b, idiv)}) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    hash_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    # Same core aggregates in both dialects; explode-vs-unnest and div-vs-//
+    # are the only splits.
+    return bit_sums, hash_expr
+
+
+_BIT_SUMS_SPARK, _HASH_EXPR_SPARK = _simhash_core("div")
+_BIT_SUMS_DUCK, _HASH_EXPR_DUCK = _simhash_core("//")
+
+_SIMHASH_CORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (
+    SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+    FROM documents
+  ) t
+),
+bits AS (
+  SELECT doc_id,
+{_BIT_SUMS_SPARK}
+  FROM tok GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id, cast({_HASH_EXPR_SPARK} AS BIGINT) AS simhash FROM bits
+)
+SELECT h.doc_id, h.simhash,
+       min(h2.doc_id) AS keeper_doc_id
+FROM hashes h JOIN hashes h2 ON h.simhash = h2.simhash
+GROUP BY h.doc_id, h.simhash
+ORDER BY h.doc_id
+"""
+
+_SIMHASH_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+{_BIT_SUMS_DUCK}
+  FROM tok GROUP BY doc_id
+),
+hashes AS (
+  SELECT doc_id, cast({_HASH_EXPR_DUCK} AS BIGINT) AS simhash FROM bits
+)
+SELECT h.doc_id, h.simhash,
+       min(h2.doc_id) AS keeper_doc_id
+FROM hashes h JOIN hashes h2 ON h.simhash = h2.simhash
+GROUP BY h.doc_id, h.simhash
+ORDER BY h.doc_id
+"""
+
+# --- Embedding cosine near-dup -------------------------------------------------
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential left-to-right double-precision dot product — the same
+    reduction order DuckDB's generated SQL uses, so floats agree bitwise."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ COSINE_THRESHOLD.
+
+    Test-scale plan: block by label (the natural coarse bucket) to avoid the
+    full cross join, then exact cosine inside blocks? No — labels are just
+    classes; correctness wants all pairs, so this query does the exact
+    all-pairs join at sf scale. The 100 TB path is similarity.ann_lsh_topk's
+    hyperplane bucketing; this operator is the verify stage.
+    """
+    emb = prepared(spark, sf_dir).table("embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot("va", "vb")
+        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+    " p -> p[1] * p[2]))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+_EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprint": simhash_fingerprint,
+    "embedding_neardup": embedding_neardup,
+}
+
+ORACLES = {
+    "exact_dedup": _EXACT_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+    "simhash_fingerprint": _SIMHASH_ORACLE_SQL,
+    "embedding_neardup": _EMB_NEARDUP_SQL,
+}

@@ -1,0 +1,181 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode step itself is stubbed
+(deterministic fake features behind `decode_stub`; a real deployment swaps in
+PIL/torchaudio inside the same mapInPandas kernel). Everything around the stub
+is real and tested: binary column derivation, Arrow batch shape, pandas-UDF
+signature, partition-parallel execution, schema of the feature output.
+
+At 100 TB: binary payloads live in parquet as BINARY columns (or object-store
+pointers for >row-group-size blobs); mapInPandas streams Arrow batches so a
+task never materializes more than one batch of payloads; decode CPU scales
+with executors, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import prepared
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive an opaque-binary media table from `documents`: payload =
+    utf-8 bytes of the text (stand-in for image/audio bytes), media_type
+    round-robins by doc_id."""
+    docs = prepared(spark, sf_dir).table("documents")
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length("text").alias("declared_len"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("feat_width", IntegerType()),
+        StructField("feat_height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB decoder — deterministic fake (width, height, n_frames) from the
+    payload hash. A real pipeline replaces this body with PIL/av decode;
+    the Spark-side contract (bytes in, fixed-width features out) is what the
+    engine tests.
+    """
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 32
+    return width, height, n_frames
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over the binary column via mapInPandas.
+
+    byte_len/content_md5 are oracle-checkable (payload is utf-8 of text);
+    the stub's fake dims are deterministic md5 arithmetic, reproduced in the
+    oracle SQL so even the stub path is hash-verified end-to-end.
+
+    The kernel is a LOCAL closure on purpose: cloudpickle serializes it by
+    value, so executor Python workers never need this package importable
+    (the external driver loads __spark_entry__ by path, not via PYTHONPATH).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+            h = _hl.md5(payload).digest()
+            return (
+                64 + h[0] % 192,
+                64 + h[1] % 192,
+                1 if media_type == "image" else 1 + h[2] % 32,
+            )
+
+        for pdf in batches:
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "content_md5": [_hl.md5(p).hexdigest() for p in pdf["payload"]],
+                    "feat_width": [f[0] for f in feats],
+                    "feat_height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(kernel, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+# Oracle reproduces the stub: md5 bytes 0/1/2 == hex pairs 1-2/3-4/5-6.
+_HEXPAIR = "(instr('0123456789abcdef', substr(md5(text), {a}, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)"
+_B0 = _HEXPAIR.format(a=1, b=2)
+_B1 = _HEXPAIR.format(a=3, b=4)
+_B2 = _HEXPAIR.format(a=5, b=6)
+
+_MEDIA_FEATURES_SQL = f"""
+SELECT doc_id,
+       CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       cast(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       cast(64 + ({_B0}) % 192 AS INT) AS feat_width,
+       cast(64 + ({_B1}) % 192 AS INT) AS feat_height,
+       cast(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + ({_B2}) % 32 END AS INT) AS n_frames
+FROM documents ORDER BY doc_id
+"""
+
+
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video payloads: which frame indices each task
+    would decode (stride sampling to 4 frames max). Pure plan — the decode is
+    the stub; the sampled index arithmetic is the tested contract."""
+    feats = media_features(spark, sf_dir)
+    stride = F.greatest((F.col("n_frames") / 4).cast("int"), F.lit(1))
+    return (
+        feats.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, stride
+            ).alias("sampled_frames"),
+        )
+        .withColumn("n_sampled", F.size("sampled_frames"))
+        .drop("sampled_frames")  # int arrays hash fine but keep output scalar
+        .orderBy("doc_id")
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE cast(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         cast(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + ({_B2}) % 32 END AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       cast(len(generate_series(0, n_frames - 1, greatest(n_frames // 4, 1))) AS INT) AS n_sampled
+FROM feats WHERE media_type = 'video' ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "media_features": media_features,
+    "frame_sample_plan": frame_sample_plan,
+}
+
+ORACLES = {
+    "media_features": _MEDIA_FEATURES_SQL,
+    "frame_sample_plan": _FRAME_SAMPLE_SQL,
+}

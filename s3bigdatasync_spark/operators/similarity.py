@@ -1,0 +1,167 @@
+"""Similarity search over the embedding column (`array<float>`, 64-dim).
+
+Two paths, mirroring what a 100 TB vector pipeline needs:
+
+  ann_topk_bruteforce — exact cosine top-k for one query vector. The scan is
+      embarrassingly parallel (map-side partial top-k via sort+limit; Spark
+      plans TakeOrderedAndProject, so only k rows per partition reach the
+      driver-side merge).
+  ann_lsh_topk        — sign-random-projection LSH: 8 deterministic ±1
+      hyperplanes → 8-bit bucket; candidates = query's bucket only. At scale
+      the table is written partitioned by bucket → partition pruning makes a
+      top-k query touch 1/256 of the data.
+
+Hyperplanes are integer-arithmetic-derived (no RNG) so the DuckDB oracle
+reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+from .dedup import _dot, _cos_sql
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+
+def _plane_sign(p: int, i: int) -> int:
+    """Deterministic ±1 hyperplane component (p-th plane, i-th dim, 0-based).
+    Pure integer arithmetic — identical in any engine."""
+    return 1 if (p * 73856093 + i * 19349663) % 2 == 0 else -1
+
+
+def _plane_dot_spark(vec: str, p: int) -> Column:
+    terms = F.zip_with(
+        F.col(vec),
+        F.array(*[F.lit(float(_plane_sign(p, i))) for i in range(DIM)]),
+        lambda x, w: x.cast("double") * w,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _bucket_spark(vec: str) -> Column:
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        out = out + F.when(_plane_dot_spark(vec, p) > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _plane_dot_sql(vec: str, p: int) -> str:
+    terms = " + ".join(
+        f"({'' if _plane_sign(p, i) == 1 else '-'}{vec}[{i + 1}]::DOUBLE)" for i in range(DIM)
+    )
+    return f"({terms})"
+
+
+def _bucket_sql(vec: str) -> str:
+    parts = [
+        f"(CASE WHEN {_plane_dot_sql(vec, p)} > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "cast(" + " + ".join(parts) + " AS INT)"
+
+
+def _query_vec(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors of QUERY_VEC_ID by cosine (query vector is
+    broadcast; ordering key is (rounded cosine desc, vec_id) so ranking is
+    engine-deterministic)."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    q = _query_vec(emb)
+    cos = F.round(
+        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        6,
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+_ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       {_cos_sql('embedding', 'qv')} AS cosine
+FROM embeddings, q
+WHERE vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector LSH bucket id + per-bucket occupancy — the partitioning
+    layout a bucketed vector table would be written with."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    return (
+        emb.select(_bucket_spark("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+_LSH_BUCKETS_SQL = f"""
+SELECT {_bucket_sql('embedding')} AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-restricted top-k: candidates limited to the query's bucket.
+    The recall/latency trade is explicit: scan 1/2^planes of the table.
+    With a bucket-partitioned table this is pure partition pruning."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    bucketed = emb.withColumn("bucket", _bucket_spark("embedding"))
+    qb = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cos = F.round(
+        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        6,
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH b AS (SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       {_cos_sql('embedding', 'qv')} AS cosine
+FROM b, q
+WHERE b.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "lsh_buckets": lsh_buckets,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "ann_topk_bruteforce": _ANN_BRUTE_SQL,
+    "lsh_buckets": _LSH_BUCKETS_SQL,
+    "ann_lsh_topk": _ANN_LSH_SQL,
+}

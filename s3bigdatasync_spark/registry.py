@@ -9,9 +9,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import expressions, joins, limits, stats, windows
+from .operators import (
+    dedup,
+    expressions,
+    joins,
+    limits,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    windows,
+)
 
-_MODULES = [stats, windows, joins, expressions, limits]
+_MODULES = [stats, windows, joins, expressions, limits, text, dedup, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
