@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion via the noop sink (full plan runs on
+executors, nothing is collected) — measuring engine throughput, not driver
+serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: every major plan shape the engine supports.
+HEADLINE = [
+    "size_histogram",        # scan + wide agg
+    "inventory_stats",       # groupBy agg
+    "time_rollup",           # multi-granularity tumbling windows
+    "time_spine_zero_fill",  # generated spine broadcast join
+    "inventory_diff",        # full-outer join (flagship)
+    "diff_summary",          # join + rollup
+    "dedup_anti_join",       # window batching + anti join
+    "verification_join",     # projection-heavy compare
+    "exact_dedup",           # content-hash groupBy
+    "minhash_lsh_pairs",     # explode + 12-way agg + band self-join
+    "ngram_jaccard_pairs",   # shingle self-join + verify
+    "embedding_neardup",     # O(n^2) vector pairs w/ precomputed norms
+    "ann_topk_bruteforce",   # vector top-k
+    "token_stats",           # regex-heavy text scan
+    "media_features",        # mapInPandas (Arrow) path
+]
+
+
+def main() -> None:
+    from s3bigdatasync_spark.session import get_spark
+    from s3bigdatasync_spark import registry
+
+    spark = get_spark("s3bigdatasync-bench")
+    queries = registry.all_queries()
+
+    # Warm the session (JVM/codegen/parquet footer caches) outside the clock.
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

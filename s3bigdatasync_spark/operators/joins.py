@@ -175,15 +175,10 @@ ORDER BY minute_ts
 # --- J4: the flagship inventory diff -----------------------------------------
 
 
-def inventory_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: src-vs-dst snapshot diff → Variance ∈ {New, Update, Delete}.
-
-    The reference consumes these diff rows but never computes them
-    (diff_azure_inventory_sqs.py:26-35, README.md:12); this is the declared
-    dst-diff analysis as one full-outer join. Scale shape: single shuffle on
-    `key` for both sides (AQE skew-split); with bucketed inventory tables the
-    shuffle disappears entirely.
-    """
+def _diff_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted J4 diff — shared by inventory_diff (adds the presentation
+    sort) and diff_summary (aggregates; a sort below an agg is wasted work
+    Catalyst won't remove for us)."""
     spark = prepared(spark, sf_dir)
     src = spark.table("inventory_src").select(
         F.col("key"),
@@ -210,8 +205,19 @@ def inventory_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("variance") != "Same")
         .select("key", "src_size", "dst_size", "variance")
-        .orderBy("key")
     )
+
+
+def inventory_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: src-vs-dst snapshot diff → Variance ∈ {New, Update, Delete}.
+
+    The reference consumes these diff rows but never computes them
+    (diff_azure_inventory_sqs.py:26-35, README.md:12); this is the declared
+    dst-diff analysis as one full-outer join. Scale shape: single shuffle on
+    `key` for both sides (AQE skew-split); with bucketed inventory tables the
+    shuffle disappears entirely.
+    """
+    return _diff_base(spark, sf_dir).orderBy("key")
 
 
 _INVENTORY_DIFF_SQL = oracle_cte("inventory_src", "inventory_dst") + """
@@ -234,7 +240,7 @@ ORDER BY key
 def diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 rollup: object count + bytes to move per variance class — the
     reference's cost-estimation input (README.md:4 item 4)."""
-    d = inventory_diff(spark, sf_dir)
+    d = _diff_base(spark, sf_dir)
     return (
         d.groupBy("variance")
         .agg(
