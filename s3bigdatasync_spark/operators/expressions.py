@@ -68,7 +68,7 @@ def variance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANCE_COUNTS_SQL = oracle_cte("azure_inventory_diff") + """
 SELECT upper(variance) AS variance_class, count(*) AS n_rows,
-       sum(content_length) AS total_bytes
+       cast(sum(content_length) AS BIGINT) AS total_bytes
 FROM azure_inventory_diff GROUP BY 1 ORDER BY 1
 """
 

@@ -58,7 +58,7 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TASK_BATCHES_SQL = oracle_cte("inventory_src") + f"""
 SELECT batch_id,
        count(*) AS n_objects,
-       sum(size) AS batch_size,
+       cast(sum(size) AS BIGINT) AS batch_size,
        md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
 FROM (
   SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
@@ -89,7 +89,7 @@ _DEDUP_ANTI_SQL = oracle_cte("inventory_src") + f"""
 , batches AS (
   SELECT batch_id,
          count(*) AS n_objects,
-         sum(size) AS batch_size,
+         cast(sum(size) AS BIGINT) AS batch_size,
          md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
   FROM (
     SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
@@ -156,10 +156,10 @@ _TIME_SPINE_SQL = oracle_cte("copy_log") + f"""
                                 INTERVAL 1 MINUTE)) AS minute
 ), per_min AS (
   SELECT date_trunc('minute', replication_time) AS minute,
-         sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS s_size,
-         sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS s_num,
-         sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS f_size,
-         sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS f_num
+         cast(sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS BIGINT) AS s_size,
+         cast(sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s_num,
+         cast(sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS BIGINT) AS f_size,
+         cast(sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_num
   FROM copy_log GROUP BY 1
 )
 SELECT epoch_us(spine.minute) // 1000000 AS minute_ts,
@@ -263,7 +263,7 @@ _DIFF_SUMMARY_SQL = oracle_cte("inventory_src", "inventory_dst") + """
     FROM src FULL OUTER JOIN dst ON src.key = dst.key
   )
 SELECT variance, count(*) AS n_objects,
-       sum(coalesce(src_size, 0)) AS bytes_to_move
+       cast(sum(coalesce(src_size, 0)) AS BIGINT) AS bytes_to_move
 FROM diff WHERE variance <> 'Same'
 GROUP BY variance ORDER BY variance
 """

@@ -54,7 +54,7 @@ def size_capped_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIZE_CAPPED_SQL = oracle_cte("inventory_src") + f"""
 SELECT key, size, cum_bytes FROM (
   SELECT key, size,
-         sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum_bytes,
+         cast(sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes,
          row_number() OVER (ORDER BY key) AS rn
   FROM inventory_src
 )

@@ -49,9 +49,9 @@ def size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIZE_HISTOGRAM_SQL = oracle_cte("inventory_src") + """
 SELECT
   count(*) AS total_objects,
-  sum(size) AS total_size_bytes,
+  cast(sum(size) AS BIGINT) AS total_size_bytes,
 """ + ",\n".join(
-    f"  sum(CASE WHEN size <= {t} THEN 1 ELSE 0 END) AS {name}"
+    f"  cast(sum(CASE WHEN size <= {t} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
     for name, t in SIZE_BUCKETS
 ) + "\nFROM inventory_src"
 
@@ -79,8 +79,8 @@ def inventory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INVENTORY_STATS_SQL = oracle_cte("inventory_src") + """
 SELECT storage_class,
        count(*) AS object_count,
-       sum(size) AS total_size,
-       sum(CASE WHEN is_multipart_uploaded = 'true' THEN 1 ELSE 0 END) AS multipart_count
+       cast(sum(size) AS BIGINT) AS total_size,
+       cast(sum(CASE WHEN is_multipart_uploaded = 'true' THEN 1 ELSE 0 END) AS BIGINT) AS multipart_count
 FROM inventory_src
 GROUP BY storage_class
 """
@@ -127,10 +127,10 @@ WITH_AGG: SELECT
   round(success_size / greatest(elapsed_minutes, 1.0), 4) AS bytes_per_minute
 FROM (
   SELECT
-    sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS success_size,
-    sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS success_num,
-    sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS failed_size,
-    sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS failed_num,
+    cast(sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS BIGINT) AS success_size,
+    cast(sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_num,
+    cast(sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_size,
+    cast(sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_num,
     (epoch_us(max(replication_time)) // 1000000
        - epoch_us(min(replication_time)) // 1000000) / 60.0 AS elapsed_minutes
   FROM copy_log
@@ -147,7 +147,7 @@ def status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATUS_COUNTERS_SQL = oracle_cte("copy_log") + """
-SELECT replication_status, count(*) AS n_rows, sum(size) AS total_size
+SELECT replication_status, count(*) AS n_rows, cast(sum(size) AS BIGINT) AS total_size
 FROM copy_log GROUP BY replication_status
 """
 

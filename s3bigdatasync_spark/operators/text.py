@@ -29,9 +29,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.length("text").alias("n_chars"),
-            ws.alias("ws_tokens"),
-            bpe.alias("bpe_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+            ws.cast("long").alias("ws_tokens"),
+            bpe.cast("long").alias("bpe_tokens"),
             F.round(bpe / F.greatest(F.length("text"), F.lit(1)), 6).alias("tokens_per_char"),
         )
         .orderBy("doc_id")
@@ -74,7 +74,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         *[
-            _marker_hits(toks, words).alias(f"score_{lg}")
+            _marker_hits(toks, words).cast("long").alias(f"score_{lg}")
             for lg, words in _LANG_MARKERS.items()
         ],
     )
@@ -137,8 +137,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_wl.alias("mean_word_len"),
@@ -176,7 +176,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("content_hash"),
         F.md5(F.concat_ws("|", sampled)).alias("sampled_hash"),
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
     ).orderBy("doc_id")
 
 

@@ -73,10 +73,10 @@ def _rollup_unit_sql(minutes: int) -> str:
     return f"""
 SELECT {minutes} AS time_unit,
        (epoch_us(replication_time) // 1000000) // {secs} * {secs} AS start_time,
-       sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS success_object_size,
-       sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS success_object_num,
-       sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS failed_object_size,
-       sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS failed_object_num
+       cast(sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS BIGINT) AS success_object_size,
+       cast(sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_object_num,
+       cast(sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_object_size,
+       cast(sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_object_num
 FROM copy_log GROUP BY 2"""
 
 
@@ -111,10 +111,10 @@ def hwm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HWM_SQL = oracle_cte("copy_log") + """
 SELECT 1 AS time_unit,
        (epoch_us(replication_time) // 1000000) // 60 * 60 AS start_time,
-       sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS success_object_size,
-       sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS success_object_num,
-       sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS failed_object_size,
-       sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS failed_object_num
+       cast(sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS BIGINT) AS success_object_size,
+       cast(sum(CASE WHEN replication_status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_object_num,
+       cast(sum(CASE WHEN replication_status = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_object_size,
+       cast(sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_object_num
 FROM copy_log
 WHERE epoch_us(replication_time) // 1000000
       >= (SELECT (epoch_us(max(replication_time)) // 1000000) // 3600 * 3600 FROM copy_log)

@@ -18,10 +18,22 @@ from .operators import (
     similarity,
     stats,
     text,
+    verify_ops,
     windows,
 )
 
-_MODULES = [stats, windows, joins, expressions, limits, text, dedup, similarity, multimodal]
+_MODULES = [
+    stats,
+    windows,
+    joins,
+    expressions,
+    limits,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    verify_ops,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

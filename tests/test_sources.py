@@ -1,0 +1,86 @@
+"""Source connectors: csv.gz inventory scan, manifest-driven read, corrupt-row
+policy, recursive glob, Azure projection (SURVEY §2 A1-A6)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+from pathlib import Path
+
+import pytest
+
+from s3bigdatasync_spark.sources.inventory import (
+    discover_files,
+    read_azure_inventory,
+    read_inventory_csv,
+    read_manifest,
+    read_manifest_files,
+)
+
+ROWS = [
+    '"b1","dir/key with space","1048576","2024-01-05T10:00:00.000Z","abc123","STANDARD","false",""',
+    '"b1","dir/键-中文","5368709120","2024-01-06T11:30:00.000Z","def456-3","GLACIER","true","COMPLETED"',
+    '"b1","k3","0","2024-01-07T00:00:00.000Z","eee","STANDARD_IA","false","COMPLETED"',
+]
+BAD_ROW = '"b1","broken-only-two-fields"'
+
+
+@pytest.fixture(scope="module")
+def inv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inv")
+    (d / "part1.csv.gz").write_bytes(gzip.compress("\n".join(ROWS[:2]).encode()))
+    (d / "sub").mkdir()
+    (d / "sub" / "part2.csv").write_text(ROWS[2] + "\n" + BAD_ROW)
+    manifest = {
+        "sourceBucket": "b1",
+        "destinationBucket": "b2",
+        "version": "2024-01-01",
+        "fileFormat": "CSV",
+        "fileSchema": "Bucket, Key, Size, LastModifiedDate, ETag, StorageClass, IsMultipartUploaded, ReplicationStatus",
+        "files": [
+            {"key": str(d / "part1.csv.gz"), "size": 1, "MD5checksum": ""},
+            {"key": str(d / "sub" / "part2.csv"), "size": 1, "MD5checksum": ""},
+        ],
+    }
+    (d / "manifest.json").write_text(json.dumps(manifest))
+    return d
+
+
+def test_gzip_csv_scan(spark, inv_dir):
+    df = read_inventory_csv(spark, str(inv_dir / "part1.csv.gz"))
+    rows = {r["key"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["dir/key with space"]["size"] == 1048576
+    assert rows["dir/键-中文"]["is_multipart_uploaded"] == "true"  # stringly at the edge
+    assert rows["dir/key with space"]["replication_status"] == ""
+
+
+def test_corrupt_row_policy(spark, inv_dir):
+    df = read_inventory_csv(spark, str(inv_dir / "sub" / "part2.csv"))
+    assert df.count() == 1  # bad row dropped, ≙ len(sections)<7 guard
+
+
+def test_manifest_driven_read(spark, inv_dir):
+    manifest = read_manifest(spark, str(inv_dir / "manifest.json"))
+    assert manifest["destinationBucket"] == "b2"
+    df = read_manifest_files(spark, manifest)
+    assert df.count() == 3  # 2 from gz + 1 good row from part2
+
+
+def test_recursive_glob(spark, inv_dir):
+    df = discover_files(spark, str(inv_dir), pattern="*.csv")
+    # only sub/part2.csv matches the glob; its bad row is dropped by the
+    # corrupt-record policy
+    assert df.count() == 1
+    assert df.collect()[0]["key"] == "k3"
+
+
+def test_azure_projection(spark, tmp_path):
+    p = tmp_path / "azure.csv"
+    p.write_text(
+        "Name,Creation-Time,Last-Modified,Etag,Content-Length,Content-MD5,BlobType,AccessTier,ArchiveStatus\n"
+        "blob1,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z,e1,123,m1,Block,Hot,\n"
+    )
+    df = read_azure_inventory(spark, str(p), columns=["name", "CONTENT-LENGTH"])
+    assert df.columns == ["Name", "Content-Length"]  # case-normalized access
+    assert df.collect()[0]["Content-Length"] == 123
