@@ -59,13 +59,42 @@ _STAT_COLS = [
 
 
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4: the 1/5/60-minute stat table in one pass (union of three tumbling
-    aggs ≙ GROUPING SETS over window granularities)."""
+    """D4: the 1/5/60-minute stat table (≙ GROUPING SETS over window
+    granularities).
+
+    One scan, one shuffle: each row is exploded into its three granularities
+    and aggregated by (time_unit, bucket) in a single groupBy — a union of
+    three per-granularity aggs would scan the source three times, which at
+    100 TB is 3x the I/O for identical output.
+    """
     log = prepared(spark, sf_dir).table("copy_log")
-    out = _bucketed(log, TIME_UNITS[0])
-    for m in TIME_UNITS[1:]:
-        out = out.unionByName(_bucketed(log, m))
-    return out.select(*_STAT_COLS)
+    exploded = log.select(
+        "replication_time",
+        "replication_status",
+        "size",
+        F.explode(F.array(*[F.lit(m) for m in TIME_UNITS])).alias("time_unit"),
+    )
+    secs = F.col("time_unit").cast("long") * 60
+    start = (F.col("replication_time").cast("long") / secs).cast("long") * secs
+    return (
+        exploded.withColumn("start_time", start)
+        .groupBy("time_unit", "start_time")
+        .agg(
+            F.sum(F.when(F.col("replication_status") == 1, F.col("size")).otherwise(0)).alias(
+                "success_object_size"
+            ),
+            F.sum(F.when(F.col("replication_status") == 1, 1).otherwise(0)).alias(
+                "success_object_num"
+            ),
+            F.sum(F.when(F.col("replication_status") == 0, F.col("size")).otherwise(0)).alias(
+                "failed_object_size"
+            ),
+            F.sum(F.when(F.col("replication_status") == 0, 1).otherwise(0)).alias(
+                "failed_object_num"
+            ),
+        )
+        .select(*_STAT_COLS)
+    )
 
 
 def _rollup_unit_sql(minutes: int) -> str:
