@@ -152,8 +152,61 @@ ORDER BY key LIMIT 2000
 """
 
 
+def event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 + H5 + C12: construct the nested BlobCreated/BlobDeleted event
+    document (constructSQSMsg, inventory_lib.py:62-100) as to_json(struct),
+    with ISO-8601 event time formatting (C12, inventory_lib.py:65-67).
+    JSON text is byte-identical across engines (compact, insertion-ordered)."""
+    d = prepared(spark, sf_dir).table("azure_inventory_diff")
+    endpoint = F.concat(F.lit("https://"), "storage_account", F.lit(".blob.core.windows.net"))
+    event_type = F.when(
+        F.upper("variance") == "DELETE", "Microsoft.Storage.BlobDeleted"
+    ).otherwise("Microsoft.Storage.BlobCreated")
+    api = F.when(F.upper("variance") == "DELETE", "DeleteBlob").otherwise("PutBlob")
+    doc = F.to_json(
+        F.struct(
+            endpoint.alias("topic"),
+            F.concat(F.lit("/"), "name").alias("subject"),
+            event_type.alias("eventType"),
+            F.date_format("last_modified", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("eventTime"),
+            F.md5(F.concat(endpoint, F.col("name"), event_type)).alias("id"),
+            F.struct(
+                api.alias("api"),
+                F.col("content_length").alias("contentLength"),
+                F.concat(endpoint, F.lit("/"), "name").alias("url"),
+            ).alias("data"),
+        )
+    )
+    return d.select("name", doc.alias("event")).orderBy("name", "event")
+
+
+_EVENT_JSON_SQL = oracle_cte("azure_inventory_diff") + """
+SELECT name,
+       to_json(struct_pack(
+         topic := concat('https://', storage_account, '.blob.core.windows.net'),
+         subject := concat('/', name),
+         eventType := CASE WHEN upper(variance) = 'DELETE'
+                           THEN 'Microsoft.Storage.BlobDeleted'
+                           ELSE 'Microsoft.Storage.BlobCreated' END,
+         eventTime := strftime(last_modified, '%Y-%m-%dT%H:%M:%SZ'),
+         id := md5(concat(concat('https://', storage_account, '.blob.core.windows.net'),
+                          name,
+                          CASE WHEN upper(variance) = 'DELETE'
+                               THEN 'Microsoft.Storage.BlobDeleted'
+                               ELSE 'Microsoft.Storage.BlobCreated' END)),
+         data := struct_pack(
+           api := CASE WHEN upper(variance) = 'DELETE' THEN 'DeleteBlob' ELSE 'PutBlob' END,
+           contentLength := content_length,
+           url := concat(concat('https://', storage_account, '.blob.core.windows.net'), '/', name))
+       )) AS event
+FROM azure_inventory_diff
+ORDER BY name, event
+"""
+
+
 QUERIES = {
     "variance_branch": variance_branch,
+    "event_json": event_json,
     "variance_counts": variance_counts,
     "key_decode": key_decode,
     "status_recode": status_recode,
@@ -161,6 +214,7 @@ QUERIES = {
 
 ORACLES = {
     "variance_branch": _VARIANCE_BRANCH_SQL,
+    "event_json": _EVENT_JSON_SQL,
     "variance_counts": _VARIANCE_COUNTS_SQL,
     "key_decode": _KEY_DECODE_SQL,
     "status_recode": _STATUS_RECODE_SQL,

@@ -76,7 +76,10 @@ def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sent log. The sent log (every 3rd batch) is small → Catalyst broadcasts;
     at a billion-row sent-log, bucket both sides by msg_id.
     """
-    batches = task_batches(spark, sf_dir)
+    # cache(): `batches` feeds both join sides; without it the whole
+    # window+agg subtree executes twice (visible as 2x Window nodes in the
+    # physical plan).
+    batches = task_batches(spark, sf_dir).cache()
     sent_log = batches.filter(F.col("batch_id") % 3 == 0).select("msg_id")
     return (
         batches.join(F.broadcast(sent_log), "msg_id", "left_anti")

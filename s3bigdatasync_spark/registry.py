@@ -16,6 +16,7 @@ from .operators import (
     limits,
     multimodal,
     similarity,
+    skew,
     stats,
     text,
     verify_ops,
@@ -33,6 +34,7 @@ _MODULES = [
     similarity,
     multimodal,
     verify_ops,
+    skew,
 ]
 
 
