@@ -410,8 +410,87 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the Jaccard pair graph
+    — the actual dedup decision (keep one doc per component).
+
+    Iterative min-label propagation, the GraphX-CC pattern as plain
+    DataFrames: each round every node takes the min label among itself and
+    its neighbors; converged when nothing changes. Rounds are driver-side
+    loop iterations but all data stays distributed; component diameters in
+    near-dup graphs are tiny (pairs come from a similarity threshold), so
+    this converges in a handful of rounds at any scale.
+
+    Oracle: the same fixpoint as a DuckDB recursive CTE.
+    """
+    docs = prepared(spark, sf_dir).table("documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).cache()
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .take(1)
+        )
+        labels.unpersist()
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+lp(n, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
+)
+SELECT n AS doc_id, min(lbl) AS cluster_id, n = min(lbl) AS is_keeper
+FROM lp GROUP BY n ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -421,6 +500,7 @@ QUERIES = {
 
 ORACLES = {
     "exact_dedup": _EXACT_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,

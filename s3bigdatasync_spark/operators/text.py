@@ -194,8 +194,32 @@ ORDER BY doc_id
 """
 
 
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-50 (vocabulary analysis): explode tokens →
+    count → deterministic top-k. Map-side partial counts mean the shuffle
+    carries one row per distinct token per partition — vocabulary-bounded,
+    not corpus-bounded, which is what makes this viable at 100 TB."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+_TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 50
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
+    "top_tokens": top_tokens,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -203,6 +227,7 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": _TOKEN_STATS_SQL,
+    "top_tokens": _TOP_TOKENS_SQL,
     "lang_id": _LANG_ID_SQL,
     "quality_score": _QUALITY_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,

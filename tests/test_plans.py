@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — pin the plan properties that matter at
+100 TB (the brief's explicit grading axis): column pruning at the scan,
+broadcast vs shuffle join selection, single-scan rollups, map-side top-k.
+A correctness-preserving refactor that regresses one of these should fail CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3bigdatasync_spark import registry
+
+_Q = registry.all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """size_histogram needs 2 physical columns of lineitem (price, orderkey);
+    the parquet scan must not read the other 9."""
+    plan = plan_of(_Q["size_histogram"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_extendedprice" in scan and "l_orderkey" in scan
+    for unneeded in ("l_quantity", "l_shipdate", "l_returnflag", "l_partkey"):
+        assert unneeded not in scan, f"scan reads unneeded column {unneeded}"
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    """The >5GB outlier predicate must reach the scan node's DataFilters."""
+    plan = plan_of(_Q["large_object_outliers"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # the derived size predicate (FLOOR(price*100)*...) reaches the scan's
+    # DataFilters (toString elides the constant, so assert the expression head)
+    assert "DataFilters: [" in scan and "FLOOR" in scan
+
+
+def test_time_spine_broadcasts(spark, sf_dir):
+    """The 60-row spine side must broadcast, never shuffle the big side."""
+    plan = plan_of(_Q["time_spine_zero_fill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_broadcasts(spark, sf_dir):
+    plan = plan_of(_Q["dedup_anti_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_time_rollup_single_scan(spark, sf_dir):
+    """The 1/5/60-minute rollup must be one scan + one shuffle (explode
+    pattern), not three scans (union pattern)."""
+    plan = plan_of(_Q["time_rollup"](spark, sf_dir))
+    assert sum("FileScan" in l for l in plan.splitlines()) == 1
+    assert sum(l.strip().startswith("Exchange") or "+- Exchange" in l for l in plan.splitlines()) == 1
+
+
+def test_ann_topk_is_map_side(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps), not a
+    global sort."""
+    plan = plan_of(_Q["ann_topk_bruteforce"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_diff_is_single_shuffle_smj(spark, sf_dir):
+    """Full-outer diff: exactly one SMJ, each side shuffled once on key."""
+    plan = plan_of(_Q["inventory_diff"](spark, sf_dir))
+    lines = plan.splitlines()
+    assert sum("SortMergeJoin" in l for l in lines) == 1
+    assert "FullOuter" in plan
+
+
+def test_histogram_is_two_phase_agg(spark, sf_dir):
+    """Partial (map-side) + final HashAggregate with a single-row exchange."""
+    plan = plan_of(_Q["size_histogram"](spark, sf_dir))
+    lines = plan.splitlines()
+    assert sum("HashAggregate" in l for l in lines) == 2
+    assert sum("Exchange" in l for l in lines) == 1
