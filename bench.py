@@ -49,8 +49,12 @@ def main() -> None:
     spark = get_spark("s3bigdatasync-bench")
     queries = registry.all_queries()
 
-    # Warm the session (JVM/codegen/parquet footer caches) outside the clock.
+    # Warm the session outside the clock: JVM/codegen init plus one pass over
+    # the input files (file listing, parquet footers, OS page cache) so
+    # per-query numbers measure engine work, not first-touch I/O setup.
     spark.range(1).collect()
+    for t in ("lineitem", "events", "documents", "embeddings", "part", "supplier", "orders"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
