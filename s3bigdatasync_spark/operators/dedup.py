@@ -47,7 +47,6 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
-        .orderBy("content_hash")
     )
 
 
@@ -55,7 +54,7 @@ _EXACT_SQL = r"""
 SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
        count(*) AS n_copies,
        min(doc_id) AS keeper_doc_id
-FROM documents GROUP BY 1 ORDER BY 1
+FROM documents GROUP BY 1
 """
 
 
@@ -118,7 +117,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -135,7 +133,6 @@ FROM inter
 JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
 """
 
 
@@ -149,7 +146,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
         for seed in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_SIG_SQL = (
@@ -157,7 +154,7 @@ _MINHASH_SIG_SQL = (
     + ",\n".join(
         f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(MINHASH_K)
     )
-    + "\nFROM sh GROUP BY doc_id ORDER BY doc_id"
+    + "\nFROM sh GROUP BY doc_id"
 )
 
 
@@ -190,7 +187,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -212,7 +208,6 @@ _MINHASH_LSH_SQL = (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
 """
 )
 
@@ -285,7 +280,6 @@ SELECT h.doc_id, h.simhash,
        min(h2.doc_id) AS keeper_doc_id
 FROM hashes h JOIN hashes h2 ON h.simhash = h2.simhash
 GROUP BY h.doc_id, h.simhash
-ORDER BY h.doc_id
 """
 
 _SIMHASH_ORACLE_SQL = f"""
@@ -306,7 +300,6 @@ SELECT h.doc_id, h.simhash,
        min(h2.doc_id) AS keeper_doc_id
 FROM hashes h JOIN hashes h2 ON h.simhash = h2.simhash
 GROUP BY h.doc_id, h.simhash
-ORDER BY h.doc_id
 """
 
 # --- Embedding cosine near-dup -------------------------------------------------
@@ -381,11 +374,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cosine", DoubleType()),
         ]
     )
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(kernel, schema)
-        .orderBy("id_a", "id_b")
-    )
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
 
 
 _DOT_SQL = (
@@ -406,7 +395,6 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_cos_sql('a.embedding', 'b.embedding')} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
-ORDER BY id_a, id_b
 """
 
 
@@ -460,7 +448,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
-    ).orderBy("doc_id")
+    )
 
 
 _DEDUP_CLUSTERS_SQL = rf"""
@@ -484,7 +472,7 @@ lp(n, lbl) AS (
   SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
 )
 SELECT n AS doc_id, min(lbl) AS cluster_id, n = min(lbl) AS is_keeper
-FROM lp GROUP BY n ORDER BY doc_id
+FROM lp GROUP BY n
 """
 
 

@@ -35,7 +35,6 @@ def variance_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(endpoint, F.col("name"), event_type)).alias("msg_id"),
             F.col("content_length").cast("long").alias("content_length"),
         )
-        .orderBy("name", "endpoint")
     )
 
 
@@ -51,7 +50,6 @@ SELECT name,
               ELSE 'Microsoft.Storage.BlobCreated' END)) AS msg_id,
        cast(content_length AS BIGINT) AS content_length
 FROM azure_inventory_diff
-ORDER BY name, endpoint
 """
 
 
@@ -62,14 +60,13 @@ def variance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.upper("variance").alias("variance_class"))
         .agg(F.count("*").alias("n_rows"), F.sum("content_length").alias("total_bytes"))
-        .orderBy("variance_class")
     )
 
 
 _VARIANCE_COUNTS_SQL = oracle_cte("azure_inventory_diff") + """
 SELECT upper(variance) AS variance_class, count(*) AS n_rows,
        cast(sum(content_length) AS BIGINT) AS total_bytes
-FROM azure_inventory_diff GROUP BY 1 ORDER BY 1
+FROM azure_inventory_diff GROUP BY 1
 """
 
 
@@ -177,7 +174,7 @@ def event_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("data"),
         )
     )
-    return d.select("name", doc.alias("event")).orderBy("name", "event")
+    return d.select("name", doc.alias("event"))
 
 
 _EVENT_JSON_SQL = oracle_cte("azure_inventory_diff") + """
@@ -200,7 +197,6 @@ SELECT name,
            url := concat(concat('https://', storage_account, '.blob.core.windows.net'), '/', name))
        )) AS event
 FROM azure_inventory_diff
-ORDER BY name, event
 """
 
 

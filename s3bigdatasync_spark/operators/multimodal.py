@@ -115,7 +115,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = media_table(spark, sf_dir)
-    return media.mapInPandas(kernel, FEATURE_SCHEMA).orderBy("doc_id")
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 # Oracle reproduces the stub: md5 bytes 0/1/2 == hex pairs 1-2/3-4/5-6.
@@ -132,7 +132,7 @@ SELECT doc_id,
        cast(64 + ({_B0}) % 192 AS INT) AS feat_width,
        cast(64 + ({_B1}) % 192 AS INT) AS feat_height,
        cast(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + ({_B2}) % 32 END AS INT) AS n_frames
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -153,7 +153,6 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_sampled", F.size("sampled_frames"))
         .drop("sampled_frames")  # int arrays hash fine but keep output scalar
-        .orderBy("doc_id")
     )
 
 
@@ -166,7 +165,7 @@ WITH feats AS (
 )
 SELECT doc_id, n_frames,
        cast(len(generate_series(0, n_frames - 1, greatest(n_frames // 4, 1))) AS INT) AS n_sampled
-FROM feats WHERE media_type = 'video' ORDER BY doc_id
+FROM feats WHERE media_type = 'video'
 """
 
 

@@ -110,13 +110,12 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(_bucket_spark("embedding").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
-        .orderBy("bucket")
     )
 
 
 _LSH_BUCKETS_SQL = f"""
 SELECT {_bucket_sql('embedding')} AS bucket, count(*) AS n_vectors
-FROM embeddings GROUP BY 1 ORDER BY 1
+FROM embeddings GROUP BY 1
 """
 
 

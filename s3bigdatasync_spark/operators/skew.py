@@ -51,7 +51,6 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_num").alias("n_copies"),
             F.sum("p_failed").alias("n_failed"),
         )
-        .orderBy("object_key")
     )
 
 
@@ -61,7 +60,7 @@ SELECT object_key,
        cast(sum(size) AS BIGINT) AS total_size,
        count(*) AS n_copies,
        cast(sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
-FROM copy_log GROUP BY object_key ORDER BY object_key
+FROM copy_log GROUP BY object_key
 """
 
 

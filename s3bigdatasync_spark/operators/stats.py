@@ -160,13 +160,12 @@ def large_object_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inv.filter(F.col("size") > 5_000_000_000)
         .select("key", "size", "storage_class")
-        .orderBy("key")
     )
 
 
 _LARGE_OUTLIERS_SQL = oracle_cte("inventory_src") + """
 SELECT key, size, storage_class FROM inventory_src
-WHERE size > 5000000000 ORDER BY key
+WHERE size > 5000000000
 """
 
 

@@ -34,7 +34,6 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe.cast("long").alias("bpe_tokens"),
             F.round(bpe / F.greatest(F.length("text"), F.lit(1)), 6).alias("tokens_per_char"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -45,7 +44,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_TOKEN}')) AS bpe_tokens,
        round(len(regexp_extract_all(text, '{_BPE_TOKEN}'))
              / greatest(length(text), 1), 6) AS tokens_per_char
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 # Stopword markers per language for the n-gram/stopword language-ID heuristic.
@@ -84,7 +83,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"score_{lg}") == best, lg)
     return scored.select(
         "doc_id", "lang", *[f"score_{lg}" for lg in _LANG_MARKERS], pred.alias("pred_lang")
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_score_sql(lg: str) -> str:
@@ -107,7 +106,7 @@ _LANG_ID_SQL = (
         + f") THEN '{lg}'"
         for lg in _LANG_MARKERS
     )
-    + "\n  END AS pred_lang\nFROM documents ORDER BY doc_id"
+    + "\n  END AS pred_lang\nFROM documents"
 )
 
 
@@ -143,7 +142,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         mean_wl.alias("mean_word_len"),
         keep.alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _QUALITY_SQL = r"""
@@ -160,7 +159,6 @@ FROM (
          round(list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1), 6) AS mean_word_len
   FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
 )
-ORDER BY doc_id
 """
 
 
@@ -177,7 +175,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_hash"),
         F.md5(F.concat_ws("|", sampled)).alias("sampled_hash"),
         F.size(toks).cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 _FINGERPRINT_SQL = r"""
@@ -190,7 +188,6 @@ FROM (
          regexp_extract_all(lower(regexp_replace(text, '\s+', ' ', 'g')), '\S+') AS toks
   FROM documents
 )
-ORDER BY doc_id
 """
 
 

@@ -32,7 +32,7 @@ def etag_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.alias("parts_count"),
         (size - (parts - 1) * F.lit(PART_SIZE)).cast("long").alias("last_part_size"),
         F.when(parts == 1, F.md5(F.col("text"))).alias("single_part_etag"),
-    ).orderBy("doc_id")
+    )
 
 
 _ETAG_PROPS_SQL = f"""
@@ -41,7 +41,7 @@ SELECT doc_id,
        cast(ceil(length(text) / {PART_SIZE}.0) AS INT) AS parts_count,
        length(text) - (cast(ceil(length(text) / {PART_SIZE}.0) AS INT) - 1) * {PART_SIZE} AS last_part_size,
        CASE WHEN ceil(length(text) / {PART_SIZE}.0) = 1 THEN md5(text) END AS single_part_etag
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -54,7 +54,7 @@ def multipart_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         etag_udf(F.encode("text", "UTF-8"), F.lit(PART_SIZE)).alias("etag"),
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES = {

@@ -130,11 +130,7 @@ def hwm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = log.crossJoin(F.broadcast(hwm)).filter(
         F.col("replication_time").cast("long") >= F.col("hwm")
     )
-    return (
-        _bucketed(tail, 1)
-        .select(*_STAT_COLS)
-        .orderBy("start_time")
-    )
+    return _bucketed(tail, 1).select(*_STAT_COLS)
 
 
 _HWM_SQL = oracle_cte("copy_log") + """
@@ -147,7 +143,7 @@ SELECT 1 AS time_unit,
 FROM copy_log
 WHERE epoch_us(replication_time) // 1000000
       >= (SELECT (epoch_us(max(replication_time)) // 1000000) // 3600 * 3600 FROM copy_log)
-GROUP BY 2 ORDER BY 2
+GROUP BY 2
 """
 
 
@@ -161,7 +157,6 @@ def min_max_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("replication_time").cast("long").alias("min_ts"),
             F.max("replication_time").cast("long").alias("max_ts"),
         )
-        .orderBy("replication_status")
     )
 
 
@@ -169,7 +164,7 @@ _MIN_MAX_SQL = oracle_cte("copy_log") + """
 SELECT replication_status,
        epoch_us(min(replication_time)) // 1000000 AS min_ts,
        epoch_us(max(replication_time)) // 1000000 AS max_ts
-FROM copy_log GROUP BY replication_status ORDER BY replication_status
+FROM copy_log GROUP BY replication_status
 """
 
 
