@@ -10,6 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    cost,
     dedup,
     expressions,
     joins,
@@ -35,6 +36,7 @@ _MODULES = [
     multimodal,
     verify_ops,
     skew,
+    cost,
 ]
 
 
