@@ -10,6 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    analytics,
     cost,
     dedup,
     expressions,
@@ -37,6 +38,7 @@ _MODULES = [
     verify_ops,
     skew,
     cost,
+    analytics,
 ]
 
 
