@@ -39,6 +39,12 @@ HEADLINE = [
     "ann_topk_bruteforce",   # vector top-k
     "token_stats",           # regex-heavy text scan
     "media_features",        # mapInPandas (Arrow) path
+    "dedup_clusters",        # iterative connected components
+    "sessionize",            # gap-based session windows
+    "tfidf_top_terms",       # tf-idf + per-doc top-k window
+    "salted_hot_key_agg",    # two-phase skew-safe aggregation
+    "transfer_cost_estimate",# diff + multipart-aware cost rollup
+    "compaction_plan",       # prefix-sum binning window
 ]
 
 

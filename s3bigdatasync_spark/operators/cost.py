@@ -141,19 +141,49 @@ TARGET_FILE_BYTES = 512 * 1024 * 1024
 def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner: assign objects to ~512 MB output bins
     by running-size prefix sums (the planning half of an OPTIMIZE/compact
-    job; execution is a partitioned rewrite). Greedy deterministic binning —
-    bin id = cumulative_bytes // target — so the oracle reproduces it."""
-    inv = prepared(spark, sf_dir).table("inventory_src")
+    job; execution is a partitioned rewrite).
+
+    DISTRIBUTED prefix sum, not a single-partition global window: range-
+    partition by key, local running sums per partition, then add per-
+    partition offsets (a ≤#partitions-row driver list — the one legitimate
+    collect). Result is identical to the global window (prefix sums are
+    associative), which the unsorted-GROUP-BY-free oracle pins; wall-clock
+    stays flat as data grows instead of serializing on one task.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
+    # cache() pins the sampled range boundaries: repartitionByRange re-samples
+    # per action, so without it the offsets (action 1) and the binning
+    # (action 2) would see DIFFERENT partitionings and the prefix sums break.
+    parted = (
+        inv.repartitionByRange(32, "key")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("local_cum", F.sum("size").over(w_local))
+    # per-partition totals → exclusive offsets (range partitions are ordered
+    # by pid, so offset(p) = Σ totals(pid < p))
+    totals = {
+        r["pid"]: r["t"]
+        for r in parted.groupBy("pid").agg(F.sum("size").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = parted.sparkSession.createDataFrame(offsets, ["pid", "offset"])
     binned = (
-        inv.select("key", "size")
-        .withColumn("cum0", F.sum("size").over(w) - F.col("size"))
+        local.join(F.broadcast(off_df), "pid")
+        .withColumn("cum0", F.col("offset") + F.col("local_cum") - F.col("size"))
         # integer `div`, not double `/`+cast: a double quotient 1 ulp above an
         # exact multiple would truncate to a different bin than the oracle's //
         .withColumn("bin", F.expr(f"cum0 div {TARGET_FILE_BYTES}"))
-        .drop("cum0")
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_files"),

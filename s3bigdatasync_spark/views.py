@@ -185,6 +185,8 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    from pyspark.sql.types import TimestampNTZType
+
     for name in BASE_TABLES:
         path = f"{sf_dir}/{name}.parquet"
         df = spark.read.parquet(path)
@@ -192,6 +194,12 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
             # integer division keeps full precision (nanos ~1.7e18 exceeds
             # double's 53-bit mantissa); truncation matches DuckDB ns→us.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        for f in df.schema.fields:
+            # micros/millis parquet without UTC adjustment reads as NTZ, which
+            # Spark refuses to cast to epoch seconds; normalize to LTZ (session
+            # tz is UTC, so wall-clock values are unchanged).
+            if isinstance(f.dataType, TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         df.createOrReplaceTempView(name)
 
 
