@@ -182,8 +182,22 @@ WHERE rank <= {TFIDF_TOP_N}
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-class distinct counting: approx_count_distinct per event
+    type vs the exact count. At 100 TB exact COUNT(DISTINCT) shuffles every
+    key; the HLL sketch is a map-side-combinable fixed-size state — THE
+    distinct-counting primitive at scale. No SQL oracle (sketch estimates are
+    engine-specific); tests pin the estimate within 5%% of exact."""
+    ev = prepared(spark, sf_dir).table("events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
 QUERIES = {
     "sessionize": sessionize,
+    "approx_distinct_users": approx_distinct_users,
     "size_percentiles": size_percentiles,
     "throughput_timeline": throughput_timeline,
     "tfidf_top_terms": tfidf_top_terms,

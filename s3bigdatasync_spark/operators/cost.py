@@ -177,7 +177,9 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += totals[pid]
-    off_df = parted.sparkSession.createDataFrame(offsets, ["pid", "offset"])
+    # explicit schema: `offsets` is empty when the input table is empty, and
+    # schema inference on [] throws
+    off_df = parted.sparkSession.createDataFrame(offsets, "pid int, offset long")
     binned = (
         local.join(F.broadcast(off_df), "pid")
         .withColumn("cum0", F.col("offset") + F.col("local_cum") - F.col("size"))

@@ -337,7 +337,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pdf = emb.select("vec_id", "embedding").toPandas()
     order = pdf["vec_id"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    if len(pdf):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    else:  # zero vectors: keep the (0, dim) shape so norms/GEMM don't crash
+        mat = np.zeros((0, EMBEDDING_DIM))
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((order, mat, norms))
     threshold = COSINE_THRESHOLD

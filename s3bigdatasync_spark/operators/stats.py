@@ -138,6 +138,54 @@ FROM (
 """
 
 
+def sync_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 complete: estimateSpeed + ETA against the job total.
+
+    UICenter derives speed = success_bytes / elapsed_minutes and the frontend
+    divides remaining bytes by it (ddbModel.py:243-246, common.js:55-65);
+    here the manifest total is the inventory sum and the whole derivation is
+    one two-source aggregate (both single-row, broadcast-combined).
+    """
+    spark = prepared(spark, sf_dir)
+    inv_total = spark.table("inventory_src").agg(F.sum("size").alias("total_bytes"))
+    log = spark.table("copy_log")
+    prog = log.agg(
+        F.sum(F.when(F.col("replication_status") == 1, F.col("size")).otherwise(0)).alias(
+            "done_bytes"
+        ),
+        (
+            (F.max("replication_time").cast("long") - F.min("replication_time").cast("long"))
+            / 60.0
+        ).alias("elapsed_minutes"),
+    )
+    joined = prog.crossJoin(F.broadcast(inv_total))
+    speed = F.col("done_bytes") / F.greatest(F.col("elapsed_minutes"), F.lit(1.0))
+    return joined.select(
+        "total_bytes",
+        "done_bytes",
+        F.round("elapsed_minutes", 4).alias("elapsed_minutes"),
+        F.round(speed, 4).alias("bytes_per_minute"),
+        F.round(
+            (F.col("total_bytes") - F.col("done_bytes")) / F.greatest(speed, F.lit(1.0)), 4
+        ).alias("eta_minutes"),
+    )
+
+
+_SYNC_ETA_SQL = oracle_cte("inventory_src", "copy_log") + """
+SELECT total_bytes, done_bytes,
+       round(elapsed_minutes, 4) AS elapsed_minutes,
+       round(done_bytes / greatest(elapsed_minutes, 1.0), 4) AS bytes_per_minute,
+       round((total_bytes - done_bytes)
+             / greatest(done_bytes / greatest(elapsed_minutes, 1.0), 1.0), 4) AS eta_minutes
+FROM (
+  SELECT cast(sum(CASE WHEN replication_status = 1 THEN size ELSE 0 END) AS BIGINT) AS done_bytes,
+         (epoch_us(max(replication_time)) // 1000000
+            - epoch_us(min(replication_time)) // 1000000) / 60.0 AS elapsed_minutes
+  FROM copy_log
+), (SELECT cast(sum(size) AS BIGINT) AS total_bytes FROM inventory_src)
+"""
+
+
 def status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9: success/error row counters (AzureEtagCheck/etag_app.py:219-282)."""
     log = prepared(spark, sf_dir).table("copy_log")
@@ -173,6 +221,7 @@ QUERIES = {
     "size_histogram": size_histogram,
     "inventory_stats": inventory_stats,
     "progress_rollup": progress_rollup,
+    "sync_eta": sync_eta,
     "status_counters": status_counters,
     "large_object_outliers": large_object_outliers,
 }
@@ -181,6 +230,7 @@ ORACLES = {
     "size_histogram": _SIZE_HISTOGRAM_SQL,
     "inventory_stats": _INVENTORY_STATS_SQL,
     "progress_rollup": _PROGRESS_ROLLUP_SQL.replace("WITH_AGG: ", ""),
+    "sync_eta": _SYNC_ETA_SQL,
     "status_counters": _STATUS_COUNTERS_SQL,
     "large_object_outliers": _LARGE_OUTLIERS_SQL,
 }

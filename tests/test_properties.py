@@ -58,3 +58,11 @@ def test_fake_fetcher_deterministic(bucket, key):
     assert a == b
     assert 0 <= a["size"] < 10_000_000_000
     assert 1 <= a["parts_count"] <= 16
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL estimate stays within 5% of exact on every group (rsd=0.02)."""
+    from s3bigdatasync_spark.operators.analytics import approx_distinct_users
+
+    for r in approx_distinct_users(spark, sf_dir).collect():
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2), r
