@@ -21,12 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 Fetcher = Callable[[str, str], dict]
 """(bucket, key) -> {"mtime": int, "size": int, "etag": str, "parts_count": int}

@@ -13,10 +13,8 @@ restart" done with real streaming state instead of the HWM/clobber design.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType,
     LongType,
     StructField,
     StructType,
