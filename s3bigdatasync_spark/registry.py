@@ -17,6 +17,7 @@ from .operators import (
     joins,
     limits,
     multimodal,
+    relational,
     similarity,
     skew,
     stats,
@@ -39,6 +40,7 @@ _MODULES = [
     skew,
     cost,
     analytics,
+    relational,
 ]
 
 
