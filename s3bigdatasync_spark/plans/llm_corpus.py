@@ -1,0 +1,157 @@
+"""The north-star composition: a training-corpus build as ONE declarative
+plan — quality filter → language filter → exact dedup → near-dup cluster
+dedup → per-language corpus statistics.
+
+Each stage is an operator that is independently oracle-checked; this module
+chains them the way a real 100 TB data pipeline would (filters first so the
+expensive pair-generation stages see only surviving docs — predicate order IS
+the optimization at scale) and emits the corpus yield report. The whole
+composition is itself oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import prepared
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    _SHINGLES_SQL,
+    dedup_clusters,
+    exact_dedup,
+)
+from ..operators.text import _LANG_MARKERS, _lang_score_sql, lang_id, quality_score
+
+
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents with their audit trail (which gate each doc
+    passed). Gates: quality keep, identified language, exact-dup keeper,
+    near-dup cluster keeper."""
+    docs = prepared(spark, sf_dir).table("documents").select("doc_id", "lang")
+    q = quality_score(spark, sf_dir).select("doc_id", "keep", "n_tokens")
+    lid = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    ex = exact_dedup(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("exact_keeper")
+    )
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    return (
+        docs.join(q, "doc_id")
+        .join(lid, "doc_id")
+        .join(ex, "doc_id", "left")
+        .join(cl, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "n_tokens",
+            "keep",
+            F.coalesce("exact_keeper", F.lit(False)).alias("exact_keeper"),
+            F.col("is_keeper").alias("cluster_keeper"),
+            (
+                F.col("keep")
+                & (F.col("pred_lang") != "und")
+                & F.coalesce("exact_keeper", F.lit(False))
+                & F.col("is_keeper")
+            ).alias("in_corpus"),
+        )
+    )
+
+
+def corpus_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus yield: docs in/out and token counts — the number
+    a data team actually reports after a pipeline run."""
+    tc = training_corpus(spark, sf_dir)
+    return tc.groupBy("lang").agg(
+        F.count("*").alias("docs_total"),
+        F.sum(F.when(F.col("in_corpus"), 1).otherwise(0)).alias("docs_kept"),
+        F.sum(F.when(F.col("in_corpus"), F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("dropped_quality"),
+        F.sum(F.when(F.col("pred_lang") == "und", 1).otherwise(0)).alias("dropped_lang"),
+        F.sum(
+            F.when(~F.coalesce("exact_keeper", F.lit(False)) | ~F.col("cluster_keeper"), 1).otherwise(0)
+        ).alias("dropped_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end oracle: the same five-stage composition in DuckDB SQL, assembled
+# from the per-operator oracle building blocks (single source of truth for
+# the lang scores and shingle pipeline).
+
+_PRED_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(_lang_score_sql(lg) for lg in _LANG_MARKERS)
+    + ") = 0 THEN 'und'\n"
+    + "\n".join(
+        f" WHEN {_lang_score_sql(lg)} = greatest("
+        + ", ".join(_lang_score_sql(x) for x in _LANG_MARKERS)
+        + f") THEN '{lg}'"
+        for lg in _LANG_MARKERS
+    )
+    + " END"
+)
+
+_CORPUS_YIELD_SQL = rf"""
+WITH RECURSIVE
+quality AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         (len(toks) >= 10
+          AND round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 6) < 0.2
+          AND round(list_sum(list_transform(toks, t -> length(t))) / greatest(len(toks), 1), 6)
+              BETWEEN 2.0 AND 12.0) AS keep
+  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+),
+lang_pred AS (SELECT doc_id, {_PRED_LANG_CASE} AS pred_lang FROM documents),
+exact AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+         ) AS exact_keeper
+  FROM documents
+),
+sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+lp(n, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
+),
+clusters AS (SELECT n AS doc_id, n = min(lbl) AS cluster_keeper FROM lp GROUP BY n),
+tc AS (
+  SELECT d.doc_id, d.lang, q.n_tokens, q.keep, l.pred_lang,
+         e.exact_keeper, c.cluster_keeper,
+         (q.keep AND l.pred_lang <> 'und' AND e.exact_keeper AND c.cluster_keeper) AS in_corpus
+  FROM documents d
+  JOIN quality q USING (doc_id)
+  JOIN lang_pred l USING (doc_id)
+  JOIN exact e USING (doc_id)
+  JOIN clusters c USING (doc_id)
+)
+SELECT lang,
+       count(*) AS docs_total,
+       cast(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       cast(sum(CASE WHEN in_corpus THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       cast(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+       cast(sum(CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_lang,
+       cast(sum(CASE WHEN NOT exact_keeper OR NOT cluster_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_dup
+FROM tc GROUP BY lang
+"""
+
+
+QUERIES = {"corpus_yield_report": corpus_yield_report}
+ORACLES = {"corpus_yield_report": _CORPUS_YIELD_SQL}

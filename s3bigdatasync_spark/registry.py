@@ -9,6 +9,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .plans import llm_corpus
 from .operators import (
     analytics,
     cost,
@@ -41,6 +42,7 @@ _MODULES = [
     cost,
     analytics,
     relational,
+    llm_corpus,
 ]
 
 
