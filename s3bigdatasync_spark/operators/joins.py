@@ -32,17 +32,31 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: group the dispatch worklist into ≤100-object messages.
 
     Reference buffers 100 rows then sends one SQS message
-    (ListProducer.py:111-118). Spark shape: a global row_number here for the
-    oracle-checkable test; the scale path is per-partition batching at the
-    sink (foreachPartition), which needs no global ordering/shuffle.
-    msg_id = md5 over batch content (inventory_lib.py:74 analogue, hardened
-    with etag per SURVEY §7.4 risk 4).
+    (ListProducer.py:111-118). msg_id = md5 over batch content
+    (inventory_lib.py:74 analogue, hardened with etag per SURVEY §7.4
+    risk 4).
     """
-    inv = prepared(spark, sf_dir).table("inventory_src")
-    w = Window.orderBy("key")
+    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "etag")
+    # Global row numbers WITHOUT a single-partition window: range-partition by
+    # key, number locally, add per-partition row-count offsets (distributed
+    # prefix-count — same two-phase pattern as cost.compaction_plan, same
+    # cache-pinning requirement for repartitionByRange's sampled boundaries).
+    parted = (
+        inv.repartitionByRange(32, "key").withColumn("pid", F.spark_partition_id()).cache()
+    )
+    w_local = Window.partitionBy("pid").orderBy("key")
+    counts = {
+        r["pid"]: r["c"] for r in parted.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = parted.sparkSession.createDataFrame(offsets, "pid int, offset long")
     batches = (
-        inv.withColumn("rn", F.row_number().over(w) - 1)
-        .withColumn("batch_id", (F.col("rn") / BATCH_SIZE).cast("long"))
+        parted.withColumn("local_rn", F.row_number().over(w_local) - 1)
+        .join(F.broadcast(off_df), "pid")
+        .withColumn("batch_id", F.expr(f"(offset + local_rn) div {BATCH_SIZE}"))
         .groupBy("batch_id")
         .agg(
             F.count("*").alias("n_objects"),
