@@ -109,6 +109,8 @@ def throughput_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("minute")
         .agg(F.sum("size").alias("bytes"), F.count("*").alias("n"))
     )
+    # global window is safe HERE: input is already aggregated per minute, so
+    # its cardinality is time-bounded (a year ≈ 525k rows), not data-bounded
     w = Window.orderBy("minute").rowsBetween(-4, 0)
     return per_min.select(
         "minute",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from . import prepared
 from .joins import _diff_base
+from .prefix import with_global_order
 from ..views import oracle_cte
 
 # Simple public-rate-shaped constants (illustrative, not a price sheet).
@@ -150,43 +151,11 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative), which the unsorted-GROUP-BY-free oracle pins; wall-clock
     stays flat as data grows instead of serializing on one task.
     """
-    from pyspark.sql import Window
-
     inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
-    # cache() pins the sampled range boundaries: repartitionByRange re-samples
-    # per action, so without it the offsets (action 1) and the binning
-    # (action 2) would see DIFFERENT partitionings and the prefix sums break.
-    parted = (
-        inv.repartitionByRange(32, "key")
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
-    )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy("key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = parted.withColumn("local_cum", F.sum("size").over(w_local))
-    # per-partition totals → exclusive offsets (range partitions are ordered
-    # by pid, so offset(p) = Σ totals(pid < p))
-    totals = {
-        r["pid"]: r["t"]
-        for r in parted.groupBy("pid").agg(F.sum("size").alias("t")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    # explicit schema: `offsets` is empty when the input table is empty, and
-    # schema inference on [] throws
-    off_df = parted.sparkSession.createDataFrame(offsets, "pid int, offset long")
-    binned = (
-        local.join(F.broadcast(off_df), "pid")
-        .withColumn("cum0", F.col("offset") + F.col("local_cum") - F.col("size"))
-        # integer `div`, not double `/`+cast: a double quotient 1 ulp above an
-        # exact multiple would truncate to a different bin than the oracle's //
-        .withColumn("bin", F.expr(f"cum0 div {TARGET_FILE_BYTES}"))
-    )
+    ranked = with_global_order(inv, ["key"], sum_col="size")
+    # integer `div`, not double `/`+cast: a double quotient 1 ulp above an
+    # exact multiple would truncate to a different bin than the oracle's //
+    binned = ranked.withColumn("bin", F.expr(f"global_cumsum_ex div {TARGET_FILE_BYTES}"))
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_files"),
         F.sum("size").alias("bin_bytes"),

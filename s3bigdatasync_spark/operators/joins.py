@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
+from .prefix import with_global_order
 from ..views import oracle_cte
 
 # --- B1 + J1: task batching and idempotent dispatch -------------------------
@@ -37,26 +38,11 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk 4).
     """
     inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "etag")
-    # Global row numbers WITHOUT a single-partition window: range-partition by
-    # key, number locally, add per-partition row-count offsets (distributed
-    # prefix-count — same two-phase pattern as cost.compaction_plan, same
-    # cache-pinning requirement for repartitionByRange's sampled boundaries).
-    parted = (
-        inv.repartitionByRange(32, "key").withColumn("pid", F.spark_partition_id()).cache()
-    )
-    w_local = Window.partitionBy("pid").orderBy("key")
-    counts = {
-        r["pid"]: r["c"] for r in parted.groupBy("pid").agg(F.count("*").alias("c")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = parted.sparkSession.createDataFrame(offsets, "pid int, offset long")
+    # Distributed global row numbers (operators.prefix — no single-partition
+    # window anywhere in this engine).
+    ranked = with_global_order(inv, ["key"])
     batches = (
-        parted.withColumn("local_rn", F.row_number().over(w_local) - 1)
-        .join(F.broadcast(off_df), "pid")
-        .withColumn("batch_id", F.expr(f"(offset + local_rn) div {BATCH_SIZE}"))
+        ranked.withColumn("batch_id", F.expr(f"global_rn div {BATCH_SIZE}"))
         .groupBy("batch_id")
         .agg(
             F.count("*").alias("n_objects"),

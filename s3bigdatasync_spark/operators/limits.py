@@ -7,10 +7,11 @@ SURVEY §7.3 — no custom rule needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import prepared
+from .prefix import with_global_order
 from ..views import oracle_cte
 
 
@@ -33,19 +34,18 @@ def size_capped_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: early-exit caps on rows *and* cumulative bytes
     (diff_azure_inventory_sqs.py:86-87,102-103; largeInventoryDiffToSQS.py:129-140).
 
-    Running sum over a window ordered by key, then filter. The global window
-    is single-partition; at 100 TB you'd cap per-partition with a two-phase
-    (per-partition prefix sums + driver-side offset) plan — for the dry-run
-    semantics the reference wants (a deterministic bounded sample), the
-    one-pass window is correct and the input to it is already filtered/pruned.
+    Distributed running sum (operators.prefix two-phase) ordered by key,
+    then filter — the deterministic bounded take without a single-partition
+    window.
     """
-    inv = prepared(spark, sf_dir).table("inventory_src")
-    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
+    ranked = with_global_order(inv, ["key"], sum_col="size")
     return (
-        inv.select("key", "size")
-        .withColumn("cum_bytes", F.sum("size").over(w))
-        .withColumn("rn", F.row_number().over(Window.orderBy("key")))
-        .filter((F.col("cum_bytes") <= MAX_TOTAL_BYTES) & (F.col("rn") <= MAX_TOTAL_NUM))
+        ranked.withColumn("cum_bytes", F.col("global_cumsum_ex") + F.col("size"))
+        .filter(
+            (F.col("cum_bytes") <= MAX_TOTAL_BYTES)
+            & (F.col("global_rn") + 1 <= MAX_TOTAL_NUM)
+        )
         .select("key", "size", "cum_bytes")
         .orderBy("key")
     )

@@ -10,10 +10,11 @@ predicate — no RNG, repartition-stable, pushable into the scan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import prepared
+from .prefix import with_global_ntile
 from ..views import oracle_cte
 
 
@@ -118,13 +119,13 @@ WHERE (instr('0123456789abcdef', substr(md5(key), 1, 1)) - 1) * 4096
 
 
 def size_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram via ntile(10) over (size, key) — unique composite
-    order so tile assignment is engine-deterministic."""
-    inv = prepared(spark, sf_dir).table("inventory_src")
-    w = Window.orderBy("size", "key")
+    """Equi-depth histogram: ntile(10) over (size, key) — unique composite
+    order so tile assignment is engine-deterministic; distributed ntile via
+    operators.prefix (no single-partition window)."""
+    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
+    tiled = with_global_ntile(inv, ["size", "key"], 10)
     return (
-        inv.select("key", "size")
-        .withColumn("decile", F.ntile(10).over(w))
+        tiled.withColumnRenamed("tile", "decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_objects"),
