@@ -21,6 +21,7 @@ from .operators import (
     relational,
     similarity,
     skew,
+    star,
     stats,
     text,
     verify_ops,
@@ -43,6 +44,7 @@ _MODULES = [
     analytics,
     relational,
     llm_corpus,
+    star,
 ]
 
 
