@@ -44,7 +44,9 @@ HEADLINE = [
     "tfidf_top_terms",       # tf-idf + per-doc top-k window
     "salted_hot_key_agg",    # two-phase skew-safe aggregation
     "transfer_cost_estimate",# diff + multipart-aware cost rollup
-    "compaction_plan",       # prefix-sum binning window
+    "compaction_plan",       # distributed prefix-sum binning
+    "revenue_by_nation",     # multi-way broadcast-dim star join
+    "corpus_yield_report",   # five-stage LLM corpus composition
 ]
 
 
