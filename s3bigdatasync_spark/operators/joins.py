@@ -314,8 +314,69 @@ FROM etag_check_input
 """
 
 
+
+
+# --- As-of join (brief's example of an operator Spark lacks natively) -------
+
+
+def asof_last_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join as a composition of existing DataFrame ops: for every
+    FAILED copy, the timestamp of the most recent PRIOR success for the same
+    object_key (the retry-diagnosis query: "when did this object last work?").
+
+    Spark has no asof-join operator; the composition is the standard one —
+    union both sides ordered by time, carry `last(success_ts, ignorenulls)`
+    over a per-key window, keep the failure rows. One shuffle on object_key;
+    no range explosion, no per-row lookups.
+    """
+    log = prepared(spark, sf_dir).table("copy_log")
+    ts = F.col("replication_time").cast("long")
+    tagged = log.select(
+        "object_key",
+        "etag",
+        ts.alias("ts"),
+        "replication_status",
+        F.when(F.col("replication_status") == 1, ts).alias("success_ts"),
+    )
+    w = (
+        Window.partitionBy("object_key")
+        .orderBy("ts", "etag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.withColumn("last_success_ts", F.last("success_ts", ignorenulls=True).over(w))
+        .filter(F.col("replication_status") == 0)
+        .select(
+            "object_key",
+            "etag",
+            F.col("ts").alias("failed_ts"),
+            "last_success_ts",
+            (F.col("ts") - F.col("last_success_ts")).alias("staleness_s"),
+        )
+    )
+
+
+_ASOF_SQL = oracle_cte("copy_log") + """
+SELECT object_key, etag, failed_ts, last_success_ts,
+       failed_ts - last_success_ts AS staleness_s
+FROM (
+  SELECT object_key, etag,
+         epoch_us(replication_time) // 1000000 AS failed_ts,
+         replication_status,
+         last_value(CASE WHEN replication_status = 1
+                         THEN epoch_us(replication_time) // 1000000 END IGNORE NULLS)
+           OVER (PARTITION BY object_key
+                 ORDER BY epoch_us(replication_time) // 1000000, etag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_success_ts
+  FROM copy_log
+)
+WHERE replication_status = 0
+"""
+
+
 QUERIES = {
     "task_batches": task_batches,
+    "asof_last_success": asof_last_success,
     "dedup_anti_join": dedup_anti_join,
     "time_spine_zero_fill": time_spine_zero_fill,
     "inventory_diff": inventory_diff,
@@ -325,6 +386,7 @@ QUERIES = {
 
 ORACLES = {
     "task_batches": _TASK_BATCHES_SQL,
+    "asof_last_success": _ASOF_SQL,
     "dedup_anti_join": _DEDUP_ANTI_SQL,
     "time_spine_zero_fill": _TIME_SPINE_SQL,
     "inventory_diff": _INVENTORY_DIFF_SQL,
