@@ -374,9 +374,78 @@ WHERE replication_status = 0
 """
 
 
+
+
+# --- Range / interval join (bucket-and-refine) ------------------------------
+
+N_MAINT_WINDOWS = 20
+MAINT_BASE_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+MAINT_SPACING_S = 130000       # ~36h apart across the events month
+MAINT_DURATION_S = 7200        # 2h windows
+_BUCKET_S = 3600
+
+
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join done scalably: events falling inside maintenance windows.
+
+    A naive theta join (ts BETWEEN start AND end) is a cartesian product at
+    scale. The distributed pattern: explode each interval into the hour
+    buckets it covers, equi-join events on their bucket (hash join — no
+    cartesian), then refine with the exact range predicate. Windows are
+    deterministic integer arithmetic so the oracle replays them.
+    """
+    ev = prepared(spark, sf_dir).table("events")
+    win = spark.range(N_MAINT_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        (F.lit(MAINT_BASE_EPOCH) + F.col("id") * MAINT_SPACING_S).alias("w_start"),
+        (F.lit(MAINT_BASE_EPOCH) + F.col("id") * MAINT_SPACING_S + MAINT_DURATION_S).alias(
+            "w_end"
+        ),
+    )
+    win_buckets = win.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {_BUCKET_S}"), F.expr(f"w_end div {_BUCKET_S}")
+            )
+        ).alias("bucket"),
+    )
+    ev_b = ev.select(
+        F.col("event_id"),
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("value"),
+    ).withColumn("bucket", F.expr(f"ts_s div {_BUCKET_S}"))
+    joined = ev_b.join(F.broadcast(win_buckets), "bucket").filter(
+        (F.col("ts_s") >= F.col("w_start")) & (F.col("ts_s") < F.col("w_end"))
+    )
+    return joined.groupBy("window_id", "w_start").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cast(floor(value * 100) AS BIGINT)")).alias("value_cents"),
+    )
+
+
+_INTERVAL_JOIN_SQL = f"""
+WITH win AS (
+  SELECT w_id AS window_id,
+         {MAINT_BASE_EPOCH} + w_id * {MAINT_SPACING_S} AS w_start,
+         {MAINT_BASE_EPOCH} + w_id * {MAINT_SPACING_S} + {MAINT_DURATION_S} AS w_end
+  FROM (SELECT unnest(generate_series(0, {N_MAINT_WINDOWS - 1})) AS w_id)
+)
+SELECT window_id, w_start,
+       count(*) AS n_events,
+       cast(sum(cast(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN win
+  ON epoch_us(ts) // 1000000 >= w_start AND epoch_us(ts) // 1000000 < w_end
+GROUP BY window_id, w_start
+"""
+
+
 QUERIES = {
     "task_batches": task_batches,
     "asof_last_success": asof_last_success,
+    "interval_bucket_join": interval_bucket_join,
     "dedup_anti_join": dedup_anti_join,
     "time_spine_zero_fill": time_spine_zero_fill,
     "inventory_diff": inventory_diff,
@@ -387,6 +456,7 @@ QUERIES = {
 ORACLES = {
     "task_batches": _TASK_BATCHES_SQL,
     "asof_last_success": _ASOF_SQL,
+    "interval_bucket_join": _INTERVAL_JOIN_SQL,
     "dedup_anti_join": _DEDUP_ANTI_SQL,
     "time_spine_zero_fill": _TIME_SPINE_SQL,
     "inventory_diff": _INVENTORY_DIFF_SQL,
