@@ -479,8 +479,76 @@ FROM lp GROUP BY n
 """
 
 
+
+
+HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 4 bytes of the 32-bit hash; d<=3 pairs share >=1 byte
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-match pairs (hamming distance <= HAMMING_MAX) via the
+    byte-band pigeonhole: a pair differing in <=3 bits must agree on at
+    least one of the 4 hash bytes, so candidates come from 4 equi-joins on
+    (band, byte) — never O(n^2) — and the exact popcount(xor) refines.
+    """
+    hashes = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash")
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash div {256 ** b}) % 256").alias("byte"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+_SIMHASH_HASHES_CTE = _SIMHASH_ORACLE_SQL[: _SIMHASH_ORACLE_SQL.index(")\nSELECT h.doc_id")] + ")"
+
+_SIMHASH_NEAR_SQL = (
+    _SIMHASH_HASHES_CTE
+    + f"""
+, bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash // power(256, b)::BIGINT) % 256 AS byte
+  FROM hashes, unnest(generate_series(0, {_SIMHASH_BANDS - 1})) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+)
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "simhash_near_pairs": simhash_near_pairs,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
@@ -491,6 +559,7 @@ QUERIES = {
 
 ORACLES = {
     "exact_dedup": _EXACT_SQL,
+    "simhash_near_pairs": _SIMHASH_NEAR_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
