@@ -153,14 +153,93 @@ LIMIT {TOP_K}
 """
 
 
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training data: per-label centroids in LONG form
+    (label, dim, value) — posexplode + groupBy avg, one shuffle keyed by
+    (label, dim). Long form keeps the oracle trivial and is also the shape a
+    k-means iteration consumes."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+    )
+
+
+_CENTROIDS_SQL = """
+SELECT label, dim, round(avg(v), 6) AS centroid_v
+FROM (
+  SELECT label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+)
+GROUP BY label, dim
+"""
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment: each vector routed to its nearest label-centroid
+    (euclidean), the coarse-quantization step of an IVF index. Centroids are
+    tiny → broadcast; distances via numpy in mapInPandas (the vector-math
+    path). Rows-only driver check; tests assert assignment quality (most
+    vectors route to their own label's centroid)."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    cents = label_centroids(spark, sf_dir).toPandas()
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    C = np.zeros((len(labels), dim))
+    for li, lab in enumerate(labels):
+        sub = cents[cents["label"] == lab].sort_values("dim")
+        C[li] = sub["centroid_v"].to_numpy()
+    bc = spark.sparkContext.broadcast((np.array(labels), C))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        labs, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+            d2 = ((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            nearest = labs[d2.argmin(axis=1)]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "assigned": nearest,
+                }
+            )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("assigned", IntegerType()),
+        ]
+    )
+    return emb.select("vec_id", "label", "embedding").mapInPandas(kernel, schema)
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "label_centroids": label_centroids,
+    "ivf_assign": ivf_assign,
     "lsh_buckets": lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
+    "label_centroids": _CENTROIDS_SQL,
+    # ivf_assign: rows-only (numpy argmin over float distances — engine-
+    # specific float reductions; quality pinned in tests/test_ivf.py)
     "lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
 }
