@@ -38,6 +38,7 @@ HEADLINE = [
     "embedding_neardup",     # O(n^2) vector pairs w/ precomputed norms
     "ann_topk_bruteforce",   # vector top-k
     "token_stats",           # regex-heavy text scan
+    "doc_chunks",            # lateral explode(sequence) chunker
     "media_features",        # mapInPandas (Arrow) path
     "dedup_clusters",        # iterative connected components
     "sessionize",            # gap-based session windows

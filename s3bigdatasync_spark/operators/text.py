@@ -214,15 +214,105 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 50
 """
 
 
+CHUNK_SIZE = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # => 8-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking — the fixed-size context-window splitter
+    every training/RAG ingestion pipeline needs. Chunk c of a document covers
+    tokens [c*stride, c*stride + size); the last chunk may be short; a
+    document shorter than one stride still yields exactly one chunk.
+
+    Pure Catalyst: tokens via regexp_extract_all, chunk starts via
+    explode(sequence(...)), chunk text via slice + array_join. No shuffle at
+    all — at 100 TB this is a scan+flatMap whose output partitioning simply
+    inherits the input's, which is exactly what a downstream pack/tokenize
+    stage wants.
+    """
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_WS_TOKEN), F.lit(0))
+    n_tok = F.size(F.col("toks"))
+    starts = F.when(
+        n_tok > 0, F.sequence(F.lit(0), n_tok - 1, F.lit(CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start_tok"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(start_tok div {CHUNK_STRIDE} AS INT)").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+        )
+    )
+
+
+_DOC_CHUNKS_SQL = rf"""
+SELECT doc_id,
+       cast(s // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       cast(s AS BIGINT) AS start_tok,
+       len(toks[s + 1 : s + {CHUNK_SIZE}]) AS n_chunk_tokens,
+       array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS s
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_WS_TOKEN}') AS toks FROM documents)
+)
+"""
+
+# Per-language keep rates (percent): downsample the dominant language,
+# keep the tail — the standard corpus language-rebalancing curation step.
+_STRATA_RATES: dict[str, int] = {"en": 10, "fr": 40, "es": 40, "de": 40, "zh": 40}
+
+
+def _hex4_bucket_sql(expr: str) -> str:
+    """DuckDB-side: first 4 md5 hex chars of expr → 16-bit int (no conv())."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates applied via
+    the md5-bucket predicate (stable across runs, partitionings, and engines —
+    unlike TABLESAMPLE). The predicate is a pure scan-level filter: no
+    shuffle, composable with any downstream op, and the same doc_id always
+    makes the same keep/drop decision, so incremental re-runs are idempotent."""
+    docs = prepared(spark, sf_dir).table("documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    rate = F.lit(0)
+    for lg, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lg, int(65536 * pct / 100)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+_STRATIFIED_SQL = (
+    "SELECT doc_id, lang, source, n_chars FROM documents\nWHERE "
+    + _hex4_bucket_sql("cast(doc_id AS VARCHAR)")
+    + " < CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {int(65536 * pct / 100)}" for lg, pct in _STRATA_RATES.items())
+    + " ELSE 0 END"
+)
+
+
 QUERIES = {
     "token_stats": token_stats,
     "top_tokens": top_tokens,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
+    "doc_chunks": doc_chunks,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
+    "doc_chunks": _DOC_CHUNKS_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "token_stats": _TOKEN_STATS_SQL,
     "top_tokens": _TOP_TOKENS_SQL,
     "lang_id": _LANG_ID_SQL,
