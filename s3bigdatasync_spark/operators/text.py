@@ -300,6 +300,58 @@ _STRATIFIED_SQL = (
 )
 
 
+TOKENS_PER_SHARD = 2048  # shard token budget (concat-then-split packing)
+
+
+def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign doc_chunks to fixed-token-budget training
+    shards. Concat-then-split semantics — chunks are laid out in global
+    (doc_id, chunk_id) order and a chunk belongs to the shard where its
+    token-stream offset starts, so a shard may overrun the budget by at most
+    one chunk (no chunk is ever split).
+
+    Composition proof-point: doc_chunks (shuffle-free flatMap) feeds
+    operators.prefix.with_global_order (distributed exclusive prefix sum over
+    the chunk token counts — no single-partition window), then a plain
+    groupBy. At 100 TB the only shuffles are the range partition and the
+    final per-shard agg, both on bounded keys.
+    """
+    from .prefix import with_global_order
+
+    chunks = doc_chunks(spark, sf_dir).select("doc_id", "chunk_id", "n_chunk_tokens")
+    ordered = with_global_order(chunks, ["doc_id", "chunk_id"], sum_col="n_chunk_tokens")
+    return (
+        ordered.withColumn(
+            "shard_id", F.expr(f"global_cumsum_ex div {TOKENS_PER_SHARD}")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+_TOKEN_SHARDS_SQL = (
+    "WITH chunks AS (" + _DOC_CHUNKS_SQL + f""")
+SELECT cast(cum_ex // {TOKENS_PER_SHARD} AS BIGINT) AS shard_id,
+       count(*) AS n_chunks,
+       cast(sum(n_chunk_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM (
+  SELECT doc_id, n_chunk_tokens,
+         sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS cum_ex
+  FROM chunks
+)
+GROUP BY shard_id
+"""
+)
+
+
 QUERIES = {
     "token_stats": token_stats,
     "top_tokens": top_tokens,
@@ -308,11 +360,13 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_chunks": doc_chunks,
     "stratified_sample": stratified_sample,
+    "token_shards": token_shards,
 }
 
 ORACLES = {
     "doc_chunks": _DOC_CHUNKS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
+    "token_shards": _TOKEN_SHARDS_SQL,
     "token_stats": _TOKEN_STATS_SQL,
     "top_tokens": _TOP_TOKENS_SQL,
     "lang_id": _LANG_ID_SQL,
