@@ -60,6 +60,9 @@ EMPTY_SAFE = [
     "compaction_plan",
     "sync_eta",
     "transfer_cost_estimate",
+    "doc_chunks",
+    "stratified_sample",
+    "token_shards",
 ]
 
 

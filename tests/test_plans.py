@@ -79,3 +79,22 @@ def test_histogram_is_two_phase_agg(spark, sf_dir):
     lines = plan.splitlines()
     assert sum("HashAggregate" in l for l in lines) == 2
     assert sum("Exchange" in l for l in lines) == 1
+
+def test_doc_chunks_shuffle_free(spark, sf_dir):
+    """The chunker must be a pure scan+flatMap: zero exchanges, and the
+    parquet scan pruned to (doc_id, text) — no lang/source/n_chars read."""
+    plan = plan_of(_Q["doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "doc_id" in scan and "text" in scan
+    for unneeded in ("lang", "source", "n_chars"):
+        assert unneeded not in scan, f"scan reads unneeded column {unneeded}"
+
+
+def test_stratified_sample_is_scan_filter(spark, sf_dir):
+    """The per-language hash-sample predicate must stay a scan-level filter:
+    no exchange, no join, and the text column never read."""
+    plan = plan_of(_Q["stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan and "Join" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan
