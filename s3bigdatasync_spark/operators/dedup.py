@@ -422,6 +422,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).cache()
+    converged = False
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -445,8 +446,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a silent fall-through here would return wrong cluster labels with no
+        # signal at production scale where no oracle runs
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge in 20 rounds "
+            "(component diameter > 20 — raise the round cap for this graph)"
+        )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

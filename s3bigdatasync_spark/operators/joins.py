@@ -291,10 +291,15 @@ def verification_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("blob_mtime") > F.col("s3_mtime"), "SRC_NEWER")
             .otherwise("OK")
             .alias("check_result"),
-            F.ceil(F.col("s3_size") / F.col("part_size")).cast("long").alias("parts_count"),
-            F.when(
-                F.col("s3_size") % F.col("part_size") == 0, F.col("part_size")
-            )
+            # zero-byte guard: ceil(0/ps)=0 with 0%ps==0 would report the
+            # inconsistent geometry (parts_count=0, last_part_size=part_size),
+            # corrupting an ETag recompute. An empty object is ONE empty part
+            # — matches functions/etag.parts_props: (1, 0).
+            F.when(F.col("s3_size") == 0, F.lit(1).cast("long"))
+            .otherwise(F.ceil(F.col("s3_size") / F.col("part_size")).cast("long"))
+            .alias("parts_count"),
+            F.when(F.col("s3_size") == 0, F.lit(0).cast("long"))
+            .when(F.col("s3_size") % F.col("part_size") == 0, F.col("part_size"))
             .otherwise(F.col("s3_size") % F.col("part_size"))
             .alias("last_part_size"),
         )
@@ -307,8 +312,10 @@ SELECT coalesce(s3_key, blob_name) AS object_key,
        CASE WHEN blob_size <> s3_size THEN 'SIZE_MISMATCH'
             WHEN blob_mtime > s3_mtime THEN 'SRC_NEWER'
             ELSE 'OK' END AS check_result,
-       cast(ceil(s3_size / part_size) AS BIGINT) AS parts_count,
-       CASE WHEN s3_size % part_size = 0 THEN part_size
+       CASE WHEN s3_size = 0 THEN 1
+            ELSE cast(ceil(s3_size / part_size) AS BIGINT) END AS parts_count,
+       CASE WHEN s3_size = 0 THEN 0
+            WHEN s3_size % part_size = 0 THEN part_size
             ELSE s3_size % part_size END AS last_part_size
 FROM etag_check_input
 """

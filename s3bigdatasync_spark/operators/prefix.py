@@ -23,14 +23,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_PARTITIONS = 32
+def _scaled_partitions(df: DataFrame) -> int:
+    """Range-partition count that tracks input scale: the max of the input's
+    current partition count and spark.sql.shuffle.partitions. At 100× data the
+    scan partition count grows with file splits, so the per-partition sort
+    window stays bounded instead of each of a fixed 32 ranges holding GBs."""
+    shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(df.rdd.getNumPartitions(), shuffle)
 
 
 def with_global_order(
     df: DataFrame,
     order_cols: list[str],
     sum_col: str | None = None,
-    num_partitions: int = DEFAULT_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Return df plus `global_rn` (0-based dense global row number over
     order_cols, which must form a unique order) and, if sum_col is given,
@@ -40,13 +46,15 @@ def with_global_order(
     materialize it twice reuse the cache rather than re-sampling ranges.
     """
     parted = (
-        df.repartitionByRange(num_partitions, *order_cols)
+        df.repartitionByRange(num_partitions or _scaled_partitions(df), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
     aggs = [F.count("*").alias("_c")]
     if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("_t"))
+        # coalesce: a partition whose sum_col values are all NULL must
+        # contribute 0 to the running offset, not poison the driver-side sum
+        aggs.append(F.coalesce(F.sum(sum_col), F.lit(0)).alias("_t"))
     stats = {r["_pid"]: r for r in parted.groupBy("_pid").agg(*aggs).collect()}
     rows, rn_acc, sum_acc = [], 0, 0
     for pid in sorted(stats):
@@ -72,7 +80,7 @@ def with_global_order(
 
 
 def with_global_ntile(
-    df: DataFrame, order_cols: list[str], n_tiles: int, num_partitions: int = DEFAULT_PARTITIONS
+    df: DataFrame, order_cols: list[str], n_tiles: int, num_partitions: int | None = None
 ) -> DataFrame:
     """`ntile(n)` over a global unique order without a single-partition
     window. SQL ntile semantics: the first (count % n) tiles get one extra

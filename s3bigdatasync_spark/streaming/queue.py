@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -85,8 +86,13 @@ def consume_task_queue(
         try:
             sent = spark_l.read.parquet(sent_log_dir).select("msg_id")
             batch = batch.join(F.broadcast(sent), "msg_id", "left_anti")
-        except Exception:
-            pass  # first batch: no sent log yet
+        except AnalysisException as e:
+            # Only a missing sent-log (first batch ever) may skip the dedup
+            # anti-join. Any other read error must fail the batch so the
+            # checkpoint retries it — swallowing it would silently disable
+            # idempotence and re-execute delivered copies.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
 
         def run_partition(rows):
             import time as _t

@@ -97,8 +97,19 @@ def stream_sessionize(
                 start, n = t, 0
             last = max(last, t)
             n += 1
-        state.update((start, last, n))
-        state.setTimeoutTimestamp(last * 1000 + gap * 1000)
+        # A drained backlog can deliver only old events for a key after the
+        # watermark already advanced past last+gap; arming a timeout at or
+        # before the current watermark makes Spark throw and kill the query.
+        # In that case the session is already stale — close it immediately.
+        timeout_ms = last * 1000 + gap * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if timeout_ms <= wm_ms:
+            closed.append((start, last, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 {
