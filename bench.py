@@ -35,7 +35,7 @@ HEADLINE = [
     "exact_dedup",           # content-hash groupBy
     "minhash_lsh_pairs",     # explode + 12-way agg + band self-join
     "ngram_jaccard_pairs",   # shingle self-join + verify
-    "embedding_neardup",     # O(n^2) vector pairs w/ precomputed norms
+    "embedding_neardup",     # banded sign-LSH candidates + exact cosine verify
     "ann_topk_bruteforce",   # vector top-k
     "token_stats",           # regex-heavy text scan
     "doc_chunks",            # lateral explode(sequence) chunker

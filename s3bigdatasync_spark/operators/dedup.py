@@ -315,56 +315,95 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ COSINE_THRESHOLD.
+# Banded sign-LSH parameters for embedding near-dup candidate generation.
+# 8 bands × 3 bits = 24 independent hyperplanes; a pair is a candidate when
+# any band's 3 sign bits all agree. Collision probability for a pair at angle
+# θ: 1 - (1 - (1-θ/π)^3)^8 — ≈0.92 at cos 0.45 (the threshold boundary),
+# ≈0.99 at cos 0.7, →1 for true near-dups. Precision tuning at scale: raise
+# BAND_BITS so 2^bits tracks n/target_bucket_size; raise N_BANDS to recover
+# recall (same OR-construction as minhash_lsh_pairs' 4×3 banding above).
+N_EMB_BANDS = 8
+EMB_BAND_BITS = 3
 
-    Test-scale plan: block by label (the natural coarse bucket) to avoid the
-    full cross join, then exact cosine inside blocks? No — labels are just
-    classes; correctness wants all pairs, so this query does the exact
-    all-pairs join at sf scale. The 100 TB path is similarity.ann_lsh_topk's
-    hyperplane bucketing; this operator is the verify stage.
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ COSINE_THRESHOLD, restricted to
+    banded-LSH candidates (the operator's contract: candidate generation is
+    sign-LSH banding, verification is exact cosine — both engines compute the
+    identical restricted pair set, so the oracle pins the full pipeline).
+
+    Fully distributed — candidates come from a (band, key) self-equi-join on
+    8 tiny key rows per vector (never O(n²), never a driver-side collect);
+    embeddings rejoin by vec_id only for surviving candidates; exact cosine
+    runs as Arrow-batched rowwise numpy in mapInPandas (vector math stays out
+    of Catalyst expression chains — the 64-term codegen trap). At 100 TB
+    every stage is a keyed shuffle: keys (24 bytes/row × 8), candidate
+    distinct, two vec_id joins, then a threshold filter.
     """
     emb = prepared(spark, sf_dir).table("embeddings")
-    # Vector pairwise math is the one place the JVM expression engine is the
-    # wrong tool (a 64-term codegen chain OOMs Catalyst canonicalization, and
-    # higher-order zip_with/aggregate is ~30x slower uncodegen'd). The Spark
-    # shape that works: broadcast the (id, matrix, norm) triple — 64 floats a
-    # vector, so even 10M vectors is a sub-3GB broadcast — and let every
-    # partition GEMM its slice against it via Arrow-batched mapInPandas.
-    # At larger n, similarity.ann_lsh bucketing bounds the candidate set
-    # instead of the full matrix.
-    import numpy as np
+    from .vector_lsh import planes_matrix
 
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    order = pdf["vec_id"].to_numpy()
-    if len(pdf):
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-    else:  # zero vectors: keep the (0, dim) shape so norms/GEMM don't crash
-        mat = np.zeros((0, EMBEDDING_DIM))
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((order, mat, norms))
+    P = planes_matrix(N_EMB_BANDS * EMB_BAND_BITS)
+    n_bands, band_bits = N_EMB_BANDS, EMB_BAND_BITS
     threshold = COSINE_THRESHOLD
 
-    def kernel(batches):
+    def key_kernel(batches):
         import numpy as _np
         import pandas as _pd
 
-        ids_all, m_all, n_all = bc.value
-        for b in batches:
-            if len(b) == 0:
+        weights = 2 ** _np.arange(band_bits)
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            q_ids = b["vec_id"].to_numpy()
-            qm = _np.array([_np.asarray(v, dtype=_np.float64) for v in b["embedding"]])
-            qn = _np.sqrt((qm * qm).sum(axis=1))
-            cos = _np.round((qm @ m_all.T) / _np.outer(qn, n_all), 6)
-            ia, ib = _np.nonzero(
-                (cos >= threshold) & (q_ids[:, None] < ids_all[None, :])
+            M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+            bits = (M @ P.T) > 0  # one GEMM per Arrow batch, all planes at once
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for b in range(n_bands):
+                keys = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
+                frames.append(
+                    _pd.DataFrame(
+                        {"vec_id": ids, "band": _np.full(len(ids), b, dtype="int32"), "key": keys.astype("int32")}
+                    )
+                )
+            yield _pd.concat(frames, ignore_index=True)
+
+    keys = emb.select("vec_id", "embedding").mapInPandas(
+        key_kernel, "vec_id long, band int, key int"
+    )
+    cand = (
+        keys.select(F.col("vec_id").alias("id_a"), "band", "key")
+        .join(keys.select(F.col("vec_id").alias("id_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")), "id_a"
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")), "id_b"
+    )
+
+    def cos_kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["emb_a"]])
+            B = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["emb_b"]])
+            cos = _np.round(
+                (A * B).sum(axis=1)
+                / (_np.sqrt((A * A).sum(axis=1)) * _np.sqrt((B * B).sum(axis=1))),
+                6,
             )
+            m = cos >= threshold
             yield _pd.DataFrame(
                 {
-                    "id_a": q_ids[ia],
-                    "id_b": ids_all[ib],
-                    "cosine": cos[ia, ib],
+                    "id_a": pdf["id_a"].to_numpy()[m],
+                    "id_b": pdf["id_b"].to_numpy()[m],
+                    "cosine": cos[m],
                 }
             )
 
@@ -377,7 +416,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cosine", DoubleType()),
         ]
     )
-    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
+    return pairs.mapInPandas(cos_kernel, schema)
 
 
 _DOT_SQL = (
@@ -393,11 +432,29 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
 
 
+def _emb_keys_sql() -> str:
+    from .vector_lsh import band_key_sql
+
+    selects = [
+        f"SELECT vec_id, {b} AS band, {band_key_sql('embedding', b, EMB_BAND_BITS)} AS key"
+        " FROM embeddings"
+        for b in range(N_EMB_BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
 _EMB_NEARDUP_SQL = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cos_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+WITH keys AS ({_emb_keys_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {COSINE_THRESHOLD}
 """
 
 

@@ -7,12 +7,14 @@ Two paths, mirroring what a 100 TB vector pipeline needs:
       plans TakeOrderedAndProject, so only k rows per partition reach the
       driver-side merge).
   ann_lsh_topk        — sign-random-projection LSH: 8 deterministic ±1
-      hyperplanes → 8-bit bucket; candidates = query's bucket only. At scale
-      the table is written partitioned by bucket → partition pruning makes a
-      top-k query touch 1/256 of the data.
+      hyperplanes → 8-bit bucket; candidates = buckets within Hamming
+      distance PROBE_RADIUS of the query's (multi-probe). At scale the table
+      is written partitioned by bucket → partition pruning makes a top-k
+      query touch 37/256 of the data at radius 2.
 
-Hyperplanes are integer-arithmetic-derived (no RNG) so the DuckDB oracle
-reproduces them exactly.
+Hyperplanes are md5-derived ±1 literals (no RNG; see vector_lsh for why the
+earlier integer-parity formula degenerated to a single effective plane) so
+the DuckDB oracle reproduces them exactly.
 """
 
 from __future__ import annotations
@@ -22,17 +24,13 @@ from pyspark.sql import functions as F
 
 from . import prepared
 from .dedup import _dot, _cos_sql
+from .vector_lsh import plane_sign as _plane_sign
 
 DIM = 64
 N_PLANES = 8
 TOP_K = 10
 QUERY_VEC_ID = 0
-
-
-def _plane_sign(p: int, i: int) -> int:
-    """Deterministic ±1 hyperplane component (p-th plane, i-th dim, 0-based).
-    Pure integer arithmetic — identical in any engine."""
-    return 1 if (p * 73856093 + i * 19349663) % 2 == 0 else -1
+PROBE_RADIUS = 2  # ann_lsh_topk multi-probe: buckets within this Hamming dist
 
 
 def _plane_dot_spark(vec: str, p: int) -> Column:
@@ -120,9 +118,11 @@ FROM embeddings GROUP BY 1
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-restricted top-k: candidates limited to the query's bucket.
-    The recall/latency trade is explicit: scan 1/2^planes of the table.
-    With a bucket-partitioned table this is pure partition pruning."""
+    """LSH-restricted top-k with multi-probe: candidates limited to buckets
+    within Hamming distance PROBE_RADIUS of the query's bucket — the standard
+    recall/latency dial (radius 2 of 8 planes scans 37/256 of the bucket
+    space). With a bucket-partitioned table the probe set is a static
+    partition-pruning predicate: only those partitions are read."""
     emb = prepared(spark, sf_dir).table("embeddings")
     bucketed = emb.withColumn("bucket", _bucket_spark("embedding"))
     qb = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -134,7 +134,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bucketed.crossJoin(F.broadcast(qb))
-        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID))
+        .filter(
+            (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= PROBE_RADIUS)
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
         .select("vec_id", "label", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(TOP_K)
@@ -147,7 +150,7 @@ q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC
 SELECT vec_id, label,
        {_cos_sql('embedding', 'qv')} AS cosine
 FROM b, q
-WHERE b.bucket = q.qbucket AND vec_id <> {QUERY_VEC_ID}
+WHERE bit_count(xor(b.bucket, q.qbucket)) <= {PROBE_RADIUS} AND vec_id <> {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id
 LIMIT {TOP_K}
 """
