@@ -185,8 +185,12 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: each vector routed to its nearest label-centroid
     (euclidean), the coarse-quantization step of an IVF index. Centroids are
     tiny → broadcast; distances via numpy in mapInPandas (the vector-math
-    path). Rows-only driver check; tests assert assignment quality (most
-    vectors route to their own label's centroid)."""
+    path). Oracle-checkable because the ASSIGNMENT is discrete: both engines
+    use the 6dp-rounded centroids (label_centroids), round squared distances
+    to 6dp before argmin, and break ties by ascending centroid label —
+    engine float-sum-order differences vanish under the rounding. Tests
+    additionally assert assignment quality (most vectors route to their own
+    label's centroid)."""
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
@@ -208,7 +212,9 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
-            d2 = ((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            # round before argmin (oracle contract); labs is sorted ascending
+            # and argmin takes the first minimum → ties break by label order
+            d2 = _np.round(((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
             nearest = labs[d2.argmin(axis=1)]
             yield _pd.DataFrame(
                 {
@@ -238,11 +244,30 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
 }
 
+_IVF_ASSIGN_SQL = f"""
+WITH cent AS ({_CENTROIDS_SQL}),
+vecs AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+d AS (
+  SELECT v.vec_id, v.label, c.label AS clabel,
+         round(sum((v.v - c.centroid_v) * (v.v - c.centroid_v)), 6) AS d2
+  FROM vecs v JOIN cent c ON c.dim = v.dim
+  GROUP BY v.vec_id, v.label, c.label
+),
+r AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM d
+)
+SELECT vec_id, label, clabel AS assigned FROM r WHERE rn = 1
+"""
+
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "label_centroids": _CENTROIDS_SQL,
-    # ivf_assign: rows-only (numpy argmin over float distances — engine-
-    # specific float reductions; quality pinned in tests/test_ivf.py)
+    "ivf_assign": _IVF_ASSIGN_SQL,
     "lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
 }

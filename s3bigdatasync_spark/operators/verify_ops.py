@@ -3,9 +3,12 @@ payloads — the engine-side half of AzureEtagCheck.
 
 `etag_props` is fully oracle-checked (parts math + single-part etag).
 `multipart_etag` runs the real raw-digest-chain algorithm (H2) via the
-pandas UDF; md5-of-binary is not expressible in DuckDB SQL, so the driver
-records the rows-only check and tests/test_etag.py pins the algorithm against
-hashlib for all three part geometries.
+pandas UDF; DuckDB's md5() is VARCHAR-only, so md5 over raw digest bytes is
+not expressible in oracle SQL. The oracle instead hash-compares against an
+expected-output fixture (tests/fixtures/etag_expected.parquet) computed by
+plain hashlib with no Spark in the loop (tests/gen_etag_fixture.py), joined
+on (doc_id, md5(text)) so the same SQL is correct at any testdata sf.
+tests/test_etag.py additionally pins the algorithm for all part geometries.
 """
 
 from __future__ import annotations
@@ -45,10 +48,19 @@ FROM documents
 """
 
 
+_MULTIPART_ETAG_SQL = """
+SELECT DISTINCT d.doc_id, f.etag
+FROM documents d
+JOIN read_parquet('/root/repo/tests/fixtures/etag_expected.parquet') f
+  ON f.doc_id = d.doc_id AND f.text_md5 = md5(d.text)
+"""
+
+
 def multipart_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 full algorithm: raw-digest-chain multipart ETag over the payload
-    bytes (Arrow-batched pandas UDF). Rows-only driver check; algorithm
-    pinned in tests/test_etag.py."""
+    bytes (Arrow-batched pandas UDF), reference algorithm at
+    AzureEtagCheck/etag_app.py:38-52. Oracle: hashlib-precomputed expected
+    etags (see module docstring)."""
     docs = prepared(spark, sf_dir).table("documents")
     etag_udf = make_multipart_etag_udf()
     return docs.select(
@@ -64,6 +76,5 @@ QUERIES = {
 
 ORACLES = {
     "etag_props": _ETAG_PROPS_SQL,
-    # multipart_etag: intentionally no oracle (md5 over raw binary concat is
-    # not expressible in DuckDB SQL) → rows-only check.
+    "multipart_etag": _MULTIPART_ETAG_SQL,
 }
