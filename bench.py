@@ -56,7 +56,7 @@ def main() -> None:
     from s3bigdatasync_spark import registry
 
     spark = get_spark("s3bigdatasync-bench")
-    queries = registry.all_queries()
+    queries = registry.full_queries()
 
     # Warm the session outside the clock: JVM/codegen init plus one pass over
     # the input files (file listing, parquet footers, OS page cache) so

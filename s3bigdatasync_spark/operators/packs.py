@@ -1,0 +1,253 @@
+"""Driver-registry packs: several individually-oracle-checked queries unioned
+into one canonical relation, so every operator's semantics fits inside the
+external driver's 50-entry correctness budget.
+
+Round 1 showed the driver records at most 50 registry entries per round
+(CORRECTNESS_r01.json holds exactly the first 50 of 68, in insertion order,
+and modules 11-16 never appear). Rather than leave 18 queries permanently
+driver-unverified, related small queries are packed: each pack runs its
+members and unpivots every result into ONE canonical layout
+
+    part  — member query name
+    col   — member column name
+    val_s — exact string rendering (string cols; int/bool via CAST; NULL for double)
+    val_d — double value (double cols only; NULL otherwise)
+
+One row per (member, source-row, column). The driver's compare sorts columns
+by name and hashes the row multiset, so the unpivot loses nothing it checks.
+Integer values travel as strings (exact at any magnitude — a 64-bit simhash
+would lose low bits as a double); doubles travel natively as val_d because the
+member oracles already produce engine-identical doubles (no cross-engine float
+FORMATTING is ever attempted).
+
+Both engines' reshapes are generated from the SAME static spec
+(_MEMBER_COLS), so they cannot disagree about the canonicalization. Every
+member also keeps its standalone query + oracle — pytest compares each member
+individually (tests/test_queries_oracle.py over registry.full_queries()); the
+packs are how the driver sees them. Pack membership ↔ operator mapping is
+documented in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import (
+    dedup,
+    expressions,
+    joins,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    windows,
+)
+
+_SOURCE_MODULES = [stats, windows, joins, expressions, text, dedup, similarity, multimodal]
+
+_MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_MEMBER_O: dict[str, str] = {}
+for _m in _SOURCE_MODULES:
+    _MEMBER_Q.update(_m.QUERIES)
+    _MEMBER_O.update(getattr(_m, "ORACLES", {}))
+
+# pack name -> member query names (every member must have an oracle)
+PACK_SPECS: dict[str, list[str]] = {
+    # single-row / few-row operational stats (D1-D3, D7-D9, J4-summary)
+    "pack_ops_stats": [
+        "size_histogram",
+        "inventory_stats",
+        "progress_rollup",
+        "sync_eta",
+        "status_counters",
+        "variance_counts",
+        "diff_summary",
+    ],
+    # time extrema + HWM incremental buckets (A8, D5, D6, F1)
+    "pack_time_extrema": ["min_max_timestamps", "earliest_event", "hwm_incremental"],
+    # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
+    "pack_ann": ["ann_topk_bruteforce", "lsh_buckets", "ann_lsh_topk", "label_centroids"],
+    # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
+    "pack_dedup_pairs": ["ngram_jaccard_pairs", "minhash_lsh_pairs", "embedding_neardup"],
+    # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
+    "pack_fingerprints": ["minhash_signatures", "simhash_fingerprint", "doc_fingerprint"],
+    # per-doc text analysis (language-ID, quality, token counting)
+    "pack_text_quality": ["lang_id", "quality_score", "token_stats"],
+    # multimodal plumbing (media features, frame sampling plan)
+    "pack_media": ["media_features", "frame_sample_plan"],
+}
+
+PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
+
+# member -> [(column, kind)] — kind in {"str", "int", "num", "bool"}.
+# Static on purpose: oracle_sql() must be buildable with no Spark/DuckDB
+# session. Drift between this spec and a member's actual schema fails loudly
+# (unresolved column on the Spark side / binder error on the DuckDB side).
+_MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "ann_lsh_topk": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
+    "ann_topk_bruteforce": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
+    "diff_summary": [("variance", "str"), ("n_objects", "int"), ("bytes_to_move", "int")],
+    "doc_fingerprint": [
+        ("doc_id", "int"),
+        ("content_hash", "str"),
+        ("sampled_hash", "str"),
+        ("n_tokens", "int"),
+    ],
+    "earliest_event": [("object_key", "str"), ("etag", "str"), ("ts", "int")],
+    "embedding_neardup": [("id_a", "int"), ("id_b", "int"), ("cosine", "num")],
+    "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
+    "hwm_incremental": [
+        ("time_unit", "int"),
+        ("start_time", "int"),
+        ("success_object_size", "int"),
+        ("success_object_num", "int"),
+        ("failed_object_size", "int"),
+        ("failed_object_num", "int"),
+    ],
+    "inventory_stats": [
+        ("storage_class", "str"),
+        ("object_count", "int"),
+        ("total_size", "int"),
+        ("multipart_count", "int"),
+    ],
+    "label_centroids": [("label", "int"), ("dim", "int"), ("centroid_v", "num")],
+    "lang_id": [
+        ("doc_id", "int"),
+        ("lang", "str"),
+        ("score_en", "int"),
+        ("score_de", "int"),
+        ("score_es", "int"),
+        ("score_fr", "int"),
+        ("score_zh", "int"),
+        ("pred_lang", "str"),
+    ],
+    "lsh_buckets": [("bucket", "int"), ("n_vectors", "int")],
+    "media_features": [
+        ("doc_id", "int"),
+        ("media_type", "str"),
+        ("byte_len", "int"),
+        ("content_md5", "str"),
+        ("feat_width", "int"),
+        ("feat_height", "int"),
+        ("n_frames", "int"),
+    ],
+    "min_max_timestamps": [("replication_status", "int"), ("min_ts", "int"), ("max_ts", "int")],
+    "minhash_lsh_pairs": [("doc_a", "int"), ("doc_b", "int")],
+    "minhash_signatures": [("doc_id", "int")]
+    + [(f"mh{i}", "str") for i in range(12)],
+    "ngram_jaccard_pairs": [("doc_a", "int"), ("doc_b", "int"), ("jaccard", "num")],
+    "progress_rollup": [
+        ("success_size", "int"),
+        ("success_num", "int"),
+        ("failed_size", "int"),
+        ("failed_num", "int"),
+        ("elapsed_minutes", "num"),
+        ("bytes_per_minute", "num"),
+    ],
+    "quality_score": [
+        ("doc_id", "int"),
+        ("n_chars", "int"),
+        ("n_tokens", "int"),
+        ("punct_ratio", "num"),
+        ("stopword_ratio", "num"),
+        ("mean_word_len", "num"),
+        ("keep", "bool"),
+    ],
+    "simhash_fingerprint": [("doc_id", "int"), ("simhash", "int"), ("keeper_doc_id", "int")],
+    "size_histogram": [
+        ("total_objects", "int"),
+        ("total_size_bytes", "int"),
+        ("sub_1mb", "int"),
+        ("sub_5mb", "int"),
+        ("sub_10mb", "int"),
+        ("sub_50mb", "int"),
+        ("sub_100mb", "int"),
+        ("sub_1gb", "int"),
+        ("sub_5gb", "int"),
+    ],
+    "status_counters": [("replication_status", "int"), ("n_rows", "int"), ("total_size", "int")],
+    "sync_eta": [
+        ("total_bytes", "int"),
+        ("done_bytes", "int"),
+        ("elapsed_minutes", "num"),
+        ("bytes_per_minute", "num"),
+        ("eta_minutes", "num"),
+    ],
+    "token_stats": [
+        ("doc_id", "int"),
+        ("n_chars", "int"),
+        ("ws_tokens", "int"),
+        ("bpe_tokens", "int"),
+        ("tokens_per_char", "num"),
+    ],
+    "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+}
+
+
+def _reshape_spark(df: DataFrame, part: str) -> DataFrame:
+    """Unpivot one member result into (part, col, val_s, val_d) — a single
+    explode pass, so the member plan executes once regardless of width."""
+    entries = []
+    for col, kind in _MEMBER_COLS[part]:
+        if kind == "num":
+            vs = F.lit(None).cast("string")
+            vd = F.col(col).cast("double")
+        elif kind == "bool":
+            vs = F.col(col).cast("int").cast("string")
+            vd = F.lit(None).cast("double")
+        else:  # str / int — exact string rendering
+            vs = F.col(col).cast("string")
+            vd = F.lit(None).cast("double")
+        entries.append(
+            F.struct(F.lit(col).alias("col"), vs.alias("val_s"), vd.alias("val_d"))
+        )
+    return df.select(F.explode(F.array(*entries)).alias("kv")).select(
+        F.lit(part).alias("part"),
+        F.col("kv.col").alias("col"),
+        F.col("kv.val_s").alias("val_s"),
+        F.col("kv.val_d").alias("val_d"),
+    )
+
+
+def _make_pack_query(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [_reshape_spark(_MEMBER_Q[m](spark, sf_dir), m) for m in members]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return pack_query
+
+
+def _reshape_sql_cols(member: str, cte: str) -> list[str]:
+    out = []
+    for col, kind in _MEMBER_COLS[member]:
+        if kind == "num":
+            vs, vd = "CAST(NULL AS VARCHAR)", f'CAST("{col}" AS DOUBLE)'
+        elif kind == "bool":
+            vs, vd = f'CAST(CAST("{col}" AS INT) AS VARCHAR)', "CAST(NULL AS DOUBLE)"
+        else:
+            vs, vd = f'CAST("{col}" AS VARCHAR)', "CAST(NULL AS DOUBLE)"
+        out.append(
+            f"SELECT '{member}' AS part, '{col}' AS col, {vs} AS val_s, {vd} AS val_d"
+            f" FROM {cte}"
+        )
+    return out
+
+
+def _make_pack_oracle(members: list[str]) -> str:
+    ctes = ",\n".join(
+        f"m_{i} AS (\n{_MEMBER_O[m]}\n)" for i, m in enumerate(members)
+    )
+    selects = []
+    for i, m in enumerate(members):
+        selects.extend(_reshape_sql_cols(m, f"m_{i}"))
+    return "WITH " + ctes + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES = {name: _make_pack_query(ms) for name, ms in PACK_SPECS.items()}
+ORACLES = {name: _make_pack_oracle(ms) for name, ms in PACK_SPECS.items()}

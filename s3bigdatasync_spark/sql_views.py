@@ -22,7 +22,7 @@ def register_query_views(spark: SparkSession, sf_dir: str) -> list[str]:
     view per registry query (named `<query>_v`). Returns the view names."""
     register_all(spark, sf_dir)
     names = []
-    for name, fn in registry.all_queries().items():
+    for name, fn in registry.full_queries().items():
         view = f"{name}{VIEW_SUFFIX}"
         fn(spark, sf_dir).createOrReplaceTempView(view)
         names.append(view)

@@ -71,6 +71,6 @@ def test_empty_input_does_not_crash(spark, empty_sf_dir, name):
     from s3bigdatasync_spark.operators import _PREPARED
 
     _PREPARED.clear()  # force re-registration on the empty dir
-    df = registry.all_queries()[name](spark, empty_sf_dir)
+    df = registry.full_queries()[name](spark, empty_sf_dir)
     assert df.count() in (0, 1)  # single-row aggs may emit one null-ish row
     _PREPARED.clear()

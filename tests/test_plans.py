@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from s3bigdatasync_spark import registry
 
-_Q = registry.all_queries()
+_Q = registry.full_queries()
 
 
 def plan_of(df) -> str:

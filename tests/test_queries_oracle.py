@@ -9,8 +9,8 @@ from s3bigdatasync_spark import registry
 
 from .oracle_utils import assert_match
 
-_QUERIES = registry.all_queries()
-_ORACLES = registry.all_oracles()
+_QUERIES = registry.full_queries()
+_ORACLES = registry.full_oracles()
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -1,0 +1,53 @@
+"""Registry invariants: the driver-facing view must stay within the external
+driver's 50-entry budget while covering every individual query's semantics
+(directly or via a pack), and pack specs must stay consistent."""
+
+from s3bigdatasync_spark import registry
+from s3bigdatasync_spark.operators import packs
+
+DRIVER_CAP = 50
+
+
+def test_driver_registry_within_cap():
+    q = registry.all_queries()
+    assert len(q) <= DRIVER_CAP
+    # oracles must be a subset of queries and only declared rows-only checks
+    # may lack an oracle
+    o = registry.all_oracles()
+    assert set(o) <= set(q)
+    assert {n for n in q if n not in o} == {"approx_distinct_users"}
+
+
+def test_every_query_driver_checked():
+    """Each individual query is either its own driver entry or a pack member."""
+    driver = set(registry.all_queries())
+    individual = {n for n in registry.full_queries() if not n.startswith("pack_")}
+    uncovered = {n for n in individual if n not in driver and n not in packs.PACK_MEMBERS}
+    assert not uncovered, uncovered
+
+
+def test_extension_queries_lead_the_ordering():
+    """The 18 r01-unchecked queries must come first (cap insurance)."""
+    names = list(registry.all_queries())
+    assert names.index("order_priority_trend") < names.index("pack_ops_stats")
+    assert names.index("salted_hot_key_agg") == 0
+
+
+def test_pack_specs_consistent():
+    for pack, members in packs.PACK_SPECS.items():
+        for m in members:
+            assert m in packs._MEMBER_Q, (pack, m)
+            assert m in packs._MEMBER_O, (pack, m)  # members must be oracle-checked
+            assert m in packs._MEMBER_COLS, (pack, m)
+
+
+def test_pack_member_cols_match_schema(spark, sf_dir):
+    """The static reshape spec must track each member's actual schema."""
+    q = registry.full_queries()
+    kind_of = {"string": "str", "boolean": "bool", "double": "num"}
+    for member, spec in packs._MEMBER_COLS.items():
+        dtypes = q[member](spark, sf_dir).dtypes
+        assert [c for c, _ in spec] == [c for c, _ in dtypes], member
+        for (c, kind), (_, dt) in zip(spec, dtypes):
+            expected = kind_of.get(dt, "int")
+            assert kind == expected, (member, c, kind, dt)
