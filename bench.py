@@ -48,6 +48,14 @@ HEADLINE = [
     "compaction_plan",       # distributed prefix-sum binning
     "revenue_by_nation",     # multi-way broadcast-dim star join
     "corpus_yield_report",   # five-stage LLM corpus composition
+    "inventory_rollup",      # ROLLUP subtotal lattice
+    "interval_bucket_join",  # bucket-and-refine range join
+    "asof_last_success",     # as-of join composition
+    "token_shards",          # chunker + distributed prefix sum + packing
+    "quality_score",         # stopword/punct ratio text scan
+    "stratified_sample",     # deterministic md5-bucket sampling
+    "events_pivot",          # conditional-agg pivot
+    "top_customers_per_nation",  # per-group top-k over star join
 ]
 
 
