@@ -76,6 +76,91 @@ def decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def make_decoder():
+    """Import-gated REAL decoder (same pattern as sources/metadata.py's
+    boto3 gate): decodes image payloads with Pillow when it is installed,
+    falling back to `decode_stub` otherwise. Per-ROW decode failures also
+    fall back — a 100 TB corpus always contains corrupt blobs, and the
+    pipeline must degrade per row, never fail the task.
+
+    Call this INSIDE the mapInPandas kernel so the import gate evaluates on
+    the executor (driver and executors may have different site-packages on a
+    real cluster)."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return decode_stub
+    import io
+
+    def decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+        if media_type != "image":
+            return decode_stub(payload, media_type)
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height), 1
+        except Exception:
+            return decode_stub(payload, media_type)
+
+    return decode
+
+
+def media_features_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`media_features` with the import-gated real decoder in the kernel.
+    Not in the driver registry: its output depends on whether Pillow is
+    installed and on payload decodability, so it is unit-tested
+    (tests/test_multimodal_decoder.py) rather than oracle-hashed. In this
+    container (no Pillow, text payloads) it reproduces the stub output
+    exactly, which the test pins."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local closure, no package imports: executor Python workers never
+        # have s3bigdatasync_spark importable (driver loads by path). The
+        # import gate is replicated inline and evaluates executor-side.
+        import hashlib as _hl
+
+        def stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
+            h = _hl.md5(payload).digest()
+            return (
+                64 + h[0] % 192,
+                64 + h[1] % 192,
+                1 if media_type == "image" else 1 + h[2] % 32,
+            )
+
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+
+            def decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+                if media_type != "image":
+                    return stub(payload, media_type)
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        return int(im.width), int(im.height), 1
+                except Exception:
+                    return stub(payload, media_type)
+
+        except ImportError:
+            decode = stub
+
+        for pdf in batches:
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "content_md5": [_hl.md5(p).hexdigest() for p in pdf["payload"]],
+                    "feat_width": [f[0] for f in feats],
+                    "feat_height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                }
+            )
+
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over the binary column via mapInPandas.
 

@@ -59,3 +59,137 @@ def test_stream_converges_to_batch(spark, tmp_path):
     )
     got_rows = sorted(tuple(r) for r in got.collect())
     assert got_rows == exp_rows
+
+
+def test_stream_parity_at_sf01_scale(spark, tmp_path):
+    """Batch-vs-stream parity over the real sf0.1 copy_log (~600k events),
+    fed as three time-ordered incremental appends — the volume the small
+    synthetic test above doesn't exercise."""
+    from s3bigdatasync_spark.operators import prepared
+
+    src = (
+        prepared(spark, "/root/testdata/sf0.1")
+        .table("copy_log")
+        .select("object_key", "replication_time", "replication_status", "size")
+    )
+    cuts = src.approxQuantile("size", [0.0], 0.0)  # force plan materialization once
+    t_cuts = [
+        r[0]
+        for r in src.selectExpr(
+            "percentile(cast(replication_time AS DOUBLE), array(0.34, 0.67)) AS p"
+        ).selectExpr("explode(p)").collect()
+    ]
+    log_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("log", "stat", "ckpt"))
+
+    import pyspark.sql.functions as F_
+
+    splits = [
+        src.filter(F_.col("replication_time").cast("double") <= t_cuts[0]),
+        src.filter(
+            (F_.col("replication_time").cast("double") > t_cuts[0])
+            & (F_.col("replication_time").cast("double") <= t_cuts[1])
+        ),
+        src.filter(F_.col("replication_time").cast("double") > t_cuts[1]),
+    ]
+    for part in splits:
+        part.coalesce(1).write.mode("append").parquet(log_dir)
+        q = stream_time_rollup(
+            spark, log_dir, out_dir, ckpt, minutes=5, max_files_per_trigger=1
+        )
+        q.awaitTermination(300)
+
+    cols = ["time_unit", "start_time", "status", "total_size", "total_num"]
+    got = spark.read.parquet(out_dir).select(*cols)
+    max_closed = got.agg(F.max("start_time")).collect()[0][0]
+    assert max_closed is not None
+    expected = (
+        batch_equivalent(spark, log_dir, minutes=5)
+        .filter(F.col("start_time") <= max_closed)
+        .select(*cols)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Rows arriving after the watermark passed their window are DROPPED —
+    explicitly, never clobbering finalized windows (the reference's PUT-upsert
+    would silently overwrite the bucket with partial re-counts instead).
+    Documents the drop count: all 15 late rows excluded, zero duplicates."""
+    log_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("log", "stat", "ckpt"))
+
+    def mk_spread(start_min: int, n: int):
+        """one row per minute — spans n minutes so the watermark (10 min)
+        genuinely passes the early rows (_mk_rows spans only ~3 minutes)"""
+        base = dt.datetime(2024, 1, 15, 7, 0, 0)
+        return [
+            (
+                f"s{start_min}-{i}",
+                base + dt.timedelta(minutes=start_min + i, seconds=i * 7 % 60),
+                1 if i % 5 else 0,
+                1000 + i,
+            )
+            for i in range(n)
+        ]
+
+    batch_a = mk_spread(0, 40)  # minutes 0..39 → watermark ends at 07:29
+    spark.createDataFrame(batch_a, COPY_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q = stream_time_rollup(spark, log_dir, out_dir, ckpt, minutes=1, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    n_late = 15
+    late = mk_spread(0, n_late)  # minutes 0..14 — all below the 07:29 watermark
+    fresh = mk_spread(60, 40)  # advances the watermark past all of batch A
+    spark.createDataFrame(late + fresh, COPY_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q = stream_time_rollup(spark, log_dir, out_dir, ckpt, minutes=1, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # watermark takes effect one batch later — a third trigger flushes every
+    # batch-A window past the (now-advanced) watermark
+    flush = mk_spread(120, 10)
+    spark.createDataFrame(flush, COPY_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q = stream_time_rollup(spark, log_dir, out_dir, ckpt, minutes=1, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    cols = ["time_unit", "start_time", "status", "total_size", "total_num"]
+    got = spark.read.parquet(out_dir).select(*cols)
+    # no (start_time, status) key may appear twice: closed windows are final
+    dup = got.groupBy("start_time", "status").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    # emitted aggregates equal the batch rollup over every NON-late row,
+    # restricted to closed windows: the 15 late rows are dropped (their
+    # windows ARE present — with batch-A-only counts — so the drop is
+    # observable, not vacuous; the reference's PUT-upsert would have
+    # overwritten those buckets with partial re-counts instead)
+    max_closed = got.agg(F.max("start_time")).collect()[0][0]
+    non_late = spark.createDataFrame(batch_a + fresh + flush, COPY_LOG_SCHEMA)
+    expected = sorted(
+        tuple(r)
+        for r in non_late.groupBy(
+            F.window("replication_time", "1 minutes").alias("w"),
+            F.col("replication_status").alias("status"),
+        )
+        .agg(F.sum("size").alias("total_size"), F.count("*").alias("total_num"))
+        .select(
+            F.lit(1).alias("time_unit"),
+            F.col("w.start").cast("long").alias("start_time"),
+            "status",
+            "total_size",
+            "total_num",
+        )
+        .filter(F.col("start_time") <= max_closed)
+        .collect()
+    )
+    assert sorted(map(tuple, got.collect())) == expected
+    # the late rows' windows all closed — every one was eligible to show the
+    # merged count if late data had NOT been dropped
+    emitted_starts = {r["start_time"] for r in got.collect()}
+    assert all(
+        int(w.timestamp()) // 60 * 60 in emitted_starts
+        for w in (r[1] for r in late)
+    )
