@@ -184,17 +184,99 @@ WHERE rank <= {TFIDF_TOP_N}
 """
 
 
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog-class distinct counting: approx_count_distinct per event
-    type vs the exact count. At 100 TB exact COUNT(DISTINCT) shuffles every
-    key; the HLL sketch is a map-side-combinable fixed-size state — THE
-    distinct-counting primitive at scale. No SQL oracle (sketch estimates are
-    engine-specific); tests pin the estimate within 5%% of exact."""
+def approx_distinct_users_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in HLL++ (approx_count_distinct) per event type vs the
+    exact count — the zero-effort scale path, map-side-combinable fixed-size
+    state. Sketch estimates are engine-specific, so this variant is pinned by
+    the 5%-tolerance unit test, not a hash oracle."""
     ev = prepared(spark, sf_dir).table("events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
     )
+
+
+# --- portable deterministic HyperLogLog --------------------------------------
+# One SQL text, run verbatim by BOTH engines, so the ESTIMATE itself is
+# oracle-checkable (unlike native HLL++ whose sketch is engine-specific):
+#   * hash = md5 of the key (both engines agree byte-for-byte);
+#   * bucket = first 12 hash bits (m=4096), value = next 60 bits, decoded by
+#     nibble arithmetic (instr on a hex alphabet — no engine-specific conv);
+#   * rho = 61 - length(bin(v)) (leading-zero rank, exact integer math);
+#   * the harmonic sum is computed in INTEGER space scaled by 2^40 (rho
+#     capped at 40), so bucket-sum ORDER cannot perturb the float result —
+#     the only float ops are one division and one ln on exact integers,
+#     bitwise identical in any IEEE engine.
+# Same map-side-combinable shape as a real HLL: per-partition partial
+# max(rho) per bucket combines associatively; 4096 buckets of state.
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096
+_HLL_CAP = 40  # rho cap: keeps the scaled harmonic sum exact in int64
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_CAP)  # alpha*m^2*2^C
+
+
+def _nib(pos: int) -> str:
+    return f"(instr('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+
+_HLL_BUCKET = " + ".join(f"{_nib(i + 1)} * {16 ** (2 - i)}" for i in range(3))
+_HLL_V60 = " + ".join(
+    f"CAST({_nib(i + 4)} AS BIGINT) * {16 ** (14 - i)}" for i in range(15)
+)
+
+_APPROX_DISTINCT_SQL = f"""
+WITH hx_rows AS (
+  SELECT event_type, md5(CAST(user_id AS STRING)) AS hx FROM events
+),
+hashed AS (
+  SELECT event_type, ({_HLL_BUCKET}) AS bucket, ({_HLL_V60}) AS v FROM hx_rows
+),
+ranked AS (
+  SELECT event_type, bucket,
+         CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END AS rho
+  FROM hashed
+),
+buckets AS (
+  SELECT event_type, bucket, max(rho) AS mr FROM ranked GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(pow(2.0, {_HLL_CAP} - least(mr, {_HLL_CAP})) AS BIGINT)) AS s_present,
+         count(*) AS n_buckets
+  FROM buckets GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         {_HLL_NUMER!r} / CAST(s_present + ({_HLL_M} - n_buckets) * {1 << _HLL_CAP} AS DOUBLE) AS raw_est,
+         {_HLL_M} - n_buckets AS v_empty
+  FROM agg
+),
+hll AS (
+  SELECT event_type,
+         CASE WHEN raw_est <= {2.5 * _HLL_M!r} AND v_empty > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v_empty)
+              ELSE raw_est END AS corrected
+  FROM est
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type
+)
+SELECT exact.event_type, exact.exact_users,
+       CAST(floor(hll.corrected) AS BIGINT) AS hll_users
+FROM exact JOIN hll ON hll.event_type = exact.event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting, oracle-checkable: a portable
+    deterministic HyperLogLog (md5-bucketed, m=4096, integer-exact harmonic
+    sum, linear-counting small-range correction) whose estimate is
+    bit-identical in Spark and DuckDB — both run the SAME SQL text. At
+    100 TB this has real HLL economics: the per-bucket max(rho) state is
+    map-side-combinable and 4096 rows per group flow into the final agg.
+    The engine-native HLL++ path is approx_distinct_users_native."""
+    return prepared(spark, sf_dir).sql(_APPROX_DISTINCT_SQL)
 
 
 QUERIES = {
@@ -207,6 +289,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize": _SESSIONIZE_SQL,
+    "approx_distinct_users": _APPROX_DISTINCT_SQL,
     "size_percentiles": _SIZE_PCTL_SQL,
     "throughput_timeline": _THROUGHPUT_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

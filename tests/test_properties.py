@@ -62,7 +62,13 @@ def test_fake_fetcher_deterministic(bucket, key):
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL estimate stays within 5% of exact on every group (rsd=0.02)."""
-    from s3bigdatasync_spark.operators.analytics import approx_distinct_users
+    from s3bigdatasync_spark.operators.analytics import (
+        approx_distinct_users,
+        approx_distinct_users_native,
+    )
 
-    for r in approx_distinct_users(spark, sf_dir).collect():
+    for r in approx_distinct_users_native(spark, sf_dir).collect():
         assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2), r
+    # the portable deterministic HLL must hit the same accuracy class
+    for r in approx_distinct_users(spark, sf_dir).collect():
+        assert abs(r["hll_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2), r

@@ -11,11 +11,10 @@ DRIVER_CAP = 50
 def test_driver_registry_within_cap():
     q = registry.all_queries()
     assert len(q) <= DRIVER_CAP
-    # oracles must be a subset of queries and only declared rows-only checks
-    # may lack an oracle
+    # every driver entry is oracle-checked (no rows-only checks remain)
     o = registry.all_oracles()
     assert set(o) <= set(q)
-    assert {n for n in q if n not in o} == {"approx_distinct_users"}
+    assert {n for n in q if n not in o} == set()
 
 
 def test_every_query_driver_checked():
