@@ -49,3 +49,32 @@ def test_global_ntile_matches_reference(spark, n, k, seed):
     bad = got.join(ref, "key").filter(F.col("tile") != F.col("nt")).count()
     assert bad == 0
     df.unpersist()
+
+
+def test_partition_count_tracks_input(spark):
+    """with_global_order's default range-partition count must scale with the
+    input instead of a fixed constant: max(input partitions, shuffle
+    partitions) — at 100x data the scan partition count grows with file
+    splits and the per-partition sort stays bounded."""
+    from s3bigdatasync_spark.operators.prefix import with_global_order
+
+    from s3bigdatasync_spark.operators.prefix import _scaled_partitions
+
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = spark.range(1000).withColumnRenamed("id", "k").repartition(4)
+    assert _scaled_partitions(small) == shuffle  # floor: never below shuffle
+
+    wide = spark.range(10000).withColumnRenamed("id", "k").repartition(shuffle * 2)
+    assert _scaled_partitions(wide) == shuffle * 2  # tracks a wider input
+
+    # and the chosen N reaches the range partitioner (explicit-N
+    # repartitionByRange is exempt from AQE coalescing, so the split is real)
+    from pyspark.sql import functions as F
+
+    n_pids = (
+        wide.repartitionByRange(_scaled_partitions(wide), "k")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert n_pids == shuffle * 2
