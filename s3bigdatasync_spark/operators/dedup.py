@@ -332,13 +332,17 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-LSH banding, verification is exact cosine — both engines compute the
     identical restricted pair set, so the oracle pins the full pipeline).
 
-    Fully distributed — candidates come from a (band, key) self-equi-join on
-    8 tiny key rows per vector (never O(n²), never a driver-side collect);
-    embeddings rejoin by vec_id only for surviving candidates; exact cosine
-    runs as Arrow-batched rowwise numpy in mapInPandas (vector math stays out
-    of Catalyst expression chains — the 64-term codegen trap). At 100 TB
-    every stage is a keyed shuffle: keys (24 bytes/row × 8), candidate
-    distinct, two vec_id joins, then a threshold filter.
+    Fully distributed, bucket-local: each vector is exploded into its 8
+    (band, key) rows (embedding travels WITH the key — one 8× fan-out of a
+    256-byte row, no per-pair array materialization); groupBy(band, key) +
+    applyInPandas GEMMs each bucket against itself and emits only the pairs
+    that survive the cosine threshold; a global distinct dedups pairs that
+    collide in several bands (their cosines are bit-identical, computed from
+    the same two vectors). At 100 TB the stages are: one 8× keyed shuffle,
+    per-bucket vectorized GEMM (bucket size is the precision dial —
+    EMB_BAND_BITS scales with log2(n) so buckets stay bounded), and a
+    distinct over the (small) surviving pair set. Vector math never enters
+    Catalyst expression chains (the 64-term codegen trap).
     """
     emb = prepared(spark, sf_dir).table("embeddings")
     from .vector_lsh import planes_matrix
@@ -357,66 +361,45 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
             bits = (M @ P.T) > 0  # one GEMM per Arrow batch, all planes at once
-            ids = pdf["vec_id"].to_numpy()
             frames = []
             for b in range(n_bands):
                 keys = bits[:, b * band_bits : (b + 1) * band_bits] @ weights
                 frames.append(
                     _pd.DataFrame(
-                        {"vec_id": ids, "band": _np.full(len(ids), b, dtype="int32"), "key": keys.astype("int32")}
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "band": _np.full(len(pdf), b, dtype="int32"),
+                            "key": keys.astype("int32"),
+                            "embedding": pdf["embedding"],
+                        }
                     )
                 )
             yield _pd.concat(frames, ignore_index=True)
 
     keys = emb.select("vec_id", "embedding").mapInPandas(
-        key_kernel, "vec_id long, band int, key int"
-    )
-    cand = (
-        keys.select(F.col("vec_id").alias("id_a"), "band", "key")
-        .join(keys.select(F.col("vec_id").alias("id_b"), "band", "key"), ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    pairs = cand.join(
-        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")), "id_a"
-    ).join(
-        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")), "id_b"
+        key_kernel, "vec_id long, band int, key int, embedding array<float>"
     )
 
-    def cos_kernel(batches):
+    def bucket_kernel(pdf):
         import numpy as _np
         import pandas as _pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["emb_a"]])
-            B = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["emb_b"]])
-            cos = _np.round(
-                (A * B).sum(axis=1)
-                / (_np.sqrt((A * A).sum(axis=1)) * _np.sqrt((B * B).sum(axis=1))),
-                6,
+        if len(pdf) < 2:
+            return _pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-            m = cos >= threshold
-            yield _pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[m],
-                    "id_b": pdf["id_b"].to_numpy()[m],
-                    "cosine": cos[m],
-                }
-            )
+        ids = pdf["vec_id"].to_numpy()
+        M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+        norms = _np.sqrt((M * M).sum(axis=1))
+        cos = _np.round((M @ M.T) / _np.outer(norms, norms), 6)
+        ia, ib = _np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+        return _pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]})
 
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
-            StructField("cosine", DoubleType()),
-        ]
+    return (
+        keys.groupBy("band", "key")
+        .applyInPandas(bucket_kernel, "id_a long, id_b long, cosine double")
+        .distinct()
     )
-    return pairs.mapInPandas(cos_kernel, schema)
 
 
 _DOT_SQL = (
