@@ -71,11 +71,24 @@ PACK_SPECS: dict[str, list[str]] = {
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     "pack_ann": ["ann_topk_bruteforce", "lsh_buckets", "ann_lsh_topk", "label_centroids"],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
-    "pack_dedup_pairs": ["ngram_jaccard_pairs", "minhash_lsh_pairs", "embedding_neardup"],
+    # + train/eval shingle-overlap decontamination (same explode-join family)
+    "pack_dedup_pairs": [
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "embedding_neardup",
+        "decontaminate",
+    ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
     "pack_fingerprints": ["minhash_signatures", "simhash_fingerprint", "doc_fingerprint"],
-    # per-doc text analysis (language-ID, quality, token counting)
-    "pack_text_quality": ["lang_id", "quality_score", "token_stats"],
+    # per-doc text analysis (language-ID, quality, token counting, repetition,
+    # corpus mixture weights)
+    "pack_text_quality": [
+        "lang_id",
+        "quality_score",
+        "token_stats",
+        "repetition_stats",
+        "source_mix_weights",
+    ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan"],
 }
@@ -89,6 +102,12 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "ann_lsh_topk": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
     "ann_topk_bruteforce": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
+    "decontaminate": [
+        ("doc_id", "int"),
+        ("n_shingles", "int"),
+        ("n_eval_hits", "int"),
+        ("contaminated", "bool"),
+    ],
     "diff_summary": [("variance", "str"), ("n_objects", "int"), ("bytes_to_move", "int")],
     "doc_fingerprint": [
         ("doc_id", "int"),
@@ -156,7 +175,24 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("mean_word_len", "num"),
         ("keep", "bool"),
     ],
+    "repetition_stats": [
+        ("doc_id", "int"),
+        ("n_tokens", "int"),
+        ("n_distinct_tokens", "int"),
+        ("dup_token_ratio", "num"),
+        ("top_bigram_n", "int"),
+        ("n_bigrams", "int"),
+        ("top_bigram_frac", "num"),
+        ("keep", "bool"),
+    ],
     "simhash_fingerprint": [("doc_id", "int"), ("simhash", "int"), ("keeper_doc_id", "int")],
+    "source_mix_weights": [
+        ("source", "str"),
+        ("n_docs", "int"),
+        ("total_tokens", "int"),
+        ("token_share", "num"),
+        ("mix_weight", "num"),
+    ],
     "size_histogram": [
         ("total_objects", "int"),
         ("total_size_bytes", "int"),

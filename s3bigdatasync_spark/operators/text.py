@@ -352,6 +352,233 @@ GROUP BY shard_id
 )
 
 
+# --- Decontamination: eval-holdout n-gram overlap ---------------------------
+#
+# The standard train/test contamination check (GPT-3 appendix C / PaLM style):
+# designate a deterministic holdout of documents as the "benchmark" set, then
+# flag every training document that shares at least one SHINGLE_N-token
+# shingle with any holdout document. Holdout membership rides the same
+# md5-bucket predicate as stratified_sample, so both engines (and successive
+# runs) agree on the split with no stored state.
+#
+# Scale story: the holdout shingle set is benchmark-sized (MBs) while the
+# training side is corpus-sized (TBs) — so the plan is explode(train shingles)
+# ⋈ broadcast(distinct holdout shingles), a map-side hash semi-join with NO
+# shuffle of the big side; the only shuffle is the per-doc hit count groupBy.
+
+SHINGLE_N = 8  # tokens per contamination shingle
+_EVAL_PCT = 5  # holdout share, in md5-bucket percent
+
+
+def _shingle_col(toks: Column, n: int) -> Column:
+    """Distinct n-token shingles of a token array (empty when < n tokens).
+    The n>=size guard matters: Spark's sequence(0, negative) would count DOWN."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _eval_bucket(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc contamination report against the deterministic
+    ~5% eval holdout: distinct-shingle count, eval-shingle hits, verdict."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    cutoff = int(65536 * _EVAL_PCT / 100)
+    base = docs.select(
+        "doc_id",
+        (_eval_bucket(F.col("doc_id")) < cutoff).alias("is_eval"),
+        _shingle_col(toks, SHINGLE_N).alias("shingles"),
+    )
+    doc_sh = base.select("doc_id", "is_eval", F.explode("shingles").alias("shingle"))
+    eval_sh = doc_sh.filter("is_eval").select("shingle").distinct()
+    hits = (
+        doc_sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_hits"))  # shingles pre-distinct per doc
+    )
+    return (
+        base.filter(~F.col("is_eval"))
+        .select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_DECONTAMINATE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         ({_hex4_bucket_sql("cast(doc_id AS VARCHAR)")}) < {int(65536 * _EVAL_PCT / 100)} AS is_eval,
+         CASE WHEN len(toks) >= {SHINGLE_N}
+              THEN list_distinct(list_transform(
+                     generate_series(0, len(toks) - {SHINGLE_N}),
+                     i -> array_to_string(toks[i + 1 : i + {SHINGLE_N}], ' ')))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+),
+doc_sh AS (SELECT doc_id, is_eval, unnest(shingles) AS shingle FROM base),
+eval_sh AS (SELECT DISTINCT shingle FROM doc_sh WHERE is_eval),
+hits AS (
+  SELECT doc_id, count(*) AS n_eval_hits
+  FROM doc_sh JOIN eval_sh USING (shingle)
+  WHERE NOT is_eval GROUP BY doc_id
+)
+SELECT base.doc_id,
+       len(shingles) AS n_shingles,
+       coalesce(n_eval_hits, 0) AS n_eval_hits,
+       coalesce(n_eval_hits, 0) > 0 AS contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+WHERE NOT is_eval
+"""
+
+
+# --- Repetition signals (Gopher-style) --------------------------------------
+#
+# Within-document repetition: duplicate-token fraction and most-frequent-
+# bigram share — the cheap Rae et al. (Gopher) filters that catch boilerplate
+# and degenerate generations. Per-doc distinct/total come straight off the
+# token array; the bigram mode needs a real (doc_id, bigram) groupBy, which
+# is two map-side-combinable shuffles keyed by doc — embarrassingly scalable.
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition report: token counts, duplicate-token ratio, top
+    bigram share, and a Gopher-style keep verdict."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_ratio = F.round(
+        1 - F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+    )
+    top_frac = F.round(
+        F.coalesce(F.col("top_bigram_n"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+        6,
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            dup_ratio.alias("dup_token_ratio"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_ratio <= F.lit(0.82)) & (top_frac <= F.lit(0.05))
+            ).alias("keep"),
+        )
+    )
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)
+),
+top AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM (
+    SELECT doc_id, bigram, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM base)
+    GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens, n_distinct_tokens,
+       round(1 - n_distinct_tokens / greatest(n_tokens, 1), 6) AS dup_token_ratio,
+       cast(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       cast(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(top_bigram_n, 0) / greatest(coalesce(n_bigrams, 0), 1), 6) AS top_bigram_frac,
+       (round(1 - n_distinct_tokens / greatest(n_tokens, 1), 6) <= 0.82
+        AND round(coalesce(top_bigram_n, 0) / greatest(coalesce(n_bigrams, 0), 1), 6) <= 0.05) AS keep
+FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+# --- Corpus mixture weights --------------------------------------------------
+#
+# Per-source token accounting + the up/down-sampling weight that would flatten
+# the mixture to uniform across sources — the knob every pretraining data
+# recipe turns. One vocabulary-bounded agg, then a broadcast of the 1-row
+# total; nothing here grows with corpus size except the first scan.
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = prepared(spark, sf_dir).table("documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0)))
+    per_src = (
+        docs.select("source", bpe.cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("total_tokens"))
+    )
+    totals = per_src.agg(
+        F.sum("total_tokens").alias("all_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("total_tokens") / F.col("all_tokens")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((1 / F.col("n_sources")) / share, 6).alias("mix_weight"),
+    )
+
+
+_SOURCE_MIX_SQL = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '{_BPE_TOKEN}'))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+totals AS (SELECT cast(sum(total_tokens) AS BIGINT) AS all_tokens,
+                  count(*) AS n_sources FROM per_src)
+SELECT source, n_docs, total_tokens,
+       round(total_tokens / all_tokens, 6) AS token_share,
+       round((1.0 / n_sources) / (total_tokens / all_tokens), 6) AS mix_weight
+FROM per_src, totals
+"""
+
+
 QUERIES = {
     "token_stats": token_stats,
     "top_tokens": top_tokens,
@@ -361,9 +588,15 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "stratified_sample": stratified_sample,
     "token_shards": token_shards,
+    "decontaminate": decontaminate,
+    "repetition_stats": repetition_stats,
+    "source_mix_weights": source_mix_weights,
 }
 
 ORACLES = {
+    "decontaminate": _DECONTAMINATE_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "source_mix_weights": _SOURCE_MIX_SQL,
     "doc_chunks": _DOC_CHUNKS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "token_shards": _TOKEN_SHARDS_SQL,
