@@ -477,15 +477,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-        changed = (
+        # count() (not take(1)) on purpose: it materializes EVERY partition of
+        # the round's cache. A partial probe leaves uncached partitions whose
+        # recompute re-enters the previous round twice (labels feeds both join
+        # sides) — exponential lineage blowup — and leaves the planner with
+        # garbage size stats that turn downstream joins into doomed broadcasts.
+        n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .take(1)
+            .count()
         )
         labels.unpersist()
         labels = new_labels
-        if not changed:
+        if n_changed == 0:
             converged = True
             break
     edges.unpersist()
