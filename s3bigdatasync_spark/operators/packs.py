@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import (
+    behavior,
     dedup,
     expressions,
     joins,
@@ -46,7 +47,17 @@ from . import (
     windows,
 )
 
-_SOURCE_MODULES = [stats, windows, joins, expressions, text, dedup, similarity, multimodal]
+_SOURCE_MODULES = [
+    stats,
+    windows,
+    joins,
+    expressions,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    behavior,
+]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _MEMBER_O: dict[str, str] = {}
@@ -66,8 +77,16 @@ PACK_SPECS: dict[str, list[str]] = {
         "variance_counts",
         "diff_summary",
     ],
-    # time extrema + HWM incremental buckets (A8, D5, D6, F1)
-    "pack_time_extrema": ["min_max_timestamps", "earliest_event", "hwm_incremental"],
+    # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
+    # event-behavior family (ordered funnel, retention triangle, JSON props)
+    "pack_time_extrema": [
+        "min_max_timestamps",
+        "earliest_event",
+        "hwm_incremental",
+        "funnel_steps",
+        "retention_cohorts",
+        "props_extract",
+    ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     "pack_ann": ["ann_topk_bruteforce", "lsh_buckets", "ann_lsh_topk", "label_centroids"],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
@@ -118,6 +137,16 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "earliest_event": [("object_key", "str"), ("etag", "str"), ("ts", "int")],
     "embedding_neardup": [("id_a", "int"), ("id_b", "int"), ("cosine", "num")],
     "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
+    "funnel_steps": [("step", "str"), ("n_users", "int")],
+    "retention_cohorts": [("cohort_day", "int"), ("day_offset", "int"), ("n_active", "int")],
+    "props_extract": [
+        ("event_type", "str"),
+        ("n_events", "int"),
+        ("n_null", "int"),
+        ("min_k", "int"),
+        ("max_k", "int"),
+        ("sum_k", "int"),
+    ],
     "hwm_incremental": [
         ("time_unit", "int"),
         ("start_time", "int"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans import llm_corpus
 from .operators import (
     analytics,
+    behavior,
     cost,
     dedup,
     expressions,
@@ -54,6 +55,7 @@ _CORE_MODULES = [
     similarity,
     multimodal,
     verify_ops,
+    behavior,  # all members of pack_time_extrema — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round
