@@ -1,0 +1,209 @@
+"""Data-layout optimization operators: Z-order clustering and Bloom-filter
+semi-join pruning — the two techniques that decide how much of 100 TB a
+query actually reads.
+
+The reference copies objects in arrival order and scans full inventories for
+every diff (diff_azure_inventory_sqs.py walks both lists end-to-end); at
+petabyte scale the wins come from (a) writing data so min/max file statistics
+prune multi-dimensional predicates (Z-ordering, the OPTIMIZE ZORDER BY
+pattern) and (b) shrinking the probe side of a selective join to candidates
+before any shuffle happens (Bloom semi-join reduction, the runtime-filter
+pattern Spark applies under AQE — here made explicit and engine-portable).
+
+Both operators are fully deterministic (bit interleaving; md5-derived hash
+positions) so DuckDB executes the identical computation for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+from ..views import oracle_cte
+
+# --- Z-order clustering ------------------------------------------------------
+
+# 16 bits per dimension; z-values are 32-bit. Buckets: size in MiB (caps at
+# 64 GiB-1), mtime in days-since-epoch (fits 16 bits until year 2149).
+_SIZE_SHIFT = 20  # 1 MiB units
+# "file" = a z-prefix range: dropping the low 18 z-bits (9 per dimension)
+# yields ~100-500 files across the testdata's occupied z-range — each file
+# bounded in BOTH dimensions. A rewrite would repartitionByRange on z with
+# the file count sized to data volume; the prefix grouping here is the
+# deterministic stand-in that the oracle can replicate.
+ZBUCKET_SHIFT = 18
+
+_B_SIZE = f"least(size >> {_SIZE_SHIFT}, 65535)"
+
+# day-since-epoch bucket, one per dialect (integer division spells differently)
+_B_DAY_SPARK = "(cast(last_modified AS LONG) div 86400)"
+_B_DAY_DUCK = "(epoch_us(last_modified) // 1000000 // 86400)"
+
+
+def _interleave_sql(b1: str, b2: str) -> str:
+    """32-bit Morton interleave: bit i of b1 -> bit 2i, bit i of b2 ->
+    bit 2i+1. Pure integer arithmetic — parses and evaluates identically in
+    Spark SQL and DuckDB."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({b1}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({b2}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a Z-ordered rewrite of the inventory: Morton-interleave
+    (size-MiB, mtime-day) into a 32-bit z-value and summarize the top-8-bit
+    z-prefix buckets — the "files" a Z-ordered OPTIMIZE would write.
+
+    The per-bucket (min,max) of BOTH dimensions is the point: linear layouts
+    cluster one dimension and leave the other spanning the full range, so a
+    2-D predicate prunes nothing; Z-prefix buckets bound both, so file-level
+    min/max statistics skip on either column (verified by
+    tests/test_layout.py's pruning-effectiveness pin). The rewrite itself is
+    one repartitionByRange(zvalue) — a single shuffle at any scale."""
+    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "last_modified")
+    z = _interleave_sql(_B_SIZE, _B_DAY_SPARK)
+    day = (F.col("last_modified").cast("long") / 86400).cast("long")
+    return (
+        inv.withColumn("z", F.expr(z))
+        .withColumn("zbucket", F.expr(f"z >> {ZBUCKET_SHIFT}"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+            F.min(day).alias("min_day"),
+            F.max(day).alias("max_day"),
+        )
+    )
+
+
+_ZORDER_SQL = oracle_cte("inventory_src") + f"""
+SELECT z >> {ZBUCKET_SHIFT} AS zbucket,
+       count(*) AS n_objects,
+       min(size) AS min_size, max(size) AS max_size,
+       min(day) AS min_day, max(day) AS max_day
+FROM (
+  SELECT size, {_B_DAY_DUCK} AS day,
+         {_interleave_sql(_B_SIZE, _B_DAY_DUCK)} AS z
+  FROM inventory_src
+)
+GROUP BY 1
+"""
+
+
+# --- Bloom-filter semi-join pruning -----------------------------------------
+
+# m = 2^16 bit positions, k = 3 salted md5 hashes. At the test scales the
+# changed-key set is ~10% of the inventory -> fill ratio ~0.3, FP rate ~3%.
+# At production scale m rises with the build side (m ~= 10 bits/key keeps
+# FP ~1%); the positions relation stays megabytes — always broadcastable.
+_BLOOM_K = 3
+
+
+def _pos_spark(col: str, salt: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bl{salt}#"), F.col(col))), 1, 4), 16, 10
+    ).cast("long")
+
+
+def _pos_sql(expr: str, salt: int) -> str:
+    inner = f"md5(concat('bl{salt}#', {expr}))"
+    return (
+        "("
+        + " + ".join(
+            f"(instr('0123456789abcdef', substr({inner}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction for the incremental-sync join: build a Bloom
+    filter over the keys that changed in dst (etag/size drift), probe every
+    src key through it, and report how much of the scan the filter admits.
+
+    The probe is THREE chained broadcast left-semi joins (one per hash) — the
+    600k-row (at 100 TB: multi-billion-row) src side is never shuffled; only
+    bloom survivors reach the expensive exact join. The positions relation is
+    ≤ m rows of one int — broadcastable at any data scale. This is Spark's
+    AQE runtime-filter strategy made explicit, deterministic, and
+    oracle-checkable (md5-derived positions, so DuckDB computes the identical
+    filter, false positives and all)."""
+    p = prepared(spark, sf_dir)
+    src = p.table("inventory_src").select("key", "size", "etag")
+    dst = p.table("inventory_dst").select(
+        F.col("key").alias("d_key"), F.col("size").alias("d_size"), F.col("etag").alias("d_etag")
+    )
+    changed = (
+        src.join(dst, src.key == dst.d_key)
+        .filter((F.col("etag") != F.col("d_etag")) | (F.col("size") != F.col("d_size")))
+        .select("key")
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        pos_j = changed.select(_pos_spark("key", j).alias("pos"))
+        bits = pos_j if bits is None else bits.unionByName(pos_j)
+    bits = bits.distinct()
+
+    probe = src.select("key")
+    for j in range(_BLOOM_K):
+        probe = probe.withColumn("_p", _pos_spark("key", j)).join(
+            F.broadcast(bits.withColumnRenamed("pos", "_p")), "_p", "left_semi"
+        )
+    candidates = probe.select("key")
+
+    n_total = src.groupBy().agg(F.count("*").alias("n_total"))
+    n_cand = candidates.groupBy().agg(F.count("*").alias("n_candidates"))
+    n_changed = changed.groupBy().agg(F.count("*").alias("n_changed"))
+    return (
+        n_total.crossJoin(n_cand)
+        .crossJoin(n_changed)
+        .select(
+            "n_total",
+            "n_candidates",
+            "n_changed",
+            (F.col("n_candidates") - F.col("n_changed")).alias("n_false_positives"),
+            F.round(
+                (F.col("n_candidates") - F.col("n_changed"))
+                / F.greatest(F.col("n_total") - F.col("n_changed"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+_BLOOM_SQL = oracle_cte("inventory_src", "inventory_dst") + f"""
+, changed AS (
+  SELECT s.key FROM inventory_src s JOIN inventory_dst d ON s.key = d.key
+  WHERE s.etag <> d.etag OR s.size <> d.size
+),
+bits AS (
+  {" UNION ".join(f"SELECT DISTINCT {_pos_sql('key', j)} AS pos FROM changed" for j in range(_BLOOM_K))}
+),
+cand AS (
+  SELECT key FROM inventory_src
+  WHERE {" AND ".join(f"{_pos_sql('key', j)} IN (SELECT pos FROM bits)" for j in range(_BLOOM_K))}
+)
+SELECT (SELECT count(*) FROM inventory_src) AS n_total,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM changed) AS n_changed,
+       (SELECT count(*) FROM cand) - (SELECT count(*) FROM changed) AS n_false_positives,
+       round(((SELECT count(*) FROM cand) - (SELECT count(*) FROM changed))
+             / greatest((SELECT count(*) FROM inventory_src) - (SELECT count(*) FROM changed), 1)::DOUBLE,
+             6) AS fp_rate
+"""
+
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+    "bloom_semi_prune": bloom_semi_prune,
+}
+
+ORACLES = {
+    "zorder_layout": _ZORDER_SQL,
+    "bloom_semi_prune": _BLOOM_SQL,
+}

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from . import (
     behavior,
     dedup,
+    layout,
     expressions,
     joins,
     multimodal,
@@ -57,6 +58,7 @@ _SOURCE_MODULES = [
     similarity,
     multimodal,
     behavior,
+    layout,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -68,6 +70,7 @@ for _m in _SOURCE_MODULES:
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
     # single-row / few-row operational stats (D1-D3, D7-D9, J4-summary)
+    # + the data-layout planners (Z-order buckets, Bloom semi-join reduction)
     "pack_ops_stats": [
         "size_histogram",
         "inventory_stats",
@@ -76,6 +79,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "status_counters",
         "variance_counts",
         "diff_summary",
+        "zorder_layout",
+        "bloom_semi_prune",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -137,7 +142,22 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "earliest_event": [("object_key", "str"), ("etag", "str"), ("ts", "int")],
     "embedding_neardup": [("id_a", "int"), ("id_b", "int"), ("cosine", "num")],
     "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
+    "bloom_semi_prune": [
+        ("n_total", "int"),
+        ("n_candidates", "int"),
+        ("n_changed", "int"),
+        ("n_false_positives", "int"),
+        ("fp_rate", "num"),
+    ],
     "funnel_steps": [("step", "str"), ("n_users", "int")],
+    "zorder_layout": [
+        ("zbucket", "int"),
+        ("n_objects", "int"),
+        ("min_size", "int"),
+        ("max_size", "int"),
+        ("min_day", "int"),
+        ("max_day", "int"),
+    ],
     "retention_cohorts": [("cohort_day", "int"), ("day_offset", "int"), ("n_active", "int")],
     "props_extract": [
         ("event_type", "str"),

@@ -29,6 +29,7 @@ from .operators import (
     dedup,
     expressions,
     joins,
+    layout,
     limits,
     multimodal,
     packs,
@@ -56,6 +57,7 @@ _CORE_MODULES = [
     multimodal,
     verify_ops,
     behavior,  # all members of pack_time_extrema — driver count stays 50
+    layout,  # all members of pack_ops_stats — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round
