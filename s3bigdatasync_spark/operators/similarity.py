@@ -236,12 +236,96 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", "embedding").mapInPandas(kernel, schema)
 
 
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+RP_DIMS = 16
+# planes 100..115: an independent md5-derived ±1 family (disjoint from the
+# LSH planes 0..N_PLANES-1, so projection and bucketing stay uncorrelated)
+_RP_PLANE_BASE = 100
+# sqrt(RP_DIMS) — exact in both engines
+_RP_SCALE = "4.0"
+
+
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    64-dim float vectors → RP_DIMS dims via a deterministic ±1 sign matrix,
+    scaled by 1/sqrt(RP_DIMS). The cheap first stage of any large-scale
+    vector pipeline — a 4× narrower vector shrinks every downstream shuffle
+    and index while keeping pairwise distances within JL distortion bounds
+    (pinned in tests/test_rp.py).
+
+    One (batch × 64) @ (64 × 16) GEMM per Arrow batch inside mapInPandas —
+    embarrassingly parallel, no shuffle at any scale. Long-form output keeps
+    the oracle trivial (DuckDB computes the same signed sums)."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    S = planes_matrix_rp()  # (RP_DIMS, DIM)
+    bc = spark.sparkContext.broadcast(S)
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        smat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+            P = _np.round(M @ smat.T / float(_RP_SCALE), 6)  # (n, RP_DIMS)
+            n = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), RP_DIMS),
+                    "out_dim": _np.tile(_np.arange(RP_DIMS), n),
+                    "proj_v": P.reshape(-1),
+                }
+            )
+
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("out_dim", IntegerType()),
+            StructField("proj_v", DoubleType()),
+        ]
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
+
+
+def planes_matrix_rp():
+    """(RP_DIMS, DIM) ±1 float64 matrix for the projection GEMM."""
+    import numpy as np
+
+    return np.array(
+        [
+            [float(_plane_sign(_RP_PLANE_BASE + j, i)) for i in range(DIM)]
+            for j in range(RP_DIMS)
+        ]
+    )
+
+
+def _rp_sql() -> str:
+    from .vector_lsh import plane_dot_sql
+
+    selects = []
+    for j in range(RP_DIMS):
+        dot = plane_dot_sql("embedding", _RP_PLANE_BASE + j, DIM)
+        selects.append(
+            f"SELECT vec_id, {j} AS out_dim,"
+            f" round({dot} / {_RP_SCALE}, 6) AS proj_v FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
     "lsh_buckets": lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_project": embedding_project,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -270,4 +354,5 @@ ORACLES = {
     "ivf_assign": _IVF_ASSIGN_SQL,
     "lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "embedding_project": _rp_sql(),
 }
