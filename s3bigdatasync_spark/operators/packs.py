@@ -93,7 +93,14 @@ PACK_SPECS: dict[str, list[str]] = {
         "props_extract",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
-    "pack_ann": ["ann_topk_bruteforce", "lsh_buckets", "ann_lsh_topk", "label_centroids"],
+    # + JL random projection
+    "pack_ann": [
+        "ann_topk_bruteforce",
+        "lsh_buckets",
+        "ann_lsh_topk",
+        "label_centroids",
+        "embedding_project",
+    ],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
     # + train/eval shingle-overlap decontamination (same explode-join family)
     "pack_dedup_pairs": [
@@ -112,6 +119,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "token_stats",
         "repetition_stats",
         "source_mix_weights",
+        "bigram_pmi",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan"],
@@ -140,8 +148,10 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_tokens", "int"),
     ],
     "earliest_event": [("object_key", "str"), ("etag", "str"), ("ts", "int")],
+    "embedding_project": [("vec_id", "int"), ("out_dim", "int"), ("proj_v", "num")],
     "embedding_neardup": [("id_a", "int"), ("id_b", "int"), ("cosine", "num")],
     "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
+    "bigram_pmi": [("w1", "str"), ("w2", "str"), ("c_xy", "int"), ("pmi", "num")],
     "bloom_semi_prune": [
         ("n_total", "int"),
         ("n_candidates", "int"),

@@ -579,7 +579,92 @@ FROM per_src, totals
 """
 
 
+# --- bigram collocations (PMI) ----------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 50
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top bigrams by pointwise mutual information
+    — the corpus-statistics pass behind tokenizer-vocabulary and
+    phrase-detection steps in a training-data pipeline.
+
+    pmi = ln( (c_xy / B) / ((c_x / U) * (c_y / U)) ) with B total bigrams,
+    U total unigrams. Two exploded groupBys (bigrams, unigrams) plus two
+    broadcast joins — the unigram relation is vocabulary-sized, orders of
+    magnitude smaller than the corpus, so the big side shuffles once at any
+    scale. Deterministic top-k: (pmi, w1, w2) is a total order."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = docs.selectExpr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0) AS t"
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t)-1, 0)),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        docs.selectExpr("explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    u_total = uni.groupBy().agg(F.sum("c").alias("u_tot"))
+    bg = toks.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    b_total = bg.groupBy().agg(F.sum("c_xy").alias("b_tot"))
+    out = (
+        bg.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.selectExpr("w AS w1", "c AS c_x")), "w1")
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_y")), "w2")
+        .crossJoin(F.broadcast(b_total))
+        .crossJoin(F.broadcast(u_total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("b_tot"))
+                    / ((F.col("c_x") / F.col("u_tot")) * (F.col("c_y") / F.col("u_tot")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "w1", "w2").limit(_PMI_TOP_K)
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c_xy
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM toks)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni)::DOUBLE AS u_tot,
+         (SELECT sum(c_xy) FROM bg)::DOUBLE AS b_tot
+)
+SELECT w1, w2, c_xy,
+       round(ln((c_xy / b_tot) / ((cx.c / u_tot) * (cy.c / u_tot))), 6) AS pmi
+FROM bg, tot
+JOIN uni cx ON cx.w = bg.w1
+JOIN uni cy ON cy.w = bg.w2
+WHERE c_xy >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP_K}
+"""
+
+
 QUERIES = {
+    "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
     "top_tokens": top_tokens,
     "lang_id": lang_id,
@@ -605,4 +690,5 @@ ORACLES = {
     "lang_id": _LANG_ID_SQL,
     "quality_score": _QUALITY_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
+    "bigram_pmi": _PMI_SQL,
 }
