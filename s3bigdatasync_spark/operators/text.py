@@ -62,6 +62,18 @@ def _marker_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def pred_lang_col() -> Column:
+    """The language-ID argmax as ONE per-row expression over `text` —
+    shared by lang_id and the corpus pipeline's single-pass gate."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    scores = {lg: _marker_hits(toks, words) for lg, words in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "und")
+    for lg in _LANG_MARKERS:  # first max wins — same order in the oracle CASE
+        pred = pred.when(scores[lg] == best, lg)
+    return pred
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-marker hit counts per language,
     argmax with deterministic tiebreak (marker order), 'und' when no marker
@@ -110,11 +122,9 @@ _LANG_ID_SQL = (
 )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / punctuation-ratio / stopword-ratio /
-    mean-word-length features + a composite keep/drop score — the standard
-    Gopher/C4-style cheap filters."""
-    docs = prepared(spark, sf_dir).table("documents")
+def quality_cols() -> dict[str, Column]:
+    """Per-row quality expressions over a `text` column — shared by
+    quality_score and the corpus pipeline's single-pass gate computation."""
     n_chars = F.length("text")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
     n_tok = F.size(toks)
@@ -133,6 +143,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (punct_ratio < 0.2)
         & (mean_wl >= 2.0)
         & (mean_wl <= 12.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tok": n_tok,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_wl": mean_wl,
+        "keep": keep,
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation-ratio / stopword-ratio /
+    mean-word-length features + a composite keep/drop score — the standard
+    Gopher/C4-style cheap filters."""
+    docs = prepared(spark, sf_dir).table("documents")
+    c = quality_cols()
+    n_chars, n_tok = c["n_chars"], c["n_tok"]
+    punct_ratio, stop_ratio, mean_wl, keep = (
+        c["punct_ratio"],
+        c["stop_ratio"],
+        c["mean_wl"],
+        c["keep"],
     )
     return docs.select(
         "doc_id",

@@ -14,31 +14,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..operators import prepared
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
     _SHINGLES_SQL,
+    _norm_text,
     dedup_clusters,
-    exact_dedup,
 )
-from ..operators.text import _LANG_MARKERS, _lang_score_sql, lang_id, quality_score
+from ..operators.text import _LANG_MARKERS, _lang_score_sql, pred_lang_col, quality_cols
 
 
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving documents with their audit trail (which gate each doc
     passed). Gates: quality keep, identified language, exact-dup keeper,
-    near-dup cluster keeper."""
-    docs = prepared(spark, sf_dir).table("documents").select("doc_id", "lang")
-    q = quality_score(spark, sf_dir).select("doc_id", "keep", "n_tokens")
-    lid = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    ex = exact_dedup(spark, sf_dir).select(
-        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("exact_keeper")
+    near-dup cluster keeper.
+
+    Every per-row gate (quality features, language argmax, content hash) is
+    computed in ONE projection over a single documents scan — no self-joins
+    of the base table. The exact-dup keeper is a window over content_hash
+    (one shuffle, replacing the old groupBy + join-back = two); the only
+    remaining join is against the near-dup cluster labels, which genuinely
+    come from a different (pair-graph) lineage."""
+    qc = quality_cols()
+    per_doc = prepared(spark, sf_dir).table("documents").select(
+        "doc_id",
+        "lang",
+        pred_lang_col().alias("pred_lang"),
+        qc["n_tok"].cast("long").alias("n_tokens"),
+        qc["keep"].alias("keep"),
+        F.md5(_norm_text()).alias("content_hash"),
+    )
+    exact_keeper = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("content_hash")
     )
     cl = dedup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
     return (
-        docs.join(q, "doc_id")
-        .join(lid, "doc_id")
-        .join(ex, "doc_id", "left")
+        per_doc.withColumn("exact_keeper", exact_keeper)
         .join(cl, "doc_id")
         .select(
             "doc_id",
@@ -46,12 +59,12 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pred_lang",
             "n_tokens",
             "keep",
-            F.coalesce("exact_keeper", F.lit(False)).alias("exact_keeper"),
+            "exact_keeper",
             F.col("is_keeper").alias("cluster_keeper"),
             (
                 F.col("keep")
                 & (F.col("pred_lang") != "und")
-                & F.coalesce("exact_keeper", F.lit(False))
+                & F.col("exact_keeper")
                 & F.col("is_keeper")
             ).alias("in_corpus"),
         )
