@@ -56,6 +56,12 @@ HEADLINE = [
     "stratified_sample",     # deterministic md5-bucket sampling
     "events_pivot",          # conditional-agg pivot
     "top_customers_per_nation",  # per-group top-k over star join
+    "funnel_steps",          # ordered funnel (shrinking broadcast chain)
+    "retention_cohorts",     # cohort triangle (groupBy + broadcast join)
+    "zorder_layout",         # Morton interleave + single-exchange agg
+    "bloom_semi_prune",      # 3x broadcast semi-join bloom probe
+    "embedding_project",     # JL 64->16 GEMM in mapInPandas
+    "bigram_pmi",            # exploded bigram/unigram stats + broadcast PMI
 ]
 
 

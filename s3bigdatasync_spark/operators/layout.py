@@ -138,16 +138,21 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = p.table("inventory_dst").select(
         F.col("key").alias("d_key"), F.col("size").alias("d_size"), F.col("etag").alias("d_etag")
     )
+    # cache: the build-side diff join feeds four consumers (three position
+    # projections and the n_changed count) — pin it so it executes once
     changed = (
         src.join(dst, src.key == dst.d_key)
         .filter((F.col("etag") != F.col("d_etag")) | (F.col("size") != F.col("d_size")))
         .select("key")
+        .cache()
     )
     bits = None
     for j in range(_BLOOM_K):
         pos_j = changed.select(_pos_spark("key", j).alias("pos"))
         bits = pos_j if bits is None else bits.unionByName(pos_j)
-    bits = bits.distinct()
+    # second pin: bits itself feeds THREE broadcast exchanges (one per hash);
+    # the filter relation is <= m rows of one int
+    bits = bits.distinct().cache()
 
     probe = src.select("key")
     for j in range(_BLOOM_K):
