@@ -1,0 +1,435 @@
+"""Corpus-curation operators: deterministic dataset splitting, weighted
+sampling, token-entropy quality signals, Count-Min heavy hitters,
+prefix-filtered similarity joins, and rolling anomaly detection.
+
+These extend the engine past the reference's sync surface into the operations
+a training-data pipeline runs on every corpus refresh. The reference's only
+sampling/scoring machinery is the bounded dry-run caps
+(AzureTaskProducer/config.ini `MAX_OBJ_TOTAL_NUM`, consumed at
+diff_azure_inventory_sqs.py:86-87) and the per-minute status rollup
+(TaskMonitor/s3_monitor_statistic.py:250-301); everything here is new
+capability expressed as pure Catalyst plans plus portable DuckDB oracles.
+
+Scale notes (100 TB):
+  * dataset_split / weighted_sample / word_entropy are scan+project or one
+    vocabulary-bounded shuffle — embarrassingly parallel.
+  * cms_heavy_hitters materializes a DEPTH×WIDTH counter table (192 rows)
+    regardless of corpus size: the sketch IS the shuffle payload, which is
+    the whole point of a Count-Min sketch at scale.
+  * prefix_filter_pairs generates near-dup candidates from the RAREST
+    shingles only (PPJoin prefix filtering) — the equi-join key frequency is
+    bounded by construction, unlike the all-shared-shingles join it refines.
+  * rolling_anomaly partitions its window frames by day, so no global-order
+    single-partition window exists at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import prepared
+from .dedup import JACCARD_THRESHOLD, _SHINGLES_SQL, _shingles
+from ..views import oracle_cte
+
+LN2 = 0.6931471805599453
+
+# --- portable md5-derived buckets ------------------------------------------
+# Spark side: conv(substr(md5(x),1,k),16,10); DuckDB has no conv(), so the
+# oracle expands the same k hex chars positionally (idiom shared with
+# text.stratified_sample / dedup's band hashes — validated in round 1).
+
+
+def _hex_bucket(col: Column, k: int) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, k), 16, 10).cast("long")
+
+
+def _hex_bucket_sql(expr: str, k: int) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (k - 1 - i)}"
+        for i in range(k)
+    )
+    return f"({terms})"
+
+
+# --- dataset_split ----------------------------------------------------------
+
+SPLIT_SEED = "split:"
+_TRAIN_CUT = int(65536 * 0.90)  # md5-bucket space is 16 bits
+_VAL_CUT = int(65536 * 0.95)
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by seeded md5 bucket of
+    doc_id — stable across runs, partitionings, and engines, and independent
+    of the holdout buckets used by stratified_sample/decontaminate (different
+    seed string). Output: per (source, split) doc and char totals, the
+    manifest a tokenizer shard job consumes."""
+    docs = prepared(spark, sf_dir).table("documents")
+    bucket = _hex_bucket(F.concat(F.lit(SPLIT_SEED), F.col("doc_id").cast("string")), 4)
+    split = (
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN {_hex_bucket_sql(f"concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))", 4)} < {_TRAIN_CUT}
+              THEN 'train'
+              WHEN {_hex_bucket_sql(f"concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))", 4)} < {_VAL_CUT}
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+GROUP BY source, split
+"""
+
+
+# --- weighted_sample --------------------------------------------------------
+
+WS_SEED = "ws:"
+WS_K = 25
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson '98): priority = u/w with
+    u = md5-uniform(doc_id), w = n_chars; the k smallest priorities are a
+    without-replacement size-biased sample. u is an exact 32-bit integer and
+    the single IEEE division is correctly rounded, so both engines compute
+    bit-identical priorities — no libm (ln/pow) in the pipeline, unlike
+    exponential-key (A-ES) sampling. Global top-k compiles to
+    TakeOrderedAndProject: no full sort, no single-partition window."""
+    docs = prepared(spark, sf_dir).table("documents")
+    u = _hex_bucket(F.concat(F.lit(WS_SEED), F.col("doc_id").cast("string")), 8)
+    pri = u.cast("double") / F.col("n_chars")
+    top = (
+        docs.select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(WS_K)
+    )
+    rank = F.row_number().over(Window.orderBy("priority", "doc_id"))
+    return top.select(
+        rank.alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("priority", 6).alias("priority"),
+    )
+
+
+_WS_SQL = f"""
+SELECT row_number() OVER (ORDER BY priority, doc_id) AS rank,
+       doc_id, source, n_chars, round(priority, 6) AS priority
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST({_hex_bucket_sql(f"concat('{WS_SEED}', cast(doc_id AS VARCHAR))", 8)} AS DOUBLE)
+           / n_chars AS priority
+  FROM documents)
+ORDER BY priority, doc_id LIMIT {WS_K}
+"""
+
+
+# --- word_entropy -----------------------------------------------------------
+
+_TOK_RE = r"[a-z0-9]+"
+
+
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy + type-token ratio — the classic cheap
+    gibberish/boilerplate signal (low entropy = repetitive filler). Uses the
+    algebraic identity H = log2(n) − (Σ c·ln c)/(n·ln 2) so one grouped
+    aggregate over (doc, token) counts suffices — no per-doc probability
+    normalization pass."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    cnts = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
+    )
+    h = (F.log("n_tokens") - F.col("slc") / F.col("n_tokens")) / F.lit(LN2)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.round(h, 6).alias("entropy"),
+        F.round(F.col("n_unique") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+
+
+_ENTROPY_SQL = rf"""
+WITH cnts AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+agg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_unique,
+         sum(c * ln(c)) AS slc
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_unique,
+       round((ln(n_tokens) - slc / n_tokens) / {LN2}, 6) AS entropy,
+       round(n_unique / CAST(n_tokens AS DOUBLE), 6) AS ttr
+FROM agg
+"""
+
+
+# --- cms_heavy_hitters ------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, read back for the true
+    top-20 tokens: est = min over DEPTH rows of counter[h_j(token)]. The
+    sketch is DEPTH×WIDTH counters (192 rows) no matter the corpus size —
+    map-side partial aggregation means the shuffle payload is the sketch
+    itself, the property that makes CMS the streaming/heavy-hitter structure
+    at 100 TB. Output compares est vs exact: overcount ≥ 0 always (CMS never
+    underestimates), integer-exact in both engines."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+        ).alias("token")
+    )
+    buckets = F.array(
+        *[
+            (_hex_bucket(F.concat(F.lit(f"{j}:"), F.col("token")), 4) % CMS_WIDTH)
+            for j in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        toks.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(CMS_TOPK)
+    )
+    probes = exact.select(
+        "token", "exact_n", F.posexplode(buckets).alias("row", "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "token", "exact_n", "cms_est", (F.col("cms_est") - F.col("exact_n")).alias("overcount")
+    )
+
+
+def _cms_bucket_sql(j: int) -> str:
+    expr = "concat('" + str(j) + ":', token)"
+    return f"({_hex_bucket_sql(expr, 4)} % {CMS_WIDTH})"
+
+
+_CMS_HASH_ROWS = "\n  UNION ALL ".join(
+    f"SELECT token, {j} AS row, {_cms_bucket_sql(j)} AS bucket FROM toks"
+    for j in range(CMS_DEPTH)
+)
+_CMS_PROBE_ROWS = "\n  UNION ALL ".join(
+    f"SELECT token, exact_n, {j} AS row, {_cms_bucket_sql(j)} AS bucket FROM exact"
+    for j in range(CMS_DEPTH)
+)
+
+_CMS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token FROM documents
+),
+hashed AS (
+  {_CMS_HASH_ROWS}
+),
+sketch AS (SELECT row, bucket, count(*) AS cnt FROM hashed GROUP BY row, bucket),
+exact AS (
+  SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+  ORDER BY exact_n DESC, token LIMIT {CMS_TOPK}
+),
+probes AS (
+  {_CMS_PROBE_ROWS}
+)
+SELECT p.token, p.exact_n, min(s.cnt) AS cms_est,
+       min(s.cnt) - p.exact_n AS overcount
+FROM probes p JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+GROUP BY p.token, p.exact_n
+"""
+
+
+# --- prefix_filter_pairs ----------------------------------------------------
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard join — the same relation as
+    ngram_jaccard_pairs (threshold 0.5), but candidates come only from each
+    doc's PREFIX: its |X| - ceil(t*|X|) + 1 globally-rarest shingles
+    (canonical order = document frequency asc, shingle asc). The
+    prefix-filtering lemma guarantees any pair with Jaccard >= t shares a
+    prefix shingle, so the candidate join touches a small, skew-bounded slice
+    of the shingle index instead of every shared shingle — the standard
+    set-similarity-join scale strategy (verified equal to the exhaustive join
+    in tests/test_curation.py)."""
+    spark = prepared(spark, sf_dir)
+    sh = _shingles(spark.table("documents")).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(cnt, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    # prefix length for Jaccard t: n - ceil(t*n) + 1; t = 0.5 → n - (n+1)//2 + 1
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.floor((F.col("n") + 1) / 2) + 1
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_PREFIX_SQL = rf"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle, c.n,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS pos
+  FROM sh s JOIN dfreq d USING (shingle) JOIN cnt c USING (doc_id)
+),
+prefix AS (SELECT doc_id, shingle FROM ranked WHERE pos <= n - (n + 1) // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ix
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(ix / CAST(ca.n + cb.n - ix AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE round(ix / CAST(ca.n + cb.n - ix AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- rolling_anomaly --------------------------------------------------------
+
+ANOMALY_Z = 2.0
+_FRAME = 5  # trailing minutes in the baseline window
+
+
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over per-minute successful-copy counts:
+    each minute is scored against the mean/stddev of the 5 preceding minutes
+    within the same day. Frames are partitioned by day so no global-order
+    window exists — at any scale a partition holds ≤1440 rows. z is computed
+    on integer counts and rounded to 4dp before the flag comparison, so both
+    engines agree despite different variance summation orders."""
+    log = prepared(spark, sf_dir).table("copy_log")
+    minute = F.floor(F.col("replication_time").cast("long") / 60).cast("long")
+    per_min = (
+        log.filter(F.col("replication_status") == 1)
+        .select(minute.alias("minute"))
+        .groupBy("minute")
+        .agg(F.count("*").alias("n"))
+        .withColumn("day", F.floor(F.col("minute") / 1440).cast("long"))
+    )
+    w = Window.partitionBy("day").orderBy("minute").rowsBetween(-_FRAME, -1)
+    mu, sd, m = F.avg("n").over(w), F.stddev_samp("n").over(w), F.count("n").over(w)
+    z = F.when((m == _FRAME) & (sd > 0), F.round((F.col("n") - mu) / sd, 4))
+    return (
+        per_min.withColumn("z", z)
+        .withColumn("is_spike", F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("minute", "n", "z", "is_spike")
+    )
+
+
+_ANOMALY_SQL = oracle_cte("copy_log") + f"""
+, per_min AS (
+  SELECT epoch_us(replication_time) // 1000000 // 60 AS minute, count(*) AS n
+  FROM copy_log WHERE replication_status = 1 GROUP BY 1
+),
+scored AS (
+  SELECT minute, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd,
+         count(n) OVER w AS m
+  FROM (SELECT minute, n, minute // 1440 AS day FROM per_min)
+  WINDOW w AS (PARTITION BY day ORDER BY minute
+               ROWS BETWEEN {_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT minute, n,
+       CASE WHEN m = {_FRAME} AND sd > 0 THEN round((n - mu) / sd, 4) END AS z,
+       abs(CASE WHEN m = {_FRAME} AND sd > 0 THEN round((n - mu) / sd, 4) END)
+         >= {ANOMALY_Z} AS is_spike
+FROM scored
+"""
+
+
+QUERIES = {
+    "dataset_split": dataset_split,
+    "weighted_sample": weighted_sample,
+    "word_entropy": word_entropy,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "prefix_filter_pairs": prefix_filter_pairs,
+    "rolling_anomaly": rolling_anomaly,
+}
+
+ORACLES = {
+    "dataset_split": _SPLIT_SQL,
+    "weighted_sample": _WS_SQL,
+    "word_entropy": _ENTROPY_SQL,
+    "cms_heavy_hitters": _CMS_SQL,
+    "prefix_filter_pairs": _PREFIX_SQL,
+    "rolling_anomaly": _ANOMALY_SQL,
+}

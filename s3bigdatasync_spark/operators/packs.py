@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from . import (
     behavior,
+    curation,
     dedup,
     layout,
     expressions,
@@ -59,6 +60,7 @@ _SOURCE_MODULES = [
     multimodal,
     behavior,
     layout,
+    curation,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -91,6 +93,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "funnel_steps",
         "retention_cohorts",
         "props_extract",
+        "rolling_anomaly",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     # + JL random projection
@@ -108,11 +111,14 @@ PACK_SPECS: dict[str, list[str]] = {
         "minhash_lsh_pairs",
         "embedding_neardup",
         "decontaminate",
+        "prefix_filter_pairs",
     ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
     "pack_fingerprints": ["minhash_signatures", "simhash_fingerprint", "doc_fingerprint"],
     # per-doc text analysis (language-ID, quality, token counting, repetition,
     # corpus mixture weights)
+    # + curation ops: entropy quality signal, CMS heavy hitters, dataset
+    # split manifest, sequential-Poisson weighted sample
     "pack_text_quality": [
         "lang_id",
         "quality_score",
@@ -120,6 +126,10 @@ PACK_SPECS: dict[str, list[str]] = {
         "repetition_stats",
         "source_mix_weights",
         "bigram_pmi",
+        "word_entropy",
+        "cms_heavy_hitters",
+        "dataset_split",
+        "weighted_sample",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan"],
@@ -279,6 +289,39 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("tokens_per_char", "num"),
     ],
     "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+    "word_entropy": [
+        ("doc_id", "int"),
+        ("n_tokens", "int"),
+        ("n_unique", "int"),
+        ("entropy", "num"),
+        ("ttr", "num"),
+    ],
+    "cms_heavy_hitters": [
+        ("token", "str"),
+        ("exact_n", "int"),
+        ("cms_est", "int"),
+        ("overcount", "int"),
+    ],
+    "dataset_split": [
+        ("source", "str"),
+        ("split", "str"),
+        ("n_docs", "int"),
+        ("total_chars", "int"),
+    ],
+    "weighted_sample": [
+        ("rank", "int"),
+        ("doc_id", "int"),
+        ("source", "str"),
+        ("n_chars", "int"),
+        ("priority", "num"),
+    ],
+    "prefix_filter_pairs": [("doc_a", "int"), ("doc_b", "int"), ("jaccard", "num")],
+    "rolling_anomaly": [
+        ("minute", "int"),
+        ("n", "int"),
+        ("z", "num"),
+        ("is_spike", "bool"),
+    ],
 }
 
 

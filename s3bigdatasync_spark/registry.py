@@ -26,6 +26,7 @@ from .operators import (
     analytics,
     behavior,
     cost,
+    curation,
     dedup,
     expressions,
     joins,
@@ -58,6 +59,7 @@ _CORE_MODULES = [
     verify_ops,
     behavior,  # all members of pack_time_extrema — driver count stays 50
     layout,  # all members of pack_ops_stats — driver count stays 50
+    curation,  # all members folded into packs — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round
