@@ -85,6 +85,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries pin caches (range-boundary pinning, reused subtrees); drop
+        # them between measurements so query N's working set doesn't squeeze
+        # query N+1's executors and every number is a cold, independent run.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
