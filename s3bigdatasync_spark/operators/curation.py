@@ -416,6 +416,78 @@ FROM scored
 """
 
 
+# --- pii_redact -------------------------------------------------------------
+
+# Redaction patterns restricted to the Java-regex ∩ RE2 common subset
+# (character classes, bounded repetition, \d, \b) so Spark and the DuckDB
+# oracle compile the identical automaton.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _pii_augmented() -> Column:
+    """Deterministic synthetic PII appended to each document. The testdata
+    corpus is PII-free word salad, so without injection the redaction pass
+    would be vacuously green; this exercises both patterns on every row while
+    keeping the operator a pure function of the input."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from "),
+        ((F.col("doc_id") % 224) + 16).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mandatory pre-training curation pass: find and
+    replace email addresses and IPv4 literals, reporting per-doc match counts
+    and a content hash of the scrubbed text (the downstream-corpus identity).
+
+    Reference has no privacy surface at all; this is new capability. Scale:
+    scan + regexp project, zero shuffles — the plan inherits input
+    partitioning end to end, so at 100 TB it is embarrassingly parallel.
+    Emails are redacted before IP counting so an address can never double-count
+    as a dotted quad."""
+    docs = prepared(spark, sf_dir).table("documents")
+    aug = _pii_augmented()
+    red1 = F.regexp_replace(aug, _PII_EMAIL, "[EMAIL]")
+    red2 = F.regexp_replace(red1, _PII_IPV4, "[IP]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(red1, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.length(red2).cast("long").alias("redacted_len"),
+        F.md5(red2).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' contact user', cast(doc_id AS VARCHAR),
+                '@mail.example.com from ',
+                cast((doc_id % 224) + 16 AS VARCHAR), '.',
+                cast((doc_id * 7) % 256 AS VARCHAR), '.0.',
+                cast((doc_id * 13) % 256 AS VARCHAR)) AS t
+  FROM documents
+), r1 AS (
+  SELECT doc_id, t, regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id,
+       cast(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       cast(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       cast(length(regexp_replace(t1, '{_PII_IPV4}', '[IP]', 'g')) AS BIGINT) AS redacted_len,
+       md5(regexp_replace(t1, '{_PII_IPV4}', '[IP]', 'g')) AS redacted_md5
+FROM r1
+"""
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "weighted_sample": weighted_sample,
@@ -423,6 +495,7 @@ QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "prefix_filter_pairs": prefix_filter_pairs,
     "rolling_anomaly": rolling_anomaly,
+    "pii_redact": pii_redact,
 }
 
 ORACLES = {
@@ -432,4 +505,5 @@ ORACLES = {
     "cms_heavy_hitters": _CMS_SQL,
     "prefix_filter_pairs": _PREFIX_SQL,
     "rolling_anomaly": _ANOMALY_SQL,
+    "pii_redact": _PII_SQL,
 }

@@ -600,6 +600,81 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 )
 
 
+# --- span_dedup: span-level (sub-document) exact dedup ----------------------
+
+SPAN_TOKENS = 8  # non-overlapping token windows; stride == size
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the span-level pass (c.f. paragraph dedup /
+    exact-substring dedup in training-data pipelines): hash non-overlapping
+    8-token spans, flag spans occurring in ≥2 distinct documents, and report
+    each document's duplicated-span fraction with a keep verdict.
+
+    Reference has no sub-object analysis; new capability. Scale: one explode
+    (zero-exchange, inherits scan partitioning), one hash-partitioned agg on
+    the span hash (md5 — uniformly distributed, no skew), one equi-join back
+    on the same key (co-partitioned by AQE), one per-doc agg. No broadcast of
+    the dup set — at 100 TB the duplicated-span relation is itself huge, so it
+    stays distributed; this is deliberately NOT a broadcast semi-join."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    starts = F.when(
+        F.size(F.col("toks")) > 0,
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(SPAN_TOKENS)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("s") + 1, SPAN_TOKENS), " ")
+            ).alias("h"),
+        )
+    )
+    per_h = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs_h"))
+    return (
+        spans.join(per_h, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs_h") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_frac"),
+            (
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")
+                < 0.5
+            ).alias("keep"),
+        )
+    )
+
+
+_SPAN_DEDUP_SQL = rf"""
+WITH spans AS (
+  SELECT doc_id, md5(array_to_string(toks[s + 1 : s + {SPAN_TOKENS}], ' ')) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {SPAN_TOKENS})) AS s
+    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+  )
+), per_h AS (SELECT h, count(DISTINCT doc_id) AS n_docs_h FROM spans GROUP BY h)
+SELECT doc_id, count(*) AS n_spans,
+       cast(sum(CASE WHEN n_docs_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(cast(sum(CASE WHEN n_docs_h > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / cast(count(*) AS DOUBLE), 6) AS dup_frac,
+       cast(sum(CASE WHEN n_docs_h > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / cast(count(*) AS DOUBLE) < 0.5 AS keep
+FROM spans JOIN per_h USING (h)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "simhash_near_pairs": simhash_near_pairs,
@@ -609,6 +684,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprint": simhash_fingerprint,
     "embedding_neardup": embedding_neardup,
+    "span_dedup": span_dedup,
 }
 
 ORACLES = {
@@ -620,4 +696,5 @@ ORACLES = {
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "simhash_fingerprint": _SIMHASH_ORACLE_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
+    "span_dedup": _SPAN_DEDUP_SQL,
 }

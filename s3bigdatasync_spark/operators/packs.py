@@ -83,6 +83,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "diff_summary",
         "zorder_layout",
         "bloom_semi_prune",
+        "data_profile",
+        "table_checksum",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -103,6 +105,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "ann_lsh_topk",
         "label_centroids",
         "embedding_project",
+        "kmeans_lloyd",
     ],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
     # + train/eval shingle-overlap decontamination (same explode-join family)
@@ -114,7 +117,13 @@ PACK_SPECS: dict[str, list[str]] = {
         "prefix_filter_pairs",
     ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
-    "pack_fingerprints": ["minhash_signatures", "simhash_fingerprint", "doc_fingerprint"],
+    # + span-level exact dedup (per-doc duplicated-span fractions)
+    "pack_fingerprints": [
+        "minhash_signatures",
+        "simhash_fingerprint",
+        "doc_fingerprint",
+        "span_dedup",
+    ],
     # per-doc text analysis (language-ID, quality, token counting, repetition,
     # corpus mixture weights)
     # + curation ops: entropy quality signal, CMS heavy hitters, dataset
@@ -130,6 +139,9 @@ PACK_SPECS: dict[str, list[str]] = {
         "cms_heavy_hitters",
         "dataset_split",
         "weighted_sample",
+        "pii_redact",
+        "inverted_index",
+        "bm25_search",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan"],
@@ -149,6 +161,20 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_shingles", "int"),
         ("n_eval_hits", "int"),
         ("contaminated", "bool"),
+    ],
+    "data_profile": [
+        ("col", "str"),
+        ("n_rows", "int"),
+        ("n_null", "int"),
+        ("n_distinct", "int"),
+        ("min_s", "str"),
+        ("max_s", "str"),
+    ],
+    "table_checksum": [
+        ("side", "str"),
+        ("n_rows", "int"),
+        ("total_size", "int"),
+        ("checksum", "int"),
     ],
     "diff_summary": [("variance", "str"), ("n_objects", "int"), ("bytes_to_move", "int")],
     "doc_fingerprint": [
@@ -201,6 +227,7 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("total_size", "int"),
         ("multipart_count", "int"),
     ],
+    "kmeans_lloyd": [("vec_id", "int"), ("cluster", "int"), ("d2", "num")],
     "label_centroids": [("label", "int"), ("dim", "int"), ("centroid_v", "num")],
     "lang_id": [
         ("doc_id", "int"),
@@ -316,6 +343,32 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("priority", "num"),
     ],
     "prefix_filter_pairs": [("doc_a", "int"), ("doc_b", "int"), ("jaccard", "num")],
+    "inverted_index": [
+        ("token", "str"),
+        ("df", "int"),
+        ("tf_total", "int"),
+        ("top_doc_id", "int"),
+        ("top_doc_tf", "int"),
+    ],
+    "bm25_search": [
+        ("doc_id", "int"),
+        ("bm25", "num"),
+        ("n_query_terms", "int"),
+    ],
+    "pii_redact": [
+        ("doc_id", "int"),
+        ("n_emails", "int"),
+        ("n_ips", "int"),
+        ("redacted_len", "int"),
+        ("redacted_md5", "str"),
+    ],
+    "span_dedup": [
+        ("doc_id", "int"),
+        ("n_spans", "int"),
+        ("n_dup_spans", "int"),
+        ("dup_frac", "num"),
+        ("keep", "bool"),
+    ],
     "rolling_anomaly": [
         ("minute", "int"),
         ("n", "int"),

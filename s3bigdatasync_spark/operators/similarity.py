@@ -319,6 +319,144 @@ def _rp_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+# --- Lloyd k-means (iterative, oracle-checked) ------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # assign → update → assign: final assignment vs 1× updated C
+
+
+def _collect_centroids(c_df) -> "tuple":
+    """(sorted cid array, K×DIM matrix) from a long-form (cid, dim, cv)
+    DataFrame — K×DIM rows, the legitimate driver-side state of any
+    distributed k-means (same shape every MLlib iteration ships)."""
+    import numpy as np
+
+    rows = c_df.collect()
+    cids = sorted({r["cid"] for r in rows})
+    dim = max(r["dim"] for r in rows) + 1
+    C = np.zeros((len(cids), dim))
+    for r in rows:
+        C[cids.index(r["cid"]), r["dim"]] = r["cv"]
+    return np.array(cids), C
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding table: K=8, deterministic init (the
+    K lowest vec_ids), KMEANS_ITERS assignment passes with one centroid
+    update between them. The iterative-algorithm pattern done Spark-first:
+    per-iteration state is a K×64 centroid matrix broadcast to a mapInPandas
+    assignment kernel (Arrow-batched GEMM — never a Python row loop), and the
+    update is a posexplode + groupBy(cluster, dim) avg — one shuffle keyed by
+    (cluster, dim), never materializing pairwise distances.
+
+    Oracle-checkable despite floats (the ivf_assign contract): centroids are
+    6dp-rounded in SQL-rounding space, squared distances 6dp-rounded before
+    argmin, ties broken by ascending cluster id — so the discrete ASSIGNMENT
+    is engine-exact; the unrolled-CTE DuckDB oracle replays both iterations."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    v = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
+        "vec_id", "dim", F.col("val").cast("double").alias("val")
+    )
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(KMEANS_K).collect()]
+    cid_map = spark.createDataFrame(
+        [(int(vid), i) for i, vid in enumerate(ids)], "vec_id long, cid int"
+    )
+    c_df = v.join(F.broadcast(cid_map), "vec_id").select(
+        "cid", "dim", F.round("val", 6).alias("cv")
+    )
+    cids, C = _collect_centroids(c_df)
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cluster", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    def make_kernel(bc):
+        def kernel(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            labs, cmat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np.array(
+                    [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]]
+                )
+                d2 = _np.round(((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
+                amin = d2.argmin(axis=1)  # first min → ties break by cid order
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": labs[amin].astype("int32"),
+                        "d2": d2[_np.arange(len(amin)), amin],
+                    }
+                )
+
+        return kernel
+
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        bc = spark.sparkContext.broadcast((cids, C))
+        assigned = emb.select("vec_id", "embedding").mapInPandas(make_kernel(bc), schema)
+        if it < KMEANS_ITERS - 1:
+            upd = (
+                v.join(assigned.select("vec_id", F.col("cluster").alias("cid")), "vec_id")
+                .groupBy("cid", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("cv"))
+            )
+            cids, C = _collect_centroids(upd)
+    return assigned
+
+
+_KMEANS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+init_ids AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+c0 AS (
+  SELECT cid, dim, round(val, 6) AS cv FROM v JOIN init_ids USING (vec_id)
+),
+d1 AS (
+  SELECT v.vec_id, c.cid, round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+  FROM v JOIN c0 c ON v.dim = c.dim GROUP BY v.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT cid, dim, round(avg(val), 6) AS cv
+  FROM v JOIN a1 USING (vec_id) GROUP BY cid, dim
+),
+d2_ AS (
+  SELECT v.vec_id, c.cid, round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+  FROM v JOIN c1 c ON v.dim = c.dim GROUP BY v.vec_id, c.cid
+)
+SELECT vec_id, cid AS cluster, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "label_centroids": label_centroids,
@@ -326,6 +464,7 @@ QUERIES = {
     "lsh_buckets": lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_project": embedding_project,
+    "kmeans_lloyd": kmeans_lloyd,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -355,4 +494,5 @@ ORACLES = {
     "lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "embedding_project": _rp_sql(),
+    "kmeans_lloyd": _KMEANS_SQL,
 }

@@ -217,6 +217,123 @@ WHERE size > 5000000000
 """
 
 
+# --- data_profile: per-column quality/statistics profile ---------------------
+
+# (column, is_numeric) — timestamps excluded: their string rendering is
+# engine-specific; epoch projections are profiled elsewhere (min_max_timestamps)
+_PROFILE_COLS = [
+    ("key", False),
+    ("size", True),
+    ("storage_class", False),
+    ("is_multipart_uploaded", False),
+    ("replication_status", False),
+]
+
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the inventory snapshot — null counts, distinct
+    cardinality, min/max per column — the schema-drift / data-quality gate a
+    pipeline runs before trusting a new snapshot drop.
+
+    One wide agg over a single scan (Catalyst plans the multi-countDistinct
+    via one Expand — still a single shuffle of partial aggregates), then the
+    1-row result is unpivoted driver-free with explode. min/max computed in
+    the column's native type, cast to string only for the canonical layout
+    (lexicographic min of casts would be wrong for numerics)."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = inv.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col"),
+            (F.col("n_rows") - F.col(f"{c}__cnt")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c, _ in _PROFILE_COLS
+    ]
+    return row.select(
+        F.explode(F.array(*entries)).alias("kv"), "n_rows"
+    ).select("kv.col", "n_rows", "kv.n_null", "kv.n_distinct", "kv.min_s", "kv.max_s")
+
+
+def _profile_sql() -> str:
+    ag = ["count(*) AS n_rows"]
+    sel = []
+    for c, _ in _PROFILE_COLS:
+        ag += [
+            f"count({c}) AS {c}__cnt",
+            f"count(DISTINCT {c}) AS {c}__nd",
+            f"cast(min({c}) AS VARCHAR) AS {c}__min",
+            f"cast(max({c}) AS VARCHAR) AS {c}__max",
+        ]
+        sel.append(
+            f"SELECT '{c}' AS col, n_rows, n_rows - {c}__cnt AS n_null,"
+            f" {c}__nd AS n_distinct, {c}__min AS min_s, {c}__max AS max_s FROM ag"
+        )
+    return (
+        oracle_cte("inventory_src")
+        + ", ag AS (SELECT "
+        + ", ".join(ag)
+        + " FROM inventory_src)\n"
+        + "\nUNION ALL\n".join(sel)
+    )
+
+
+# --- table_checksum: orderless snapshot fingerprint --------------------------
+
+_CHK_HEX = 10  # 40-bit per-row hash: sum over 600k rows < 2^60, no overflow
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless content fingerprint of each inventory snapshot — compare two
+    copies of a table WITHOUT moving either: per-row 40-bit md5 chunk, summed.
+    The sum is commutative/associative → map-side partial aggregation, a
+    few-bytes shuffle regardless of table size; at 100 TB each side computes
+    its own 2-row result next to its data and only the fingerprints travel.
+    This is the sync-verification primitive the reference's etag sampling
+    approximates (AzureEtagCheck/etag_app.py:176-192) made exact and cheap."""
+    p = prepared(spark, sf_dir)
+    out = []
+    for side in ("src", "dst"):
+        t = p.table(f"inventory_{side}")
+        sig = F.md5(
+            F.concat_ws("|", F.col("key"), F.col("size").cast("string"), F.col("etag"))
+        )
+        chunk = F.conv(F.substring(sig, 1, _CHK_HEX), 16, 10).cast("long")
+        out.append(
+            t.agg(
+                F.lit(side).alias("side"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("size").alias("total_size"),
+                F.sum(chunk).alias("checksum"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def _checksum_sql() -> str:
+    from .curation import _hex_bucket_sql
+
+    selects = []
+    for side in ("src", "dst"):
+        chunk = _hex_bucket_sql("concat(key, '|', cast(size AS VARCHAR), '|', etag)", _CHK_HEX)
+        selects.append(
+            f"SELECT '{side}' AS side, count(*) AS n_rows,"
+            f" cast(sum(size) AS BIGINT) AS total_size,"
+            f" cast(sum({chunk}) AS BIGINT) AS checksum FROM inventory_{side}"
+        )
+    return oracle_cte("inventory_src", "inventory_dst") + "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "size_histogram": size_histogram,
     "inventory_stats": inventory_stats,
@@ -224,6 +341,8 @@ QUERIES = {
     "sync_eta": sync_eta,
     "status_counters": status_counters,
     "large_object_outliers": large_object_outliers,
+    "data_profile": data_profile,
+    "table_checksum": table_checksum,
 }
 
 ORACLES = {
@@ -233,4 +352,6 @@ ORACLES = {
     "sync_eta": _SYNC_ETA_SQL,
     "status_counters": _STATUS_COUNTERS_SQL,
     "large_object_outliers": _LARGE_OUTLIERS_SQL,
+    "data_profile": _profile_sql(),
+    "table_checksum": _checksum_sql(),
 }

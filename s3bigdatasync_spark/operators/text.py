@@ -9,7 +9,7 @@ the parquet read itself.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
@@ -696,6 +696,140 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+# --- inverted index + BM25 keyword search -----------------------------------
+# The retrieval side of a corpus engine: build token posting-list stats, then
+# rank documents for a keyword query with BM25. Everything is exact-integer
+# tf/df plus one ln and one division on identical doubles (the tfidf_top_terms
+# precedent, round-6 pinned).
+
+IDX_TOP_TOKENS = 50
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window", "stream")
+BM25_TOP_N = 10
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list statistics for the IDX_TOP_TOKENS highest-df tokens:
+    document frequency, total term frequency, and the top-scoring posting
+    (highest tf, doc_id tiebreak). Scale: explode + two hash aggs on the token
+    key + one per-token window — token keys are vocabulary-bounded, and the
+    final top-50 is TakeOrderedAndProject (no global sort materializes)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), "doc_id")
+    per_token = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("top_doc_id"),
+            F.max(F.when(F.col("rnk") == 1, F.col("tf"))).alias("top_doc_tf"),
+        )
+    )
+    return per_token.orderBy(F.desc("df"), F.desc("tf_total"), "token").limit(
+        IDX_TOP_TOKENS
+    )
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf
+)
+SELECT token, count(*) AS df, cast(sum(tf) AS BIGINT) AS tf_total,
+       max(CASE WHEN rnk = 1 THEN doc_id END) AS top_doc_id,
+       max(CASE WHEN rnk = 1 THEN tf END) AS top_doc_tf
+FROM ranked
+GROUP BY token
+ORDER BY df DESC, tf_total DESC, token
+LIMIT {IDX_TOP_TOKENS}
+"""
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query (k1=1.2, b=0.75,
+    idf = ln((N-df+0.5)/(df+0.5)+1)). avgdl is the exact bigint ratio
+    total_tokens/n_docs so no float accumulation order exists anywhere;
+    the only floats are per-term idf/tf ratios and a ≤4-term sum, rounded
+    to 6dp. Scale: the tf relation is pre-filtered to the query tokens
+    (predicate on the explode output, pushed inside the scan stage), df and
+    corpus stats are single-row/4-row broadcasts, and the top-10 is
+    TakeOrderedAndProject."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    qtf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    qdf = qtf.groupBy("token").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        qtf.join(F.broadcast(qdf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count("*").alias("n_query_terms"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_N)
+    )
+
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, cast(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+qtf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ({_BM25_TERMS}) GROUP BY doc_id, token
+), qdf AS (SELECT token, count(*) AS df FROM qtf GROUP BY token)
+SELECT doc_id,
+       round(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * ({BM25_K1} + 1.0)
+         / (tf + {BM25_K1} * (1.0 - {BM25_B}
+            + {BM25_B} * cast(dl AS DOUBLE)
+              / (cast(total_tokens AS DOUBLE) / cast(n_docs AS DOUBLE))))
+       ), 6) AS bm25,
+       count(*) AS n_query_terms
+FROM qtf JOIN qdf USING (token) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
 QUERIES = {
     "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
@@ -709,6 +843,8 @@ QUERIES = {
     "decontaminate": decontaminate,
     "repetition_stats": repetition_stats,
     "source_mix_weights": source_mix_weights,
+    "inverted_index": inverted_index,
+    "bm25_search": bm25_search,
 }
 
 ORACLES = {
@@ -724,4 +860,6 @@ ORACLES = {
     "quality_score": _QUALITY_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
     "bigram_pmi": _PMI_SQL,
+    "inverted_index": _INVERTED_INDEX_SQL,
+    "bm25_search": _BM25_SQL,
 }
