@@ -62,6 +62,13 @@ HEADLINE = [
     "bloom_semi_prune",      # 3x broadcast semi-join bloom probe
     "embedding_project",     # JL 64->16 GEMM in mapInPandas
     "bigram_pmi",            # exploded bigram/unigram stats + broadcast PMI
+    "pii_redact",            # zero-shuffle regex scrub
+    "span_dedup",            # span-hash agg + co-partitioned join back
+    "inverted_index",        # posting stats + per-token window + top-k
+    "bm25_search",           # broadcast df/stats + TakeOrderedAndProject
+    "kmeans_lloyd",          # iterative broadcast-centroid mapInPandas GEMM
+    "table_checksum",        # orderless fingerprint (map-side combinable)
+    "data_profile",          # one wide agg + unpivot
 ]
 
 

@@ -26,3 +26,5 @@ def prepared(spark: SparkSession, sf_dir: str) -> SparkSession:
         _PREPARED.clear()  # one sf_dir active per session at a time
         _PREPARED.add(key)
     return spark
+
+

@@ -614,9 +614,11 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no sub-object analysis; new capability. Scale: one explode
     (zero-exchange, inherits scan partitioning), one hash-partitioned agg on
     the span hash (md5 — uniformly distributed, no skew), one equi-join back
-    on the same key (co-partitioned by AQE), one per-doc agg. No broadcast of
-    the dup set — at 100 TB the duplicated-span relation is itself huge, so it
-    stays distributed; this is deliberately NOT a broadcast semi-join."""
+    on the same key, one per-doc agg. The dup-set join is deliberately
+    unhinted: at test scale stats let Catalyst broadcast the aggregated
+    per-hash side (correct), and at 100 TB — where the duplicated-span
+    relation is itself data-sized — the same plan shuffles instead of
+    OOMing a forced broadcast."""
     docs = prepared(spark, sf_dir).table("documents")
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     starts = F.when(

@@ -44,13 +44,6 @@ def get_spark(app_name: str = "s3bigdatasync-spark", cpus: int | None = None) ->
         # are tiny; the 10 MB default is fine but make intent explicit).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Small-input scan parallelism: the default 4 MiB openCostInBytes packs
-        # a ~17 MiB sf0.1 parquet file into ~3 splits, so every scan stage runs
-        # 3-wide on a 32-core box. Lowering the pack cost lets
-        # bytesPerCore = totalBytes/defaultParallelism govern instead → ~cores
-        # splits. Scale-neutral: at 100 TB bytesPerCore >> openCost and
-        # maxPartitionBytes (untouched, 128 MiB) governs split size.
-        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # Testdata parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (views.register_base_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -175,6 +175,39 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
 
 
+# Rebalance low-parallelism base scans at registration time. Parquet row
+# groups are the unit of scan parallelism, so a file with few row groups (the
+# testbed's single-row-group tables) hands the ENTIRE scan — and every
+# expression fused into the scan stage by the derived views (md5 etag
+# derivations, regex projections, Expand for multi-distinct) — to ONE task,
+# stranding the other cores. Registering the base table behind one round-robin
+# exchange of the raw columns lets all downstream view expressions compute
+# cores-wide. Guarded three ways so it is a NO-OP anywhere it isn't needed:
+#   * scans already yielding >= defaultParallelism/2 splits (every real
+#     cluster scale — 100 TB splits into thousands of row groups) skip it;
+#   * tiny dimension files (< _WIDEN_MIN_BYTES) skip it, so broadcast dims
+#     don't pay a shuffle stage;
+#   * tests/test_plans.py flips WIDEN_SMALL_SCANS off to pin the pure plan
+#     shapes — exactly the shapes that run at scale.
+WIDEN_SMALL_SCANS = True
+_WIDEN_MIN_BYTES = 1 << 20
+
+
+def _widen_if_narrow(spark: SparkSession, df, path: str):
+    import os
+
+    if not WIDEN_SMALL_SCANS:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if size >= _WIDEN_MIN_BYTES and df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
+
+
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the testdata parquet tables as temp views (idempotent)."""
     from pyspark.sql import functions as F
@@ -200,6 +233,7 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
             # tz is UTC, so wall-clock values are unchanged).
             if isinstance(f.dataType, TimestampNTZType):
                 df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        df = _widen_if_narrow(spark, df, path)
         df.createOrReplaceTempView(name)
 
 
