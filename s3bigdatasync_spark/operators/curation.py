@@ -416,6 +416,68 @@ FROM scored
 """
 
 
+# --- ewma_smooth -------------------------------------------------------------
+
+EWMA_ALPHA = 0.5  # dyadic on purpose: 0.5^k and n*0.5^k are EXACT doubles,
+# so the weighted sums are order-independent and engine-identical
+_EWMA_LAGS = 10
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over per-minute successful-copy
+    counts — the smoothing pass a monitoring pipeline runs before
+    thresholding (companion to rolling_anomaly's z-score). Finite-window EWMA
+    over the last 10 observations, lag-based (observation distance, the
+    pandas-ewm convention), frames partitioned by day so no global-order
+    window exists at any scale. With α=0.5 every term is an exact dyadic
+    double → no float-summation-order hazard anywhere."""
+    log = prepared(spark, sf_dir).table("copy_log")
+    minute = F.floor(F.col("replication_time").cast("long") / 60).cast("long")
+    per_min = (
+        log.filter(F.col("replication_status") == 1)
+        .select(minute.alias("minute"))
+        .groupBy("minute")
+        .agg(F.count("*").alias("n"))
+        .withColumn("day", F.floor(F.col("minute") / 1440).cast("long"))
+    )
+    w = Window.partitionBy("day").orderBy("minute")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_LAGS + 1):
+        lag_k = F.lag("n", k).over(w)
+        wt = float(EWMA_ALPHA**k)
+        num = num + F.when(lag_k.isNull(), 0.0).otherwise(lag_k * wt)
+        den = den + F.when(lag_k.isNull(), 0.0).otherwise(F.lit(wt))
+    return (
+        per_min.withColumn("ewma", F.round(num / den, 6))
+        .select("minute", "n", "ewma")
+    )
+
+
+def _ewma_sql() -> str:
+    nums, dens = [], []
+    for k in range(_EWMA_LAGS + 1):
+        wt = repr(EWMA_ALPHA**k)
+        nums.append(
+            f"CASE WHEN lag(n, {k}) OVER w IS NULL THEN 0.0"
+            f" ELSE lag(n, {k}) OVER w * {wt} END"
+        )
+        dens.append(f"CASE WHEN lag(n, {k}) OVER w IS NULL THEN 0.0 ELSE {wt} END")
+    return (
+        oracle_cte("copy_log")
+        + f"""
+, per_min AS (
+  SELECT epoch_us(replication_time) // 1000000 // 60 AS minute, count(*) AS n
+  FROM copy_log WHERE replication_status = 1 GROUP BY 1
+)
+SELECT minute, n,
+       round(({' + '.join(nums)}) / ({' + '.join(dens)}), 6) AS ewma
+FROM (SELECT minute, n, minute // 1440 AS day FROM per_min)
+WINDOW w AS (PARTITION BY day ORDER BY minute)
+"""
+    )
+
+
 # --- pii_redact -------------------------------------------------------------
 
 # Redaction patterns restricted to the Java-regex ∩ RE2 common subset
@@ -496,6 +558,7 @@ QUERIES = {
     "prefix_filter_pairs": prefix_filter_pairs,
     "rolling_anomaly": rolling_anomaly,
     "pii_redact": pii_redact,
+    "ewma_smooth": ewma_smooth,
 }
 
 ORACLES = {
@@ -506,4 +569,5 @@ ORACLES = {
     "prefix_filter_pairs": _PREFIX_SQL,
     "rolling_anomaly": _ANOMALY_SQL,
     "pii_redact": _PII_SQL,
+    "ewma_smooth": _ewma_sql(),
 }

@@ -677,6 +677,41 @@ GROUP BY doc_id
 """
 
 
+# --- cluster_sizes: dup-component census -------------------------------------
+
+
+def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the near-dup graph: how big are the duplicate components and
+    how much does collapsing them save? One groupBy over dedup_clusters'
+    labels, then a size histogram — per component exactly one keeper survives,
+    so n_removed = Σ (size-1)·n_clusters. The report every dedup run ends
+    with. Scale: two tiny hash aggs on top of the CC fixpoint."""
+    cc = dedup_clusters(spark, sf_dir)
+    per_cluster = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removed"),
+        )
+    )
+
+
+_CLUSTER_SIZES_SQL = f"""
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs,
+       (cluster_size - 1) * count(*) AS n_removed
+FROM (
+  SELECT cluster_id, count(*) AS cluster_size
+  FROM ({_DEDUP_CLUSTERS_SQL}) GROUP BY cluster_id
+)
+GROUP BY cluster_size
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "simhash_near_pairs": simhash_near_pairs,
@@ -687,6 +722,7 @@ QUERIES = {
     "simhash_fingerprint": simhash_fingerprint,
     "embedding_neardup": embedding_neardup,
     "span_dedup": span_dedup,
+    "cluster_sizes": cluster_sizes,
 }
 
 ORACLES = {
@@ -699,4 +735,5 @@ ORACLES = {
     "simhash_fingerprint": _SIMHASH_ORACLE_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
+    "cluster_sizes": _CLUSTER_SIZES_SQL,
 }

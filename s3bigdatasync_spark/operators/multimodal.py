@@ -253,12 +253,51 @@ FROM feats WHERE media_type = 'video'
 """
 
 
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level dedup report per media type: unique payloads vs total,
+    duplicate groups, and the bytes a content-addressed store would save —
+    the first pass every multimodal ingestion runs (images/videos recur
+    across crawls far more than text does).
+
+    Scale: per-payload identity is the md5 already computed by the feature
+    kernel, so this is one groupBy on (media_type, content_md5) — hash keys
+    uniformly distributed, map-side combinable — then a per-type rollup."""
+    feats = media_features(spark, sf_dir)
+    per_asset = feats.groupBy("media_type", "content_md5").agg(
+        F.count("*").alias("n_copies"), F.max("byte_len").alias("byte_len")
+    )
+    return per_asset.groupBy("media_type").agg(
+        F.sum("n_copies").alias("n_assets"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.col("n_copies") * F.col("byte_len")).alias("bytes_total"),
+        F.sum((F.col("n_copies") - 1) * F.col("byte_len")).alias("bytes_dedupable"),
+    )
+
+
+_MEDIA_DEDUP_SQL = f"""
+SELECT media_type,
+       cast(sum(n_copies) AS BIGINT) AS n_assets,
+       count(*) AS n_unique,
+       cast(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       cast(sum(n_copies * byte_len) AS BIGINT) AS bytes_total,
+       cast(sum((n_copies - 1) * byte_len) AS BIGINT) AS bytes_dedupable
+FROM (
+  SELECT media_type, content_md5, count(*) AS n_copies, max(byte_len) AS byte_len
+  FROM ({_MEDIA_FEATURES_SQL}) GROUP BY media_type, content_md5
+)
+GROUP BY media_type
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "frame_sample_plan": frame_sample_plan,
+    "media_dedup": media_dedup,
 }
 
 ORACLES = {
     "media_features": _MEDIA_FEATURES_SQL,
     "frame_sample_plan": _FRAME_SAMPLE_SQL,
+    "media_dedup": _MEDIA_DEDUP_SQL,
 }

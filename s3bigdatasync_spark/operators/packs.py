@@ -96,6 +96,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "retention_cohorts",
         "props_extract",
         "rolling_anomaly",
+        "ewma_smooth",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     # + JL random projection
@@ -106,6 +107,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "label_centroids",
         "embedding_project",
         "kmeans_lloyd",
+        "semantic_dedup",
     ],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
     # + train/eval shingle-overlap decontamination (same explode-join family)
@@ -115,6 +117,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "embedding_neardup",
         "decontaminate",
         "prefix_filter_pairs",
+        "cluster_sizes",
     ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
     # + span-level exact dedup (per-doc duplicated-span fractions)
@@ -144,7 +147,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "bm25_search",
     ],
     # multimodal plumbing (media features, frame sampling plan)
-    "pack_media": ["media_features", "frame_sample_plan"],
+    "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
 }
 
 PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
@@ -196,6 +199,21 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("fp_rate", "num"),
     ],
     "funnel_steps": [("step", "str"), ("n_users", "int")],
+    "ewma_smooth": [("minute", "int"), ("n", "int"), ("ewma", "num")],
+    "cluster_sizes": [
+        ("cluster_size", "int"),
+        ("n_clusters", "int"),
+        ("n_docs", "int"),
+        ("n_removed", "int"),
+    ],
+    "media_dedup": [
+        ("media_type", "str"),
+        ("n_assets", "int"),
+        ("n_unique", "int"),
+        ("n_dup_groups", "int"),
+        ("bytes_total", "int"),
+        ("bytes_dedupable", "int"),
+    ],
     "zorder_layout": [
         ("zbucket", "int"),
         ("n_objects", "int"),
@@ -228,6 +246,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("multipart_count", "int"),
     ],
     "kmeans_lloyd": [("vec_id", "int"), ("cluster", "int"), ("d2", "num")],
+    "semantic_dedup": [
+        ("vec_id", "int"),
+        ("cluster", "int"),
+        ("n_close_lower", "int"),
+        ("keep", "bool"),
+    ],
     "label_centroids": [("label", "int"), ("dim", "int"), ("centroid_v", "num")],
     "lang_id": [
         ("doc_id", "int"),

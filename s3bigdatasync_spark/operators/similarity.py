@@ -422,8 +422,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
-_KMEANS_SQL = f"""
-WITH v AS (
+_KMEANS_CTES = f"""v AS (
   SELECT vec_id, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS val
   FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
 ),
@@ -450,11 +449,96 @@ c1 AS (
 d2_ AS (
   SELECT v.vec_id, c.cid, round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
   FROM v JOIN c1 c ON v.dim = c.dim GROUP BY v.vec_id, c.cid
+),
+km_assign AS (
+  SELECT vec_id, cid AS cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_
+  ) WHERE rn = 1
+)"""
+
+_KMEANS_SQL = "WITH " + _KMEANS_CTES + "\nSELECT vec_id, cluster, d2 FROM km_assign"
+
+
+# --- SemDeDup: cluster-bounded semantic dedup --------------------------------
+
+SEM_COS_THRESHOLD = 0.45  # matches dedup.COSINE_THRESHOLD (class-cluster data)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means partitions the embedding
+    space, then near-duplicate search runs ONLY within each cluster — the
+    standard way to keep pairwise work from being O(n²) over the corpus. A
+    vector is dropped when a lower-id vector in its cluster is closer than
+    SEM_COS_THRESHOLD cosine; per-vector verdicts feed a corpus yield stage.
+
+    Scale: pairwise cost is Σ|cluster|² — bounded by K (raise K so clusters
+    track n/target_cluster_size; hierarchical k-means at extreme scale). The
+    cluster self-join shuffles on cluster id; cross-cluster pairs (the
+    deliberate recall trade SemDeDup makes) never materialize anywhere.
+    Cosines ride the same sequential-reduction contract as embedding_neardup
+    (dedup._dot / _cos_sql) so both engines agree bitwise at 6dp."""
+    from .dedup import _dot
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding")
+    a = ve.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster"),
+        F.col("embedding").alias("ea"),
+    )
+    b = ve.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(
+        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))), 6
+    )
+    close_lower = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= SEM_COS_THRESHOLD)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count("*").alias("n_close_lower"))
+    )
+    return (
+        ve.select("vec_id", "cluster")
+        .join(close_lower, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("n_close_lower"), F.lit(0)).alias("n_close_lower"),
+            (F.coalesce(F.col("n_close_lower"), F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from .dedup import _cos_sql
+
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return (
+        "WITH "
+        + _KMEANS_CTES
+        + f""",
+ve AS (
+  SELECT e.vec_id, k.cluster, e.embedding
+  FROM embeddings e JOIN km_assign k USING (vec_id)
+),
+close_lower AS (
+  SELECT eb.vec_id AS vec_id, count(*) AS n_close_lower
+  FROM ve ea JOIN ve eb ON ea.cluster = eb.cluster AND ea.vec_id < eb.vec_id
+  WHERE {cos} >= {SEM_COS_THRESHOLD}
+  GROUP BY eb.vec_id
 )
-SELECT vec_id, cid AS cluster, d2 FROM (
-  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_
-) WHERE rn = 1
+SELECT ve.vec_id, ve.cluster,
+       coalesce(cl.n_close_lower, 0) AS n_close_lower,
+       coalesce(cl.n_close_lower, 0) = 0 AS keep
+FROM ve LEFT JOIN close_lower cl ON ve.vec_id = cl.vec_id
 """
+    )
 
 
 QUERIES = {
@@ -465,6 +549,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_project": embedding_project,
     "kmeans_lloyd": kmeans_lloyd,
+    "semantic_dedup": semantic_dedup,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -495,4 +580,5 @@ ORACLES = {
     "ann_lsh_topk": _ANN_LSH_SQL,
     "embedding_project": _rp_sql(),
     "kmeans_lloyd": _KMEANS_SQL,
+    "semantic_dedup": _semantic_dedup_sql(),
 }

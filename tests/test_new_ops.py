@@ -91,3 +91,49 @@ def test_data_profile_key_column(spark):
     assert key["n_distinct"] >= key["n_rows"] - 1
     sc = prof["storage_class"]
     assert sc["n_distinct"] <= 3
+
+
+def test_semantic_dedup_consistency(spark):
+    rows = similarity.semantic_dedup(spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert r["keep"] == (r["n_close_lower"] == 0)
+    # dropping is one-directional: the lowest-id vector of any cluster keeps
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["keep"]
+
+
+def test_ewma_tracks_counts(spark):
+    rows = curation.ewma_smooth(spark, SF).collect()
+    assert rows
+    by_minute = sorted(rows, key=lambda r: r["minute"])
+    # first observation of a day has ewma == its own count (weight-1 window)
+    first = by_minute[0]
+    assert abs(first["ewma"] - first["n"]) < 1e-9
+    lo, hi = min(r["n"] for r in rows), max(r["n"] for r in rows)
+    assert all(lo - 1e-9 <= r["ewma"] <= hi + 1e-9 for r in rows)
+
+
+def test_cluster_sizes_accounting(spark):
+    rows = dedup.cluster_sizes(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_removed"] == (r["cluster_size"] - 1) * r["n_clusters"]
+
+
+def test_media_dedup_accounting(spark):
+    from s3bigdatasync_spark.operators import multimodal
+
+    rows = multimodal.media_dedup(spark, SF).collect()
+    assert {r["media_type"] for r in rows} <= {"image", "audio", "video"}
+    for r in rows:
+        assert r["n_unique"] <= r["n_assets"]
+        assert r["bytes_dedupable"] <= r["bytes_total"]
+        if r["n_dup_groups"] == 0:
+            assert r["bytes_dedupable"] == 0
