@@ -69,6 +69,9 @@ HEADLINE = [
     "kmeans_lloyd",          # iterative broadcast-centroid mapInPandas GEMM
     "table_checksum",        # orderless fingerprint (map-side combinable)
     "data_profile",          # one wide agg + unpivot
+    "semantic_dedup",        # k-means-bounded pairwise cosine (SemDeDup)
+    "ewma_smooth",           # lag-based EWMA, day-partitioned frames
+    "media_dedup",           # content-addressed asset dedup rollup
 ]
 
 
