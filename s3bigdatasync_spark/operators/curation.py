@@ -478,6 +478,43 @@ WINDOW w AS (PARTITION BY day ORDER BY minute)
     )
 
 
+# --- group_sample ------------------------------------------------------------
+
+GS_SEED = "gs:"
+GS_K = 20
+
+
+def group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: the K docs with the lowest seeded-md5
+    priority in each source — a reproducible reservoir sample per group (the
+    per-source inspection/eval slice curation jobs cut on every refresh).
+    Stable across runs, partitionings, and engines; independent of the
+    split/holdout seeds (distinct seed string). Scale: one window partitioned
+    by source — per-group top-K, no global order."""
+    docs = prepared(spark, sf_dir).table("documents")
+    pri = F.md5(F.concat(F.lit(GS_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri)
+    return (
+        docs.select("source", "doc_id", "lang", "n_chars", pri.alias("priority"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GS_K)
+        .drop("priority")
+    )
+
+
+_GROUP_SAMPLE_SQL = f"""
+SELECT source, doc_id, lang, n_chars, rank FROM (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('{GS_SEED}', cast(doc_id AS VARCHAR)))
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= {GS_K}
+"""
+
+
 # --- pii_redact -------------------------------------------------------------
 
 # Redaction patterns restricted to the Java-regex ∩ RE2 common subset
@@ -559,6 +596,7 @@ QUERIES = {
     "rolling_anomaly": rolling_anomaly,
     "pii_redact": pii_redact,
     "ewma_smooth": ewma_smooth,
+    "group_sample": group_sample,
 }
 
 ORACLES = {
@@ -570,4 +608,5 @@ ORACLES = {
     "rolling_anomaly": _ANOMALY_SQL,
     "pii_redact": _PII_SQL,
     "ewma_smooth": _ewma_sql(),
+    "group_sample": _GROUP_SAMPLE_SQL,
 }

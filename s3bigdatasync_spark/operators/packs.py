@@ -85,6 +85,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "bloom_semi_prune",
         "data_profile",
         "table_checksum",
+        "schema_drift",
+        "quantile_sketch",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -145,6 +147,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "pii_redact",
         "inverted_index",
         "bm25_search",
+        "group_sample",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -164,6 +167,25 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_shingles", "int"),
         ("n_eval_hits", "int"),
         ("contaminated", "bool"),
+    ],
+    "schema_drift": [
+        ("col", "str"),
+        ("src_rows", "int"),
+        ("dst_rows", "int"),
+        ("src_null", "int"),
+        ("dst_null", "int"),
+        ("src_distinct", "int"),
+        ("dst_distinct", "int"),
+        ("distinct_drift", "num"),
+        ("drifted", "bool"),
+    ],
+    "quantile_sketch": [("q", "int"), ("bucket", "int"), ("size_upper", "int")],
+    "group_sample": [
+        ("source", "str"),
+        ("doc_id", "int"),
+        ("lang", "str"),
+        ("n_chars", "int"),
+        ("rank", "int"),
     ],
     "data_profile": [
         ("col", "str"),

@@ -360,6 +360,10 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "dim", F.col("val").cast("double").alias("val")
     )
     ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(KMEANS_K).collect()]
+    if not ids:
+        # empty corpus (bootstrap/restart condition): empty assignment, same
+        # schema — mirrors the oracle, whose CTEs all evaluate to zero rows
+        return spark.createDataFrame([], "vec_id long, cluster int, d2 double")
     cid_map = spark.createDataFrame(
         [(int(vid), i) for i, vid in enumerate(ids)], "vec_id long, cid int"
     )

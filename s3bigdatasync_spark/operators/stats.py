@@ -8,7 +8,7 @@ keys here have tiny cardinality), which is the right shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
@@ -334,6 +334,178 @@ def _checksum_sql() -> str:
     return oracle_cte("inventory_src", "inventory_dst") + "\nUNION ALL\n".join(selects)
 
 
+# --- schema_drift: snapshot-vs-snapshot profile comparison -------------------
+
+
+def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift report between the src and dst inventory snapshots:
+    null-count, distinct-cardinality, and bounds deltas per shared column —
+    the check a sync pipeline runs when a diff looks suspicious ("did the
+    upstream exporter change semantics?"). Two single-scan wide aggs (one per
+    snapshot), unpivoted and joined on column name — a ≤#columns-row join.
+    Distinct-cardinality drift beyond _DRIFT_PCT flags the column."""
+    p = prepared(spark, sf_dir)
+    sides = {}
+    for side in ("src", "dst"):
+        inv = p.table(f"inventory_{side}")
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c, _ in _PROFILE_COLS:
+            aggs += [
+                F.count(c).alias(f"{c}__cnt"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+            ]
+        row = inv.agg(*aggs)
+        entries = [
+            F.struct(
+                F.lit(c).alias("col"),
+                (F.col("n_rows") - F.col(f"{c}__cnt")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+        sides[side] = row.select(
+            F.explode(F.array(*entries)).alias("kv"), "n_rows"
+        ).select(
+            "kv.col",
+            F.col("n_rows").alias(f"{side}_rows"),
+            F.col("kv.n_null").alias(f"{side}_null"),
+            F.col("kv.n_distinct").alias(f"{side}_distinct"),
+        )
+    drift = (
+        (F.col("dst_distinct") - F.col("src_distinct")).cast("double")
+        / F.greatest(F.col("src_distinct"), F.lit(1)).cast("double")
+    )
+    return (
+        sides["src"]
+        .join(sides["dst"], "col")
+        .select(
+            "col",
+            "src_rows",
+            "dst_rows",
+            "src_null",
+            "dst_null",
+            "src_distinct",
+            "dst_distinct",
+            F.round(drift, 6).alias("distinct_drift"),
+            (F.abs(drift) > _DRIFT_PCT).alias("drifted"),
+        )
+    )
+
+
+_DRIFT_PCT = 0.10
+
+
+def _schema_drift_sql() -> str:
+    per_side = []
+    for side in ("src", "dst"):
+        ag = ["count(*) AS n_rows"] + [
+            x
+            for c, _ in _PROFILE_COLS
+            for x in (f"count({c}) AS {c}__cnt", f"count(DISTINCT {c}) AS {c}__nd")
+        ]
+        sel = [
+            f"SELECT '{c}' AS col, n_rows AS {side}_rows,"
+            f" n_rows - {c}__cnt AS {side}_null, {c}__nd AS {side}_distinct"
+            f" FROM ag_{side}"
+            for c, _ in _PROFILE_COLS
+        ]
+        per_side.append(
+            f"ag_{side} AS (SELECT {', '.join(ag)} FROM inventory_{side}),\n"
+            f"prof_{side} AS ({' UNION ALL '.join(sel)})"
+        )
+    drift = (
+        "cast(dst_distinct - src_distinct AS DOUBLE)"
+        " / cast(greatest(src_distinct, 1) AS DOUBLE)"
+    )
+    return (
+        oracle_cte("inventory_src", "inventory_dst")
+        + ", "
+        + ",\n".join(per_side)
+        + f"""
+SELECT col, src_rows, dst_rows, src_null, dst_null, src_distinct, dst_distinct,
+       round({drift}, 6) AS distinct_drift,
+       abs({drift}) > {_DRIFT_PCT} AS drifted
+FROM prof_src JOIN prof_dst USING (col)
+"""
+    )
+
+
+# --- quantile_sketch: mergeable log-bin histogram quantiles ------------------
+
+_QS_QUANTILES = (50, 90, 99)
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate size quantiles from a mergeable log₂-bin histogram — the
+    sketch-shaped alternative to exact percentiles: one map-side-combinable
+    groupBy over ~40 buckets of fixed state, no global order anywhere (exact
+    percentiles need one — see size_percentiles/prefix for that path). The
+    estimate is the upper bound of the first bucket whose cumulative count
+    reaches q·n: deterministic, so the whole ESTIMATE is oracle-checkable —
+    unlike engine-native t-digest/GK sketches whose internals differ.
+    Per-bucket error is bounded by the log₂ bin width (≤2× on size)."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    # floor(log2(x)) via binary-string length — integer-exact in both engines
+    # (Spark's log2 is ln(x)/ln(2), whose 1-ulp error flips floor at powers
+    # of two; bit length cannot)
+    bucket = (F.length(F.bin(F.greatest(F.col("size"), F.lit(1)))) - 1).cast("long")
+    hist = (
+        inv.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # ~40 buckets total: the single-partition window is over sketch state,
+    # not data — the same driver-sized merge every sketch implementation does
+    cum = hist.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(inv.agg(F.count(F.lit(1)).alias("n_total")))
+    )
+    out = None
+    for q in _QS_QUANTILES:
+        est = (
+            cum.filter(F.col("cum") * 100 >= F.col("n_total") * q)
+            .groupBy()
+            .agg(F.min("bucket").alias("bucket"))
+            # empty corpus: the agg-over-nothing row carries a NULL bucket —
+            # no data, no estimate (oracle mirrors via HAVING)
+            .filter(F.col("bucket").isNotNull())
+            .select(
+                F.lit(q).alias("q"),
+                "bucket",
+                (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1).cast("long").alias("size_upper"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
+def _quantile_sketch_sql() -> str:
+    selects = []
+    for q in _QS_QUANTILES:
+        selects.append(
+            f"""
+SELECT {q} AS q, min(bucket) AS bucket,
+       cast(pow(2.0, min(bucket) + 1) - 1 AS BIGINT) AS size_upper
+FROM cum WHERE cum * 100 >= n_total * {q}
+HAVING min(bucket) IS NOT NULL"""
+        )
+    return (
+        oracle_cte("inventory_src")
+        + f"""
+, hist AS (
+  SELECT cast(length(bin(greatest(size, 1))) - 1 AS BIGINT) AS bucket, count(*) AS n
+  FROM inventory_src GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum,
+         (SELECT count(*) FROM inventory_src) AS n_total
+  FROM hist
+)
+"""
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 QUERIES = {
     "size_histogram": size_histogram,
     "inventory_stats": inventory_stats,
@@ -343,6 +515,8 @@ QUERIES = {
     "large_object_outliers": large_object_outliers,
     "data_profile": data_profile,
     "table_checksum": table_checksum,
+    "schema_drift": schema_drift,
+    "quantile_sketch": quantile_sketch,
 }
 
 ORACLES = {
@@ -354,4 +528,6 @@ ORACLES = {
     "large_object_outliers": _LARGE_OUTLIERS_SQL,
     "data_profile": _profile_sql(),
     "table_checksum": _checksum_sql(),
+    "schema_drift": _schema_drift_sql(),
+    "quantile_sketch": _quantile_sketch_sql(),
 }

@@ -63,6 +63,19 @@ EMPTY_SAFE = [
     "doc_chunks",
     "stratified_sample",
     "token_shards",
+    # round-2 batch B
+    "pii_redact",
+    "span_dedup",
+    "inverted_index",
+    "bm25_search",
+    "kmeans_lloyd",
+    "semantic_dedup",
+    "table_checksum",
+    "ewma_smooth",
+    "cluster_sizes",
+    "media_dedup",
+    "group_sample",
+    "quantile_sketch",
 ]
 
 
@@ -72,5 +85,7 @@ def test_empty_input_does_not_crash(spark, empty_sf_dir, name):
 
     _PREPARED.clear()  # force re-registration on the empty dir
     df = registry.full_queries()[name](spark, empty_sf_dir)
-    assert df.count() in (0, 1)  # single-row aggs may emit one null-ish row
+    # single-row aggs may emit one null-ish row; table_checksum reports one
+    # fixed row per snapshot side even when both sides are empty
+    assert df.count() in (0, 1, 2)
     _PREPARED.clear()

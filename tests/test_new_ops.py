@@ -137,3 +137,40 @@ def test_media_dedup_accounting(spark):
         assert r["bytes_dedupable"] <= r["bytes_total"]
         if r["n_dup_groups"] == 0:
             assert r["bytes_dedupable"] == 0
+
+
+def test_schema_drift_flags_dst_changes(spark):
+    rows = {r["col"]: r for r in stats.schema_drift(spark, SF).collect()}
+    assert set(rows) == {c for c, _ in stats._PROFILE_COLS}
+    # dst drops linenumber=1 objects by construction -> row counts differ
+    any_col = next(iter(rows.values()))
+    assert any_col["dst_rows"] < any_col["src_rows"]
+    for r in rows.values():
+        assert r["drifted"] == (abs(r["distinct_drift"]) > stats._DRIFT_PCT)
+
+
+def test_quantile_sketch_monotone_and_bounded(spark):
+    rows = {r["q"]: r for r in stats.quantile_sketch(spark, SF).collect()}
+    assert set(rows) == set(stats._QS_QUANTILES)
+    assert rows[50]["size_upper"] <= rows[90]["size_upper"] <= rows[99]["size_upper"]
+    # each estimate's bucket really covers >= q% of rows (sketch invariant)
+    from s3bigdatasync_spark.operators import prepared
+    from pyspark.sql import functions as F
+
+    inv = prepared(spark, SF).table("inventory_src")
+    n = inv.count()
+    for q, r in rows.items():
+        covered = inv.filter(F.col("size") <= r["size_upper"]).count()
+        assert covered * 100 >= n * q
+
+
+def test_group_sample_deterministic_per_source(spark):
+    rows1 = sorted(map(tuple, curation.group_sample(spark, SF).collect()))
+    rows2 = sorted(map(tuple, curation.group_sample(spark, SF).collect()))
+    assert rows1 == rows2  # bitwise-stable across runs
+    per_source = {}
+    for r in curation.group_sample(spark, SF).collect():
+        per_source.setdefault(r["source"], []).append(r["rank"])
+    for ranks in per_source.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= curation.GS_K
