@@ -293,6 +293,14 @@ def _profile_sql() -> str:
 _CHK_HEX = 10  # 40-bit per-row hash: sum over 600k rows < 2^60, no overflow
 
 
+def checksum_chunk(key="key", size="size", etag="etag"):
+    """The per-row 40-bit md5 chunk the fingerprint sums — shared by the batch
+    operator below and the incremental stream (streaming/checksum.py), so the
+    two can never drift apart."""
+    sig = F.md5(F.concat_ws("|", F.col(key), F.col(size).cast("string"), F.col(etag)))
+    return F.conv(F.substring(sig, 1, _CHK_HEX), 16, 10).cast("long")
+
+
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orderless content fingerprint of each inventory snapshot — compare two
     copies of a table WITHOUT moving either: per-row 40-bit md5 chunk, summed.
@@ -305,10 +313,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for side in ("src", "dst"):
         t = p.table(f"inventory_{side}")
-        sig = F.md5(
-            F.concat_ws("|", F.col("key"), F.col("size").cast("string"), F.col("etag"))
-        )
-        chunk = F.conv(F.substring(sig, 1, _CHK_HEX), 16, 10).cast("long")
+        chunk = checksum_chunk()
         out.append(
             t.agg(
                 F.lit(side).alias("side"),
