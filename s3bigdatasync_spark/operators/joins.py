@@ -236,6 +236,77 @@ WHERE (CASE WHEN dst_etag IS NULL THEN 'New'
 """
 
 
+def diff_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff invertibility proof: APPLYING the computed J4 diff to the dst
+    snapshot must reconstruct src exactly — the property that makes the diff
+    a sufficient sync plan (ship only New/Update payloads + Delete keys, and
+    the replica converges). Reconstruction: dst minus (Update ∪ Delete keys),
+    plus src rows for (New ∪ Update keys); mismatches counted via symmetric
+    anti-joins on the full (key, size, etag) identity.
+
+    One-row report — n_missing/n_extra MUST be 0 and invertible true; a
+    nonzero value at production scale means the diff and the copier disagree
+    about object identity (the class of bug the reference can't detect).
+    Scale: reuses the diff's single shuffle; the anti-joins co-partition on
+    the same key."""
+    p = prepared(spark, sf_dir)
+    src = p.table("inventory_src").select("key", "size", "etag")
+    dst = p.table("inventory_dst").select("key", "size", "etag")
+    diff = _diff_base(spark, sf_dir).select("key", "variance").cache()
+    touched = diff.filter(F.col("variance").isin("Update", "Delete")).select("key")
+    incoming = diff.filter(F.col("variance").isin("New", "Update")).select("key")
+    reconstructed = (
+        dst.join(touched, "key", "left_anti")
+        .unionByName(src.join(incoming, "key", "left_semi"))
+    )
+    n_missing = src.join(reconstructed, ["key", "size", "etag"], "left_anti").count()
+    n_extra = reconstructed.join(src, ["key", "size", "etag"], "left_anti").count()
+    row = [
+        (
+            src.count(),
+            dst.count(),
+            reconstructed.count(),
+            n_missing,
+            n_extra,
+            n_missing == 0 and n_extra == 0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_src long, n_dst long, n_reconstructed long,"
+        " n_missing long, n_extra long, invertible boolean",
+    )
+
+
+_DIFF_APPLY_SQL = oracle_cte("inventory_src", "inventory_dst") + """
+, src AS (SELECT key, size, etag FROM inventory_src),
+  dst AS (SELECT key, size, etag FROM inventory_dst),
+  diff AS (
+    SELECT coalesce(s.key, d.key) AS key,
+           CASE WHEN d.etag IS NULL THEN 'New'
+                WHEN s.etag IS NULL THEN 'Delete'
+                WHEN s.etag <> d.etag OR s.size <> d.size THEN 'Update'
+                ELSE 'Same' END AS variance
+    FROM src s FULL OUTER JOIN dst d ON s.key = d.key
+  ),
+  touched AS (SELECT key FROM diff WHERE variance IN ('Update', 'Delete')),
+  incoming AS (SELECT key FROM diff WHERE variance IN ('New', 'Update')),
+  reconstructed AS (
+    SELECT * FROM dst WHERE key NOT IN (SELECT key FROM touched)
+    UNION ALL
+    SELECT * FROM src WHERE key IN (SELECT key FROM incoming)
+  )
+SELECT (SELECT count(*) FROM src) AS n_src,
+       (SELECT count(*) FROM dst) AS n_dst,
+       (SELECT count(*) FROM reconstructed) AS n_reconstructed,
+       (SELECT count(*) FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM reconstructed)) AS n_missing,
+       (SELECT count(*) FROM (SELECT * FROM reconstructed EXCEPT ALL SELECT * FROM src)) AS n_extra,
+       (SELECT count(*) FROM (SELECT * FROM src EXCEPT ALL SELECT * FROM reconstructed)) = 0
+       AND (SELECT count(*) FROM (SELECT * FROM reconstructed EXCEPT ALL SELECT * FROM src)) = 0
+         AS invertible
+"""
+
+
 def diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 rollup: object count + bytes to move per variance class — the
     reference's cost-estimation input (README.md:4 item 4)."""
@@ -457,6 +528,7 @@ QUERIES = {
     "time_spine_zero_fill": time_spine_zero_fill,
     "inventory_diff": inventory_diff,
     "diff_summary": diff_summary,
+    "diff_apply_check": diff_apply_check,
     "verification_join": verification_join,
 }
 
@@ -468,5 +540,6 @@ ORACLES = {
     "time_spine_zero_fill": _TIME_SPINE_SQL,
     "inventory_diff": _INVENTORY_DIFF_SQL,
     "diff_summary": _DIFF_SUMMARY_SQL,
+    "diff_apply_check": _DIFF_APPLY_SQL,
     "verification_join": _VERIFICATION_SQL,
 }

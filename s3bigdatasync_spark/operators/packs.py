@@ -87,6 +87,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "table_checksum",
         "schema_drift",
         "quantile_sketch",
+        "diff_apply_check",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -167,6 +168,14 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_shingles", "int"),
         ("n_eval_hits", "int"),
         ("contaminated", "bool"),
+    ],
+    "diff_apply_check": [
+        ("n_src", "int"),
+        ("n_dst", "int"),
+        ("n_reconstructed", "int"),
+        ("n_missing", "int"),
+        ("n_extra", "int"),
+        ("invertible", "bool"),
     ],
     "schema_drift": [
         ("col", "str"),

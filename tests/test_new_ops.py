@@ -174,3 +174,14 @@ def test_group_sample_deterministic_per_source(spark):
     for ranks in per_source.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= curation.GS_K
+
+
+def test_diff_is_invertible(spark, sf_dir):
+    """Applying the computed diff to dst must reconstruct src exactly —
+    checked at sf0.01 where the composite key is unique."""
+    from s3bigdatasync_spark.operators import joins
+
+    row = joins.diff_apply_check(spark, sf_dir).collect()[0]
+    assert row["invertible"]
+    assert row["n_missing"] == 0 and row["n_extra"] == 0
+    assert row["n_reconstructed"] == row["n_src"]
