@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.utils import AnalysisException
 
 from ..operators.stats import checksum_chunk
 
@@ -45,7 +46,13 @@ def read_state(spark: SparkSession, state_dir: str):
     """Current running fingerprint (zeros before the first batch)."""
     try:
         rows = spark.read.parquet(state_dir).collect()
-    except Exception:  # path not yet created — first batch
+    except AnalysisException as e:
+        # Only a missing state dir (first batch ever) may start from zeros.
+        # Any other read error must propagate: treating a transient failure
+        # as "no state" would silently reset the fingerprint AND the
+        # batch-id guard, double-applying history on the retry.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         rows = []
     if not rows:
         return {"n_rows": 0, "total_size": 0, "checksum": 0, "last_batch_id": -1}
