@@ -452,16 +452,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graphs are tiny (pairs come from a similarity threshold), so
     this converges in a handful of rounds at any scale.
 
+    The fixpoint iterates ONLY over nodes that appear in at least one
+    near-dup edge: an isolated doc's label can never change, so it is a
+    singleton cluster by construction and joins the result once at the end
+    (left join + coalesce). In a real corpus near-dup participants are a
+    small fraction of all docs, so the per-round working set — and with AQE,
+    the join strategy — is sized by the duplicate population, not the corpus:
+    at 100 TB the loop shuffles millions of rows, not billions, and the full
+    corpus is scanned exactly once outside the loop.
+
     Oracle: the same fixpoint as a DuckDB recursive CTE.
     """
     docs = prepared(spark, sf_dir).table("documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    # Symmetrize in ONE pass: a union of pairs with its own swap would plan
+    # the whole shingle-join subtree twice, and since the input is distinct
+    # (a < b) pairs, the two directions are distinct by construction — no
+    # dedup shuffle needed either.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a"), F.col("doc_b")),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b").cache()
+    # symmetric edges: doc_a alone covers every non-isolated node
+    labels = (
+        edges.select("doc_a")
         .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).cache()
     converged = False
     for _ in range(20):
         neighbor_min = (
@@ -501,10 +525,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_clusters: label propagation did not converge in 20 rounds "
             "(component diameter > 20 — raise the round cap for this graph)"
         )
-    return labels.select(
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        (F.col("doc_id") == F.col("lbl")).alias("is_keeper"),
+        F.coalesce("lbl", "doc_id").alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("lbl", "doc_id")).alias("is_keeper"),
     )
 
 
