@@ -485,7 +485,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = prepared(spark, sf_dir).table("embeddings")
     assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
-    ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding")
+    # cache: ve feeds BOTH sides of the cluster self-join plus the final
+    # verdict projection — without the pin the entire k-means assignment
+    # lineage (two Lloyd passes) executes three times
+    ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding").cache()
     a = ve.select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster"),
