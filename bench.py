@@ -72,6 +72,9 @@ HEADLINE = [
     "semantic_dedup",        # k-means-bounded pairwise cosine (SemDeDup)
     "ewma_smooth",           # lag-based EWMA, day-partitioned frames
     "media_dedup",           # content-addressed asset dedup rollup
+    "snapshot_history",      # SCD2 gaps-and-islands over snapshot versions
+    "retry_worklist",        # map-side-combinable last-attempt agg
+    "hot_prefix_report",     # per-prefix skew + broadcast totals + top-k
 ]
 
 

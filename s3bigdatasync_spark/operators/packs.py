@@ -46,6 +46,7 @@ from . import (
     similarity,
     stats,
     text,
+    timeline,
     windows,
 )
 
@@ -61,6 +62,7 @@ _SOURCE_MODULES = [
     behavior,
     layout,
     curation,
+    timeline,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -88,6 +90,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "schema_drift",
         "quantile_sketch",
         "diff_apply_check",
+        "hot_prefix_report",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -100,6 +103,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "props_extract",
         "rolling_anomaly",
         "ewma_smooth",
+        "snapshot_history",
+        "retry_worklist",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     # + JL random projection
@@ -429,6 +434,29 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n", "int"),
         ("z", "num"),
         ("is_spike", "bool"),
+    ],
+    "snapshot_history": [
+        ("key", "str"),
+        ("etag", "str"),
+        ("v_from", "int"),
+        ("v_to", "int"),
+        ("change", "str"),
+    ],
+    "retry_worklist": [
+        ("object_key", "str"),
+        ("n_attempts", "int"),
+        ("n_failures", "int"),
+        ("last_ts", "int"),
+        ("backoff_bucket", "int"),
+        ("next_attempt_ts", "int"),
+    ],
+    "hot_prefix_report": [
+        ("prefix", "str"),
+        ("n_objects", "int"),
+        ("bytes", "int"),
+        ("share", "num"),
+        ("skew_ratio", "num"),
+        ("hot", "bool"),
     ],
 }
 

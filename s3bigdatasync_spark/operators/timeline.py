@@ -1,0 +1,273 @@
+"""Sync-lifecycle timeline operators — what a long-running sync service needs
+once it has MANY snapshots and MANY copy attempts, not just one src/dst pair.
+
+The reference's workflow already implies all three: it consumes dated diff
+files spanning snapshot ranges (`...20230718-20230724-add.csv`,
+AzureTaskProducer/largeInventoryDiffToSQS.py:33) but keeps no per-key history;
+it redrives failed copies through a dead-letter queue with maxReceiveCount=3
+(libs/sqs_utils.py:111-114, TaskExecutor/TaskExecutor.py:79-85) but has no
+retry WORKLIST view; and it spreads load over randomly-picked queues
+(ListProducer/ListProducer.py:112) precisely because hot key prefixes throttle
+S3 — without ever measuring which prefixes are hot.
+
+  * snapshot_history — SCD2 reconstruction over N inventory snapshots:
+    per-key validity intervals [v_from, v_to] per etag run (gaps-and-islands:
+    lag → change flag → running sum → group). ONE shuffle, keyed by object
+    key; interval count is bounded by churn, not corpus size.
+  * retry_worklist — keys whose LAST copy attempt failed, with exponential
+    backoff scheduling. One map-side-combinable groupBy: the "last attempt"
+    is max(struct(ts, etag, status)) — no window, no join.
+  * hot_prefix_report — per-prefix load skew over the inventory: top-20
+    prefixes by bytes with share and skew ratio vs the uniform-spread
+    expectation. groupBy(prefix) + broadcast 1-row total; at 100 TB this is
+    a map-side-combinable agg over however many prefixes exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import prepared
+from ..views import _KEY, oracle_cte
+
+# --- snapshot_history: SCD2 intervals over three derived snapshots ----------
+
+# Three inventory snapshots derived from lineitem with one portable SQL text
+# (same rules as views.INVENTORY_SRC/DST_SQL): presence grows monotonically
+# (late creates), and a deterministic ~3.5% of keys drift their etag at v2
+# (returnflag R) or v3 (returnflag A) — the churn whose history we keep.
+_CHURN2 = "(l_returnflag = 'R' AND l_partkey % 7 = 0)"
+_CHURN3 = "(l_returnflag = 'A' AND l_partkey % 7 = 0)"
+
+_VERSIONS_SQL = f"""
+SELECT {_KEY} AS key, 1 AS v, md5({_KEY}) AS etag
+FROM lineitem WHERE l_linenumber NOT IN (1, 2)
+UNION ALL
+SELECT {_KEY} AS key, 2 AS v,
+       CASE WHEN {_CHURN2} THEN md5(concat({_KEY}, '#v2')) ELSE md5({_KEY}) END AS etag
+FROM lineitem WHERE l_linenumber <> 1
+UNION ALL
+SELECT {_KEY} AS key, 3 AS v,
+       CASE WHEN {_CHURN2} THEN md5(concat({_KEY}, '#v2'))
+            WHEN {_CHURN3} THEN md5(concat({_KEY}, '#v3'))
+            ELSE md5({_KEY}) END AS etag
+FROM lineitem
+""".strip()
+
+
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key etag validity intervals across snapshot versions, restricted to
+    keys that actually changed (≥2 runs) — the SCD2 answer to "when did this
+    object change and what did it change from".
+
+    Gaps-and-islands: one window partitioned by key (one hash shuffle),
+    change-flag via lag, run ids via running sum, then a groupBy collapse per
+    run. Nothing is ever ordered globally; at 100 TB the shuffle is keyed by
+    object key exactly like the flagship diff."""
+    versions = prepared(spark, sf_dir).sql(_VERSIONS_SQL)
+    wk = Window.partitionBy("key").orderBy("v")
+    marked = versions.withColumn(
+        "new_run",
+        F.when(
+            F.lag("etag").over(wk).isNull() | (F.lag("etag").over(wk) != F.col("etag")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("new_run").over(wk))
+    hist = runs.groupBy("key", "run_id", "etag").agg(
+        F.min("v").alias("v_from"), F.max("v").alias("v_to")
+    )
+    n_runs = F.count("*").over(Window.partitionBy("key"))
+    return (
+        hist.withColumn("n_runs", n_runs)
+        .filter(F.col("n_runs") > 1)
+        .select(
+            "key",
+            "etag",
+            F.col("v_from").cast("int").alias("v_from"),
+            F.col("v_to").cast("int").alias("v_to"),
+            F.when(F.col("run_id") == 1, F.lit("create"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+        )
+    )
+
+
+_SNAPSHOT_HISTORY_SQL = f"""
+WITH versions AS (
+{_VERSIONS_SQL}
+),
+marked AS (
+  SELECT key, v, etag,
+         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v) IS NULL
+                OR lag(etag) OVER (PARTITION BY key ORDER BY v) <> etag
+              THEN 1 ELSE 0 END AS new_run
+  FROM versions
+),
+runs AS (
+  SELECT key, v, etag,
+         sum(new_run) OVER (PARTITION BY key ORDER BY v) AS run_id
+  FROM marked
+),
+hist AS (
+  SELECT key, run_id, etag, min(v) AS v_from, max(v) AS v_to
+  FROM runs GROUP BY key, run_id, etag
+)
+SELECT key, etag, cast(v_from AS INT) AS v_from, cast(v_to AS INT) AS v_to,
+       CASE WHEN run_id = 1 THEN 'create' ELSE 'update' END AS change
+FROM (SELECT *, count(*) OVER (PARTITION BY key) AS n_runs FROM hist)
+WHERE n_runs > 1
+"""
+
+
+# --- retry_worklist: last-attempt-failed keys with backoff ------------------
+
+_MAX_BACKOFF = 5  # cap: 2^5 minutes; reference redrives after 3 receives
+
+
+def retry_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-retry worklist: every key whose most recent attempt failed, with
+    attempt counts and an exponential-backoff next-attempt time.
+
+    One groupBy over copy_log: the latest attempt per key is
+    max(struct(ts, etag, status)) — a map-side-combinable agg, deterministic
+    because (ts, etag) is unique per attempt. No window, no self-join; at
+    100 TB this is a single shuffle keyed by object key."""
+    cl = prepared(spark, sf_dir).table("copy_log")
+    agg = cl.groupBy("object_key").agg(
+        F.count("*").alias("n_attempts"),
+        F.sum(
+            F.when(F.col("replication_status") == 0, 1).otherwise(0)
+        ).alias("n_failures"),
+        F.max(
+            F.struct(
+                F.col("replication_time").cast("long").alias("ts"),
+                F.col("etag"),
+                F.col("replication_status").alias("status"),
+            )
+        ).alias("last"),
+    )
+    backoff = F.least(F.col("n_failures"), F.lit(_MAX_BACKOFF)).cast("int")
+    return (
+        agg.filter(F.col("last.status") == 0)
+        .select(
+            "object_key",
+            F.col("n_attempts").cast("long").alias("n_attempts"),
+            F.col("n_failures").cast("long").alias("n_failures"),
+            F.col("last.ts").alias("last_ts"),
+            backoff.alias("backoff_bucket"),
+            (
+                F.col("last.ts")
+                + F.lit(60) * F.floor(F.pow(F.lit(2.0), backoff)).cast("long")
+            ).alias("next_attempt_ts"),
+        )
+    )
+
+
+_RETRY_WORKLIST_SQL = oracle_cte("copy_log") + f"""
+, attempts AS (
+  SELECT object_key,
+         epoch_us(replication_time) // 1000000 AS ts,
+         etag, replication_status
+  FROM copy_log
+),
+agg AS (
+  SELECT object_key,
+         count(*) AS n_attempts,
+         sum(CASE WHEN replication_status = 0 THEN 1 ELSE 0 END) AS n_failures
+  FROM attempts GROUP BY object_key
+),
+last AS (
+  SELECT object_key, ts AS last_ts, replication_status AS last_status
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY object_key ORDER BY ts DESC, etag DESC
+    ) AS rn FROM attempts
+  ) WHERE rn = 1
+)
+SELECT a.object_key,
+       cast(a.n_attempts AS BIGINT) AS n_attempts,
+       cast(a.n_failures AS BIGINT) AS n_failures,
+       l.last_ts,
+       cast(least(a.n_failures, {_MAX_BACKOFF}) AS INT) AS backoff_bucket,
+       l.last_ts + 60 * cast(floor(pow(2.0, least(a.n_failures, {_MAX_BACKOFF}))) AS BIGINT)
+         AS next_attempt_ts
+FROM agg a JOIN last l USING (object_key)
+WHERE l.last_status = 0
+"""
+
+
+# --- hot_prefix_report: per-prefix load skew --------------------------------
+
+_TOP_PREFIXES = 20
+_HOT_SKEW = 2.0  # a prefix carrying >2x its uniform share is "hot"
+
+
+def hot_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 key prefixes by bytes with share-of-total and skew ratio vs the
+    uniform-spread expectation — the hotspot detector that tells a sync
+    planner which prefixes to shard further (S3 throttles per prefix; the
+    reference's random queue spread is the blind version of this).
+
+    groupBy(prefix) with map-side combine, then one broadcast of the 1-row
+    totals; top-k via TakeOrderedAndProject. Division before the prefix-count
+    multiply keeps the skew ratio in double range at any byte scale."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    by_pfx = (
+        inv.select(F.substring("key", 1, 2).alias("prefix"), "size")
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_objects"), F.sum("size").alias("bytes"))
+    )
+    totals = by_pfx.agg(
+        F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_prefixes")
+    )
+    share = F.round(F.col("bytes") / F.col("total_bytes"), 6)
+    skew = F.round(F.col("bytes") / F.col("total_bytes") * F.col("n_prefixes"), 6)
+    return (
+        by_pfx.crossJoin(F.broadcast(totals))
+        .select(
+            "prefix",
+            "n_objects",
+            "bytes",
+            share.alias("share"),
+            skew.alias("skew_ratio"),
+            (skew > _HOT_SKEW).alias("hot"),
+        )
+        .orderBy(F.desc("bytes"), "prefix")
+        .limit(_TOP_PREFIXES)
+    )
+
+
+_HOT_PREFIX_SQL = oracle_cte("inventory_src") + f"""
+, by_pfx AS (
+  SELECT substring(key, 1, 2) AS prefix,
+         count(*) AS n_objects,
+         cast(sum(size) AS BIGINT) AS bytes
+  FROM inventory_src GROUP BY 1
+),
+totals AS (
+  SELECT cast(sum(bytes) AS BIGINT) AS total_bytes, count(*) AS n_prefixes
+  FROM by_pfx
+)
+SELECT prefix, n_objects, bytes,
+       round(bytes / total_bytes, 6) AS share,
+       round(bytes / total_bytes * n_prefixes, 6) AS skew_ratio,
+       round(bytes / total_bytes * n_prefixes, 6) > {_HOT_SKEW} AS hot
+FROM by_pfx, totals
+ORDER BY bytes DESC, prefix
+LIMIT {_TOP_PREFIXES}
+"""
+
+
+QUERIES = {
+    "snapshot_history": snapshot_history,
+    "retry_worklist": retry_worklist,
+    "hot_prefix_report": hot_prefix_report,
+}
+
+ORACLES = {
+    "snapshot_history": _SNAPSHOT_HISTORY_SQL,
+    "retry_worklist": _RETRY_WORKLIST_SQL,
+    "hot_prefix_report": _HOT_PREFIX_SQL,
+}

@@ -40,6 +40,7 @@ from .operators import (
     star,
     stats,
     text,
+    timeline,
     verify_ops,
     windows,
 )
@@ -60,6 +61,7 @@ _CORE_MODULES = [
     behavior,  # all members of pack_time_extrema — driver count stays 50
     layout,  # all members of pack_ops_stats — driver count stays 50
     curation,  # all members folded into packs — driver count stays 50
+    timeline,  # all members folded into packs — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round
