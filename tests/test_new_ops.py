@@ -185,3 +185,47 @@ def test_diff_is_invertible(spark, sf_dir):
     assert row["invertible"]
     assert row["n_missing"] == 0 and row["n_extra"] == 0
     assert row["n_reconstructed"] == row["n_src"]
+
+
+def test_snapshot_history_intervals_well_formed(spark):
+    """SCD2 invariants: intervals are ordered and non-overlapping per key,
+    every key's first run is the create, and every kept key really changed."""
+    from s3bigdatasync_spark.operators import timeline
+
+    per_key = {}
+    for r in timeline.snapshot_history(spark, SF).collect():
+        assert 1 <= r["v_from"] <= r["v_to"] <= 3
+        per_key.setdefault(r["key"], []).append(r)
+    assert per_key, "no churned keys at this SF"
+    for runs in per_key.values():
+        runs.sort(key=lambda r: r["v_from"])
+        assert len(runs) > 1  # only changed keys are reported
+        assert runs[0]["change"] == "create"
+        for a, b in zip(runs, runs[1:]):
+            assert b["change"] == "update"
+            assert b["v_from"] == a["v_to"] + 1  # contiguous, non-overlapping
+            assert b["etag"] != a["etag"]  # a run boundary is a real change
+
+
+def test_retry_worklist_backoff_schedule(spark):
+    from s3bigdatasync_spark.operators import timeline
+
+    rows = timeline.retry_worklist(spark, SF).collect()
+    assert rows, "no failed last attempts at this SF"
+    for r in rows:
+        assert 1 <= r["n_failures"] <= r["n_attempts"]
+        assert r["backoff_bucket"] == min(r["n_failures"], timeline._MAX_BACKOFF)
+        assert r["next_attempt_ts"] == r["last_ts"] + 60 * 2 ** r["backoff_bucket"]
+
+
+def test_hot_prefix_report_shares_consistent(spark):
+    from s3bigdatasync_spark.operators import timeline
+
+    rows = timeline.hot_prefix_report(spark, SF).collect()
+    assert 0 < len(rows) <= timeline._TOP_PREFIXES
+    # sorted by bytes desc; shares are probabilities; hot matches skew
+    bs = [r["bytes"] for r in rows]
+    assert bs == sorted(bs, reverse=True)
+    assert sum(r["share"] for r in rows) <= 1.000001
+    for r in rows:
+        assert r["hot"] == (r["skew_ratio"] > timeline._HOT_SKEW)
