@@ -76,6 +76,10 @@ EMPTY_SAFE = [
     "media_dedup",
     "group_sample",
     "quantile_sketch",
+    # timeline family
+    "snapshot_history",
+    "retry_worklist",
+    "hot_prefix_report",
 ]
 
 
