@@ -214,10 +214,14 @@ def hot_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals; top-k via TakeOrderedAndProject. Division before the prefix-count
     multiply keeps the skew ratio in double range at any byte scale."""
     inv = prepared(spark, sf_dir).table("inventory_src")
+    # cache: by_pfx feeds both the top-k projection and the totals broadcast;
+    # without the pin the inventory scan+agg executes twice. The cached
+    # relation is one row per prefix — tiny at any corpus scale.
     by_pfx = (
         inv.select(F.substring("key", 1, 2).alias("prefix"), "size")
         .groupBy("prefix")
         .agg(F.count("*").alias("n_objects"), F.sum("size").alias("bytes"))
+        .cache()
     )
     totals = by_pfx.agg(
         F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_prefixes")
