@@ -75,6 +75,7 @@ HEADLINE = [
     "snapshot_history",      # SCD2 gaps-and-islands over snapshot versions
     "retry_worklist",        # map-side-combinable last-attempt agg
     "hot_prefix_report",     # per-prefix skew + broadcast totals + top-k
+    "restore_plan",          # pushed-down class filter + integer-money agg
 ]
 
 

@@ -91,6 +91,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "quantile_sketch",
         "diff_apply_check",
         "hot_prefix_report",
+        "retention_sweep",
+        "restore_plan",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -457,6 +459,19 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("share", "num"),
         ("skew_ratio", "num"),
         ("hot", "bool"),
+    ],
+    "retention_sweep": [
+        ("expire_after_v", "int"),
+        ("n_versions", "int"),
+        ("bytes_reclaimable", "int"),
+    ],
+    "restore_plan": [
+        ("tier", "str"),
+        ("n_objects", "int"),
+        ("bytes", "int"),
+        ("retrieval_fee_micro_usd", "int"),
+        ("request_fee_micro_usd", "int"),
+        ("total_fee_micro_usd", "int"),
     ],
 }
 

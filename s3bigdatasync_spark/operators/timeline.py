@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
-from ..views import _KEY, oracle_cte
+from ..views import _KEY, _SIZE, oracle_cte
 
 # --- snapshot_history: SCD2 intervals over three derived snapshots ----------
 
@@ -40,20 +40,46 @@ from ..views import _KEY, oracle_cte
 _CHURN2 = "(l_returnflag = 'R' AND l_partkey % 7 = 0)"
 _CHURN3 = "(l_returnflag = 'A' AND l_partkey % 7 = 0)"
 
+_N_VERSIONS = 3
+
 _VERSIONS_SQL = f"""
-SELECT {_KEY} AS key, 1 AS v, md5({_KEY}) AS etag
+SELECT {_KEY} AS key, 1 AS v, md5({_KEY}) AS etag, {_SIZE} AS size
 FROM lineitem WHERE l_linenumber NOT IN (1, 2)
 UNION ALL
 SELECT {_KEY} AS key, 2 AS v,
-       CASE WHEN {_CHURN2} THEN md5(concat({_KEY}, '#v2')) ELSE md5({_KEY}) END AS etag
+       CASE WHEN {_CHURN2} THEN md5(concat({_KEY}, '#v2')) ELSE md5({_KEY}) END AS etag,
+       {_SIZE} AS size
 FROM lineitem WHERE l_linenumber <> 1
 UNION ALL
 SELECT {_KEY} AS key, 3 AS v,
        CASE WHEN {_CHURN2} THEN md5(concat({_KEY}, '#v2'))
             WHEN {_CHURN3} THEN md5(concat({_KEY}, '#v3'))
-            ELSE md5({_KEY}) END AS etag
+            ELSE md5({_KEY}) END AS etag,
+       {_SIZE} AS size
 FROM lineitem
 """.strip()
+
+
+def _version_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapsed etag runs per key over the snapshot versions: one row per
+    (key, run_id) with [v_from, v_to] and the (version-constant) size.
+    Gaps-and-islands on ONE hash shuffle keyed by object key; both windows
+    and the collapse aggregate reuse that partitioning."""
+    versions = prepared(spark, sf_dir).sql(_VERSIONS_SQL)
+    wk = Window.partitionBy("key").orderBy("v")
+    marked = versions.withColumn(
+        "new_run",
+        F.when(
+            F.lag("etag").over(wk).isNull() | (F.lag("etag").over(wk) != F.col("etag")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("run_id", F.sum("new_run").over(wk))
+    return runs.groupBy("key", "run_id", "etag").agg(
+        F.min("v").alias("v_from"),
+        F.max("v").alias("v_to"),
+        F.min("size").alias("size"),
+    )
 
 
 def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,19 +91,7 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     change-flag via lag, run ids via running sum, then a groupBy collapse per
     run. Nothing is ever ordered globally; at 100 TB the shuffle is keyed by
     object key exactly like the flagship diff."""
-    versions = prepared(spark, sf_dir).sql(_VERSIONS_SQL)
-    wk = Window.partitionBy("key").orderBy("v")
-    marked = versions.withColumn(
-        "new_run",
-        F.when(
-            F.lag("etag").over(wk).isNull() | (F.lag("etag").over(wk) != F.col("etag")),
-            1,
-        ).otherwise(0),
-    )
-    runs = marked.withColumn("run_id", F.sum("new_run").over(wk))
-    hist = runs.groupBy("key", "run_id", "etag").agg(
-        F.min("v").alias("v_from"), F.max("v").alias("v_to")
-    )
+    hist = _version_runs(spark, sf_dir)
     n_runs = F.count("*").over(Window.partitionBy("key"))
     return (
         hist.withColumn("n_runs", n_runs)
@@ -264,14 +278,139 @@ LIMIT {_TOP_PREFIXES}
 """
 
 
+# --- retention_sweep: noncurrent-version cleanup accounting ------------------
+
+
+def retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noncurrent-version cleanup plan: every etag run that ended before the
+    latest snapshot is a superseded copy still occupying storage — group them
+    by the version they expired after and report count + reclaimable bytes.
+    This is the S3 lifecycle `NoncurrentVersionExpiration` decision computed
+    from data instead of guessed: the input is the same one-shuffle run
+    relation as snapshot_history, the rollup is a ≤(N_VERSIONS-1)-row agg."""
+    runs = _version_runs(spark, sf_dir)
+    return (
+        runs.filter(F.col("v_to") < _N_VERSIONS)
+        .groupBy(F.col("v_to").cast("int").alias("expire_after_v"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum("size").alias("bytes_reclaimable"),
+        )
+    )
+
+
+_RETENTION_SWEEP_SQL = f"""
+WITH versions AS (
+{_VERSIONS_SQL}
+),
+marked AS (
+  SELECT key, v, etag, size,
+         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v) IS NULL
+                OR lag(etag) OVER (PARTITION BY key ORDER BY v) <> etag
+              THEN 1 ELSE 0 END AS new_run
+  FROM versions
+),
+runs AS (
+  SELECT key, v, etag, size,
+         sum(new_run) OVER (PARTITION BY key ORDER BY v) AS run_id
+  FROM marked
+),
+hist AS (
+  SELECT key, run_id, etag, min(v) AS v_from, max(v) AS v_to, min(size) AS size
+  FROM runs GROUP BY key, run_id, etag
+)
+SELECT cast(v_to AS INT) AS expire_after_v,
+       count(*) AS n_versions,
+       cast(sum(size) AS BIGINT) AS bytes_reclaimable
+FROM hist WHERE v_to < {_N_VERSIONS}
+GROUP BY 1
+"""
+
+
+# --- restore_plan: Glacier restore batching + fee estimate -------------------
+
+# Retrieval pricing in micro-USD per GiB (published S3 Glacier Flexible
+# Retrieval rates: Standard $0.01/GB, Bulk $0.0025/GB) and per restore
+# request (Standard $0.05/1000 = 50 micro-USD). Integer micro-USD arithmetic
+# end-to-end — money never touches a double (oracle-exact at any magnitude).
+_RESTORE_RATES_MICRO_PER_GIB = {"Standard": 10_000, "Bulk": 2_500}
+_REQUEST_FEE_MICRO = 50
+_BULK_CUTOFF_BYTES = 1 << 30  # objects >= 1 GiB restore via Bulk
+_GIB = 1 << 30
+
+
+def restore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore plan for GLACIER-class objects: cross-region copy cannot read
+    archived objects, so the sync must first issue restores (the reference
+    carries StorageClass through its whole pipeline — manifest fileSchema,
+    ListProducer/manifest.json:6 — but never plans for it). Tier selection is
+    deterministic (>= 1 GiB restores Bulk, else Standard); fees are integer
+    micro-USD: retrieval = bytes*rate div GiB summed per object, requests =
+    n * 50. One pushed-down filter + one two-row agg — scan-shaped at any
+    corpus size."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    bulk = _RESTORE_RATES_MICRO_PER_GIB["Bulk"]
+    std = _RESTORE_RATES_MICRO_PER_GIB["Standard"]
+    per_obj = inv.filter(F.col("storage_class") == "GLACIER").selectExpr(
+        f"CASE WHEN size >= {_BULK_CUTOFF_BYTES} THEN 'Bulk' ELSE 'Standard' END AS tier",
+        "size",
+        f"(size * CASE WHEN size >= {_BULK_CUTOFF_BYTES} THEN {bulk} ELSE {std} END)"
+        f" div {_GIB} AS fee_micro",
+    )
+    return (
+        per_obj.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum("size").alias("bytes"),
+            F.sum("fee_micro").alias("retrieval_fee_micro_usd"),
+            (F.count("*") * _REQUEST_FEE_MICRO).alias("request_fee_micro_usd"),
+        )
+        .select(
+            "tier",
+            "n_objects",
+            "bytes",
+            "retrieval_fee_micro_usd",
+            "request_fee_micro_usd",
+            (
+                F.col("retrieval_fee_micro_usd") + F.col("request_fee_micro_usd")
+            ).alias("total_fee_micro_usd"),
+        )
+    )
+
+
+_RESTORE_PLAN_SQL = oracle_cte("inventory_src") + f"""
+, per_obj AS (
+  SELECT CASE WHEN size >= {_BULK_CUTOFF_BYTES} THEN 'Bulk' ELSE 'Standard' END AS tier,
+         size,
+         (size * CASE WHEN size >= {_BULK_CUTOFF_BYTES}
+                      THEN {_RESTORE_RATES_MICRO_PER_GIB['Bulk']}
+                      ELSE {_RESTORE_RATES_MICRO_PER_GIB['Standard']} END) // {_GIB}
+           AS fee_micro
+  FROM inventory_src WHERE storage_class = 'GLACIER'
+)
+SELECT tier,
+       count(*) AS n_objects,
+       cast(sum(size) AS BIGINT) AS bytes,
+       cast(sum(fee_micro) AS BIGINT) AS retrieval_fee_micro_usd,
+       cast(count(*) * {_REQUEST_FEE_MICRO} AS BIGINT) AS request_fee_micro_usd,
+       cast(sum(fee_micro) + count(*) * {_REQUEST_FEE_MICRO} AS BIGINT)
+         AS total_fee_micro_usd
+FROM per_obj GROUP BY tier
+"""
+
+
 QUERIES = {
     "snapshot_history": snapshot_history,
     "retry_worklist": retry_worklist,
     "hot_prefix_report": hot_prefix_report,
+    "retention_sweep": retention_sweep,
+    "restore_plan": restore_plan,
 }
 
 ORACLES = {
     "snapshot_history": _SNAPSHOT_HISTORY_SQL,
     "retry_worklist": _RETRY_WORKLIST_SQL,
     "hot_prefix_report": _HOT_PREFIX_SQL,
+    "retention_sweep": _RETENTION_SWEEP_SQL,
+    "restore_plan": _RESTORE_PLAN_SQL,
 }

@@ -80,6 +80,8 @@ EMPTY_SAFE = [
     "snapshot_history",
     "retry_worklist",
     "hot_prefix_report",
+    "retention_sweep",
+    "restore_plan",
 ]
 
 
