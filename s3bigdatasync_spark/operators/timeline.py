@@ -60,12 +60,46 @@ FROM lineitem
 """.strip()
 
 
+def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N-snapshot version relation from ONE lineitem scan: each row
+    emits its (v, etag) entries via explode instead of a 3-branch UNION that
+    would scan (and at testbed scale, widen-shuffle) the table three times.
+    The oracle keeps the equivalent UNION ALL text (_VERSIONS_SQL) — same
+    rows, different physical shape."""
+    li = prepared(spark, sf_dir).table("lineitem")
+    key, size = F.expr(_KEY), F.expr(_SIZE)
+    churn2, churn3 = F.expr(_CHURN2), F.expr(_CHURN3)
+    e1 = F.md5(key)
+    e2 = F.when(churn2, F.md5(F.concat(key, F.lit("#v2")))).otherwise(F.md5(key))
+    e3 = (
+        F.when(churn2, F.md5(F.concat(key, F.lit("#v2"))))
+        .when(churn3, F.md5(F.concat(key, F.lit("#v3"))))
+        .otherwise(F.md5(key))
+    )
+    entries = F.array(
+        F.when(
+            ~F.col("l_linenumber").isin(1, 2),
+            F.struct(F.lit(1).alias("v"), e1.alias("etag")),
+        ),
+        F.when(
+            F.col("l_linenumber") != 1,
+            F.struct(F.lit(2).alias("v"), e2.alias("etag")),
+        ),
+        F.struct(F.lit(3).alias("v"), e3.alias("etag")),
+    )
+    return (
+        li.select(key.alias("key"), size.alias("size"), F.explode(entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("key", F.col("e.v").alias("v"), F.col("e.etag").alias("etag"), "size")
+    )
+
+
 def _version_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapsed etag runs per key over the snapshot versions: one row per
     (key, run_id) with [v_from, v_to] and the (version-constant) size.
     Gaps-and-islands on ONE hash shuffle keyed by object key; both windows
     and the collapse aggregate reuse that partitioning."""
-    versions = prepared(spark, sf_dir).sql(_VERSIONS_SQL)
+    versions = _versions(spark, sf_dir)
     wk = Window.partitionBy("key").orderBy("v")
     marked = versions.withColumn(
         "new_run",
