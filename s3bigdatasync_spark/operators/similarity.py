@@ -476,49 +476,43 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEM_COS_THRESHOLD cosine; per-vector verdicts feed a corpus yield stage.
 
     Scale: pairwise cost is Σ|cluster|² — bounded by K (raise K so clusters
-    track n/target_cluster_size; hierarchical k-means at extreme scale). The
-    cluster self-join shuffles on cluster id; cross-cluster pairs (the
-    deliberate recall trade SemDeDup makes) never materialize anywhere.
-    Cosines ride the same sequential-reduction contract as embedding_neardup
-    (dedup._dot / _cos_sql) so both engines agree bitwise at 6dp."""
-    from .dedup import _dot
-
+    track n/target_cluster_size; hierarchical k-means at extreme scale). One
+    shuffle keyed by cluster id feeds a per-cluster Arrow GEMM kernel (the
+    proven embedding_neardup bucket pattern — numpy matmul, never a pair
+    row-explosion); the kernel emits every member's lower-id-neighbor count
+    directly, so cross-cluster pairs (the deliberate recall trade SemDeDup
+    makes) never materialize anywhere and no join-back is needed."""
     emb = prepared(spark, sf_dir).table("embeddings")
     assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
-    # cache: ve feeds BOTH sides of the cluster self-join plus the final
-    # verdict projection — without the pin the entire k-means assignment
-    # lineage (two Lloyd passes) executes three times
-    ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding").cache()
-    a = ve.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("cluster"),
-        F.col("embedding").alias("ea"),
-    )
-    b = ve.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cluster"),
-        F.col("embedding").alias("eb"),
-    )
-    cos = F.round(
-        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))), 6
-    )
-    close_lower = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= SEM_COS_THRESHOLD)
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.count("*").alias("n_close_lower"))
-    )
-    return (
-        ve.select("vec_id", "cluster")
-        .join(close_lower, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.coalesce(F.col("n_close_lower"), F.lit(0)).alias("n_close_lower"),
-            (F.coalesce(F.col("n_close_lower"), F.lit(0)) == 0).alias("keep"),
+    ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding")
+
+    def cluster_kernel(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = _np.argsort(ids)
+        ids = ids[order]
+        M = _np.array(
+            [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"].iloc[order]]
         )
+        norms = _np.sqrt((M * M).sum(axis=1))
+        cos = (M @ M.T) / _np.outer(norms, norms)
+        close = (_np.round(cos, 6) >= SEM_COS_THRESHOLD) & (
+            ids[:, None] < ids[None, :]
+        )
+        return _pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].iloc[order].to_numpy(),
+                "n_close_lower": close.sum(axis=0).astype("int64"),
+            }
+        )
+
+    return (
+        ve.groupBy("cluster")
+        .applyInPandas(cluster_kernel, "vec_id long, cluster int, n_close_lower long")
+        .withColumn("keep", F.col("n_close_lower") == 0)
     )
 
 

@@ -167,10 +167,25 @@ DERIVED_VIEWS: dict[str, str] = {
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
     (spark.sql.legacy.parquet.nanosAsLong); we convert to timestamp here so
-    every downstream operator sees real timestamps, matching DuckDB."""
+    every downstream operator sees real timestamps, matching DuckDB.
+
+    A table may be a single parquet file (the testdata layout) or a
+    directory of part files (anything Spark itself wrote); for a directory
+    the first part file's footer speaks for the table."""
+    import os
+
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
 
