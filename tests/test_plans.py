@@ -163,3 +163,44 @@ def test_table_checksum_partial_aggregates(spark, sf_dir):
     # 2 sides x (partial + final) HashAggregate
     assert sum("HashAggregate" in l for l in lines) >= 4
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_snapshot_history_single_scan_single_key_shuffle(spark, sf_dir):
+    """The version relation comes from ONE lineitem scan (explode, not a
+    3-branch union re-scanning the table) and the whole gaps-and-islands
+    pipeline rides ONE hash exchange on the object key."""
+    plan = plan_of(_Q["snapshot_history"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Generate explode" in plan
+    key_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning(key" in l
+    ]
+    assert len(key_exchanges) == 1
+
+
+def test_semantic_dedup_is_cluster_gemm(spark, sf_dir):
+    """Pairwise work stays inside the per-cluster Arrow kernel: one
+    FlatMapGroupsInPandas, one exchange on cluster id, and no join after the
+    kernel (verdicts are emitted directly, never joined back)."""
+    plan = plan_of(_Q["semantic_dedup"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    post_kernel = plan.split("FlatMapGroupsInPandas")[0]
+    assert "Join" not in post_kernel  # nothing above the kernel but projection
+    assert "Exchange hashpartitioning(cluster" in plan
+
+
+def test_retry_worklist_partial_aggregates(spark, sf_dir):
+    """The last-attempt agg must combine map-side: a partial aggregate below
+    the object_key exchange, and no window operator anywhere."""
+    plan = plan_of(_Q["retry_worklist"](spark, sf_dir))
+    assert "Window" not in plan
+    pre_shuffle = plan.split("Exchange hashpartitioning(object_key")[1]
+    assert "partial" in pre_shuffle.lower()
+
+
+def test_restore_plan_filter_pushed(spark, sf_dir):
+    """The GLACIER class filter reaches the scan (DataFilters), so at scale
+    only archived objects' pages are decoded."""
+    plan = plan_of(_Q["restore_plan"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_suppkey" in scan  # storage_class derives from suppkey % 3
