@@ -94,17 +94,33 @@ def _versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _version_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapsed etag runs per key over the snapshot versions: one row per
-    (key, run_id) with [v_from, v_to] and the (version-constant) size.
-    Gaps-and-islands on ONE hash shuffle keyed by object key; both windows
-    and the collapse aggregate reuse that partitioning."""
-    versions = _versions(spark, sf_dir)
-    wk = Window.partitionBy("key").orderBy("v")
+def collapse_runs(versions: DataFrame) -> DataFrame:
+    """Gaps-and-islands over any (key, v, etag, size) presence relation:
+    collapse consecutive same-etag versions into runs. A run ALSO breaks on a
+    presence gap (v > lag(v) + 1): a key deleted in one snapshot and
+    recreated later with the same etag is two runs, not one continuous
+    interval — absence closes the interval, exactly like S3 versioning's
+    delete markers. One hash shuffle keyed by `key`; both windows and the
+    collapse aggregate reuse that partitioning.
+
+    A snapshot lists each (key, v, etag) once: exact-duplicate listings (the
+    same composite key twice in one inventory — one exists at sf0.001)
+    collapse first (min size), otherwise peer rows corrupt the running-sum
+    run ids. Conflicting etags at the SAME version survive the collapse and
+    deterministically break continuity (the window tie-breaks on etag and a
+    same-v neighbor fails the v = lag(v)+1 test) — a listing anomaly closes
+    the interval rather than silently merging."""
+    versions = versions.groupBy("key", "v", "etag").agg(
+        F.min("size").alias("size")
+    )
+    wk = Window.partitionBy("key").orderBy("v", "etag")
+    lag_etag, lag_v = F.lag("etag").over(wk), F.lag("v").over(wk)
     marked = versions.withColumn(
         "new_run",
         F.when(
-            F.lag("etag").over(wk).isNull() | (F.lag("etag").over(wk) != F.col("etag")),
+            lag_etag.isNull()
+            | (lag_etag != F.col("etag"))
+            | (F.col("v") != lag_v + 1),
             1,
         ).otherwise(0),
     )
@@ -114,6 +130,11 @@ def _version_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("v_to"),
         F.min("size").alias("size"),
     )
+
+
+def _version_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collapse_runs over the derived snapshot relation."""
+    return collapse_runs(_versions(spark, sf_dir))
 
 
 def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,16 +167,20 @@ _SNAPSHOT_HISTORY_SQL = f"""
 WITH versions AS (
 {_VERSIONS_SQL}
 ),
+versions_d AS (
+  SELECT key, v, etag FROM versions GROUP BY 1, 2, 3
+),
 marked AS (
   SELECT key, v, etag,
-         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v) IS NULL
-                OR lag(etag) OVER (PARTITION BY key ORDER BY v) <> etag
+         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v, etag) IS NULL
+                OR lag(etag) OVER (PARTITION BY key ORDER BY v, etag) <> etag
+                OR v <> lag(v) OVER (PARTITION BY key ORDER BY v, etag) + 1
               THEN 1 ELSE 0 END AS new_run
-  FROM versions
+  FROM versions_d
 ),
 runs AS (
   SELECT key, v, etag,
-         sum(new_run) OVER (PARTITION BY key ORDER BY v) AS run_id
+         sum(new_run) OVER (PARTITION BY key ORDER BY v, etag) AS run_id
   FROM marked
 ),
 hist AS (
@@ -337,16 +362,20 @@ _RETENTION_SWEEP_SQL = f"""
 WITH versions AS (
 {_VERSIONS_SQL}
 ),
+versions_d AS (
+  SELECT key, v, etag, min(size) AS size FROM versions GROUP BY 1, 2, 3
+),
 marked AS (
   SELECT key, v, etag, size,
-         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v) IS NULL
-                OR lag(etag) OVER (PARTITION BY key ORDER BY v) <> etag
+         CASE WHEN lag(etag) OVER (PARTITION BY key ORDER BY v, etag) IS NULL
+                OR lag(etag) OVER (PARTITION BY key ORDER BY v, etag) <> etag
+                OR v <> lag(v) OVER (PARTITION BY key ORDER BY v, etag) + 1
               THEN 1 ELSE 0 END AS new_run
-  FROM versions
+  FROM versions_d
 ),
 runs AS (
   SELECT key, v, etag, size,
-         sum(new_run) OVER (PARTITION BY key ORDER BY v) AS run_id
+         sum(new_run) OVER (PARTITION BY key ORDER BY v, etag) AS run_id
   FROM marked
 ),
 hist AS (

@@ -229,3 +229,27 @@ def test_hot_prefix_report_shares_consistent(spark):
     assert sum(r["share"] for r in rows) <= 1.000001
     for r in rows:
         assert r["hot"] == (r["skew_ratio"] > timeline._HOT_SKEW)
+
+
+def test_collapse_runs_breaks_on_presence_gap(spark):
+    """A key deleted in one snapshot and recreated later with the SAME etag
+    must yield two runs (absence closes the interval), not one continuous
+    [v1, v3] interval."""
+    from s3bigdatasync_spark.operators.timeline import collapse_runs
+
+    versions = spark.createDataFrame(
+        [
+            ("gap", 1, "e", 10),  # present v1
+            ("gap", 3, "e", 10),  # absent v2, recreated v3 with same etag
+            ("steady", 1, "e", 5),
+            ("steady", 2, "e", 5),
+            ("steady", 3, "e", 5),
+        ],
+        "key string, v int, etag string, size long",
+    )
+    runs = {
+        (r["key"], r["v_from"], r["v_to"]) for r in collapse_runs(versions).collect()
+    }
+    assert ("gap", 1, 1) in runs and ("gap", 3, 3) in runs
+    assert ("steady", 1, 3) in runs
+    assert len([r for r in runs if r[0] == "gap"]) == 2

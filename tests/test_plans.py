@@ -167,15 +167,18 @@ def test_table_checksum_partial_aggregates(spark, sf_dir):
 
 def test_snapshot_history_single_scan_single_key_shuffle(spark, sf_dir):
     """The version relation comes from ONE lineitem scan (explode, not a
-    3-branch union re-scanning the table) and the whole gaps-and-islands
-    pipeline rides ONE hash exchange on the object key."""
+    3-branch union re-scanning the table); the duplicate-listing collapse
+    exchanges once on (key, v, etag) and the gaps-and-islands pipeline rides
+    ONE further hash exchange on the object key — two keyed exchanges total,
+    nothing unkeyed or global."""
     plan = plan_of(_Q["snapshot_history"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "Generate explode" in plan
     key_exchanges = [
         l for l in plan.splitlines() if "Exchange hashpartitioning(key" in l
     ]
-    assert len(key_exchanges) == 1
+    assert len(key_exchanges) == 2  # dedupe on (key, v, etag) + window on key
+    assert sum("v#" in l for l in key_exchanges) == 1  # exactly one is the dedupe
 
 
 def test_semantic_dedup_is_cluster_gemm(spark, sf_dir):
