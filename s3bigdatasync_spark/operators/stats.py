@@ -301,6 +301,25 @@ def checksum_chunk(key="key", size="size", etag="etag"):
     return F.conv(F.substring(sig, 1, _CHK_HEX), 16, 10).cast("long")
 
 
+# The fingerprint is the chunk sum reduced mod 2^61. The ACCUMULATION must be
+# overflow-free: random 40-bit chunks summed over >2^23 rows exceed a 64-bit
+# long in the worst case, which under ANSI mode fails the whole job exactly
+# at the scale the operator exists for (measured: 30x sf0.1 = 18M rows
+# overflows). Spark accumulates in DECIMAL(38,0) (safe past 10^18 rows);
+# DuckDB's sum(BIGINT) already widens to HUGEINT; both reduce mod 2^61 only
+# at the end, so every test-scale value is numerically unchanged.
+CHECKSUM_MOD = 2**61
+
+
+def checksum_sum(chunk) -> "F.Column":
+    """Overflow-free orderless fingerprint aggregate: sum in decimal, fold
+    to [0, 2^61) at the end. (a+b) mod p == ((a mod p)+(b mod p)) mod p, so
+    partial fingerprints merge with modular addition (streaming/checksum)."""
+    return (
+        F.sum(chunk.cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD)
+    ).cast("long")
+
+
 def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orderless content fingerprint of each inventory snapshot — compare two
     copies of a table WITHOUT moving either: per-row 40-bit md5 chunk, summed.
@@ -319,7 +338,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(side).alias("side"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum("size").alias("total_size"),
-                F.sum(chunk).alias("checksum"),
+                checksum_sum(chunk).alias("checksum"),
             )
         )
     return out[0].unionByName(out[1])
@@ -334,7 +353,7 @@ def _checksum_sql() -> str:
         selects.append(
             f"SELECT '{side}' AS side, count(*) AS n_rows,"
             f" cast(sum(size) AS BIGINT) AS total_size,"
-            f" cast(sum({chunk}) AS BIGINT) AS checksum FROM inventory_{side}"
+            f" cast(sum({chunk}) % {2**61} AS BIGINT) AS checksum FROM inventory_{side}"
         )
     return oracle_cte("inventory_src", "inventory_dst") + "\nUNION ALL\n".join(selects)
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.utils import AnalysisException
 
-from ..operators.stats import checksum_chunk
+from ..operators.stats import CHECKSUM_MOD, checksum_chunk, checksum_sum
 
 INVENTORY_STREAM_SCHEMA = StructType(
     [
@@ -82,13 +82,15 @@ def stream_table_checksum(
         part = batch_df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("size"), F.lit(0)).alias("s"),
-            F.coalesce(F.sum(checksum_chunk()), F.lit(0)).alias("c"),
+            F.coalesce(checksum_sum(checksum_chunk()), F.lit(0)).alias("c"),
         ).collect()[0]
         merged = [
             (
                 state["n_rows"] + part["n"],
                 state["total_size"] + part["s"],
-                state["checksum"] + part["c"],
+                # modular addition: (a+b) mod p == ((a mod p)+(b mod p)) mod p,
+                # so per-batch fingerprints merge without ever overflowing
+                (state["checksum"] + part["c"]) % CHECKSUM_MOD,
                 batch_id,
             )
         ]
@@ -111,6 +113,6 @@ def batch_equivalent(spark: SparkSession, inventory_dir: str) -> dict:
     row = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum("size"), F.lit(0)).alias("total_size"),
-        F.coalesce(F.sum(checksum_chunk()), F.lit(0)).alias("checksum"),
+        F.coalesce(checksum_sum(checksum_chunk()), F.lit(0)).alias("checksum"),
     ).collect()[0]
     return row.asDict()
