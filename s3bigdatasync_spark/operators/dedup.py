@@ -213,7 +213,14 @@ JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 
 # --- SimHash ------------------------------------------------------------------
 
-SIMHASH_BITS = 32  # 8 hex chars of md5(token)
+# 15 hex chars of md5(token) — 60 bits, the widest fingerprint that stays a
+# positive signed long through every div/mod/bit op in both engines. Width
+# is a SCALE parameter, not just a quality one: the near-pair pigeonhole
+# joins on SIMHASH_BITS/4-bit band keys, and candidate volume grows as
+# n²/2^band_bits — 8-bit bands (256 buckets) measured 15x time for 10x docs
+# in tools/scale_probe.py --mode docs; 15-bit bands (32768 buckets) keep the
+# same hamming<=3 guarantee with 128x fewer candidates.
+SIMHASH_BITS = 60
 
 
 def _hex_nibble_value(hex_col: str, pos: int) -> str:
@@ -560,14 +567,17 @@ FROM lp GROUP BY n
 
 
 HAMMING_MAX = 3
-_SIMHASH_BANDS = 4  # 4 bytes of the 32-bit hash; d<=3 pairs share >=1 byte
+_SIMHASH_BANDS = 4  # d<=3 pairs must share >=1 of the 4 bands (pigeonhole)
+_SIMHASH_BAND_BITS = SIMHASH_BITS // _SIMHASH_BANDS  # 15 -> 32768 buckets/band
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-match pairs (hamming distance <= HAMMING_MAX) via the
-    byte-band pigeonhole: a pair differing in <=3 bits must agree on at
-    least one of the 4 hash bytes, so candidates come from 4 equi-joins on
-    (band, byte) — never O(n^2) — and the exact popcount(xor) refines.
+    band pigeonhole: a pair differing in <=3 bits must agree on at least one
+    of the 4 15-bit bands, so candidates come from 4 equi-joins on
+    (band, bkey) — never O(n^2) — and the exact popcount(xor) refines.
+    Candidate volume per band is ~n^2/2^15; widen SIMHASH_BITS (and so the
+    band keys) as the corpus grows to keep buckets bounded.
     """
     hashes = simhash_fingerprint(spark, sf_dir).select("doc_id", "simhash")
     bands = hashes.select(
@@ -578,20 +588,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"(simhash div {256 ** b}) % 256").alias("byte"),
+                        F.expr(
+                            f"(simhash div {2 ** (_SIMHASH_BAND_BITS * b)})"
+                            f" % {2 ** _SIMHASH_BAND_BITS}"
+                        ).alias("bkey"),
                     )
                     for b in range(_SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -612,13 +625,15 @@ _SIMHASH_NEAR_SQL = (
     _SIMHASH_HASHES_CTE
     + f"""
 , bands AS (
-  SELECT doc_id, simhash, b AS band, (simhash // power(256, b)::BIGINT) % 256 AS byte
+  SELECT doc_id, simhash, b AS band,
+         (simhash // power({2 ** _SIMHASH_BAND_BITS}, b)::BIGINT)
+           % {2 ** _SIMHASH_BAND_BITS} AS bkey
   FROM hashes, unnest(generate_series(0, {_SIMHASH_BANDS - 1})) t(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM bands a
-JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
 )

@@ -28,6 +28,27 @@ if str(_REPO) not in sys.path:
 
 BASE_SF = "/root/testdata/sf0.1"
 
+# Document/embedding-shaped queries (dedup + text + similarity families).
+DOC_QUERIES = [
+    "exact_dedup",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "span_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "corpus_yield_report",
+    "ann_topk_bruteforce",
+    "lsh_buckets",
+    "kmeans_lloyd",
+    "semantic_dedup",
+    "embedding_neardup",
+]
+
 # Inventory-shaped headline queries (all derive from lineitem).
 PROBE_QUERIES = [
     "size_histogram",
@@ -82,7 +103,89 @@ def build_scaled_dir(spark, out_dir: str, copies: int) -> None:
             shutil.copy(src, dst)
 
 
-def measure(spark, sf_dir: str) -> dict[str, float]:
+def build_scaled_docs_dir(spark, out_dir: str, copies: int) -> None:
+    """Replicate documents + embeddings x copies WITHOUT creating cross-copy
+    near-duplicate cliques (naive replication makes every doc a `copies`-
+    clique, which measures the data's pathology, not the plans):
+      * documents: a per-copy tag token is interleaved every 4 tokens, so
+        every k-shingle window of copy i contains the tag and shingle sets
+        are disjoint across copies — within-copy duplicate structure
+        replicates, cross-copy pairs never fire.
+      * embeddings: dimensions rotate by i per copy — a rotation of a
+        cluster-structured vector is uncorrelated with the original, so the
+        copy's cluster structure replicates without cross-copy neighbors.
+    Other tables link unchanged (view registration reads all of them)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    docs = pq.read_table(f"{BASE_SF}/documents.parquet").to_pylist()
+    emb = pq.read_table(f"{BASE_SF}/embeddings.parquet").to_pylist()
+    id_off = 10_000_000
+
+    def tag_text(text: str, i: int) -> str:
+        if i == 0:
+            return text
+        toks = text.split(" ")
+        tag = f"zz{i}q"
+        outk = []
+        for j, t in enumerate(toks):
+            outk.append(t)
+            if j % 4 == 3:
+                outk.append(tag)
+        return " ".join(outk)
+
+    drows = []
+    for i in range(copies):
+        for r in docs:
+            rr = dict(r)
+            rr["doc_id"] = r["doc_id"] + i * id_off
+            rr["text"] = tag_text(r["text"], i)
+            drows.append(rr)
+    pq.write_table(
+        pa.Table.from_pylist(drows, schema=pq.read_schema(f"{BASE_SF}/documents.parquet")),
+        str(out / "documents.parquet"),
+    )
+
+    erows = []
+    for i in range(copies):
+        for r in emb:
+            rr = dict(r)
+            rr["vec_id"] = r["vec_id"] + i * id_off
+            v = list(r["embedding"])
+            k = i % len(v)
+            rr["embedding"] = v[k:] + v[:k]
+            erows.append(rr)
+    pq.write_table(
+        pa.Table.from_pylist(erows, schema=pq.read_schema(f"{BASE_SF}/embeddings.parquet")),
+        str(out / "embeddings.parquet"),
+    )
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+    ):
+        src = Path(f"{BASE_SF}/{t}.parquet")
+        dst = out / f"{t}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+
+def measure(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     """Warm-measure (bench.py methodology): compile+warm run, clear caches,
     report the second, cold-cache execution."""
     from s3bigdatasync_spark import registry
@@ -91,7 +194,7 @@ def measure(spark, sf_dir: str) -> dict[str, float]:
     queries = registry.full_queries()
     out: dict[str, float] = {}
     _PREPARED.clear()  # force view re-registration on this sf_dir
-    for name in PROBE_QUERIES:
+    for name in names:
         fn = queries[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
@@ -107,18 +210,33 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument(
+        "--mode", choices=["inventory", "docs"], default="inventory",
+        help="inventory: lineitem-derived ops; docs: dedup/text/similarity ops",
+    )
     args = ap.parse_args()
 
     from s3bigdatasync_spark.session import get_spark
 
     spark = get_spark("scale-probe")
-    build_scaled_dir(spark, args.out, args.copies)
-    base = measure(spark, BASE_SF)
-    scaled = measure(spark, args.out)
+    if args.mode == "docs":
+        build_scaled_docs_dir(spark, args.out, args.copies)
+        names = DOC_QUERIES
+    else:
+        build_scaled_dir(spark, args.out, args.copies)
+        names = PROBE_QUERIES
+    base = measure(spark, BASE_SF, names)
+    scaled = measure(spark, args.out, names)
     ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
     print(
         json.dumps(
-            {"copies": args.copies, "sf01": base, "scaled": scaled, "ratio": ratio}
+            {
+                "copies": args.copies,
+                "mode": args.mode,
+                "sf01": base,
+                "scaled": scaled,
+                "ratio": ratio,
+            }
         )
     )
 
