@@ -49,6 +49,23 @@ DOC_QUERIES = [
     "embedding_neardup",
 ]
 
+# Event-shaped queries (time windows, sessions, behavior, copy-log ops).
+EVENT_QUERIES = [
+    "time_rollup",
+    "hwm_incremental",
+    "time_spine_zero_fill",
+    "sessionize",
+    "throughput_timeline",
+    "funnel_steps",
+    "retention_cohorts",
+    "rolling_anomaly",
+    "ewma_smooth",
+    "events_pivot",
+    "retry_worklist",
+    "salted_hot_key_agg",
+    "asof_last_success",
+]
+
 # Inventory-shaped headline queries (all derive from lineitem).
 PROBE_QUERIES = [
     "size_histogram",
@@ -185,6 +202,62 @@ def build_scaled_docs_dir(spark, out_dir: str, copies: int) -> None:
             shutil.copy(src, dst)
 
 
+def build_scaled_events_dir(spark, out_dir: str, copies: int) -> None:
+    """Replicate events x copies: each copy's users get a disjoint id range
+    and its timestamps shift by a whole day, so sessions, funnels, cohorts,
+    and tumbling windows replicate within copies without cross-copy
+    interference — more users, more days, more windows: the way an event
+    stream actually grows. Vectorized pyarrow; other tables link unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+
+    t = pq.read_table(f"{BASE_SF}/events.parquet")
+    parts = []
+    for i in range(copies):
+        tt = t
+        tt = tt.set_column(
+            tt.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(tt["event_id"], pa.scalar(i * 10_000_000, pa.int64())),
+        )
+        tt = tt.set_column(
+            tt.schema.get_field_index("user_id"),
+            "user_id",
+            pc.add(tt["user_id"], pa.scalar(i * 1_000_000, pa.int64())),
+        )
+        tt = tt.set_column(
+            tt.schema.get_field_index("ts"),
+            "ts",
+            pc.add(tt["ts"], pa.scalar(i * 86_400_000_000, pa.duration("us"))),
+        )
+        parts.append(tt)
+    pq.write_table(pa.concat_tables(parts), str(out / "events.parquet"))
+
+    for tname in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "documents",
+        "embeddings",
+    ):
+        src = Path(f"{BASE_SF}/{tname}.parquet")
+        dst = out / f"{tname}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+
 def measure(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     """Warm-measure (bench.py methodology): compile+warm run, clear caches,
     report the second, cold-cache execution."""
@@ -211,8 +284,9 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
-        "--mode", choices=["inventory", "docs"], default="inventory",
-        help="inventory: lineitem-derived ops; docs: dedup/text/similarity ops",
+        "--mode", choices=["inventory", "docs", "events"], default="inventory",
+        help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
+        " ops; events: time-window/session/behavior ops",
     )
     args = ap.parse_args()
 
@@ -222,6 +296,9 @@ def main() -> None:
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
         names = DOC_QUERIES
+    elif args.mode == "events":
+        build_scaled_events_dir(spark, args.out, args.copies)
+        names = EVENT_QUERIES
     else:
         build_scaled_dir(spark, args.out, args.copies)
         names = PROBE_QUERIES
