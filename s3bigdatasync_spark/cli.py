@@ -1,0 +1,232 @@
+"""Command-line surface: every reference entry point as one `python -m
+s3bigdatasync_spark <job>` subcommand.
+
+The reference is operated through per-module scripts — `ListProducer.py`
+(`ListProducer/start.sh`), `TaskExecutor.py <job.json>` (`TaskExecutor/
+start.sh`), `s3_monitor_statistic.py main` (TaskMonitor), and the UICenter
+HTTP routes `/totalProgress` + `/tasksGraph` (`UICenter/BackEnd/server.py:
+10-45`). A user switching from the reference gets the same operational
+verbs here, plus what the reference never had: an ad-hoc query/SQL surface
+over every registered operator (SURVEY §3: "no query language, no IR").
+
+    list-queries                       enumerate the operator registry
+    query NAME [--sf-dir D]            run one registry query, show/save it
+    sql "SELECT ..." [--sf-dir D]      ANSI SQL over base tables + *_v views
+    list-producer  ...                 §3.1 inventory → stats + task store
+    task-executor  ...                 §3.2 task store → copy → copy_log/DLQ
+    monitor        ...                 §3.3 batch 1/5/60-min stat rollup
+    dashboard      ...                 §3.3 serving-leg progress rollup
+    corpus         [--sf-dir D]        north-star training-corpus build
+
+Every subcommand accepts an injected SparkSession (tests) or builds the
+standard local one (`session.get_spark`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _emit(df: DataFrame, args) -> None:
+    limit = getattr(args, "limit", None)
+    if getattr(args, "explain", False):
+        df.explain("formatted")
+        return
+    out = getattr(args, "out", None)
+    if out:
+        (df.limit(limit) if limit else df).coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(out)
+        print(f"wrote {out}")
+    else:
+        df.show(limit or 20, truncate=False)
+
+
+def _cmd_list_queries(spark: SparkSession, args) -> int:
+    from . import registry
+
+    full = registry.full_queries()
+    driver = set(registry.all_queries())
+    for name in sorted(full):
+        fn = full[name]
+        doc = (fn.__doc__ or "").strip().splitlines()
+        head = doc[0] if doc else ""
+        tag = "driver" if name in driver else "pack-member"
+        print(f"{name:28s} [{tag}] {head[:90]}")
+    print(f"\n{len(full)} queries ({len(driver)} driver-registry entries)")
+    return 0
+
+
+def _cmd_query(spark: SparkSession, args) -> int:
+    from . import registry
+
+    full = registry.full_queries()
+    if args.name not in full:
+        print(f"unknown query {args.name!r}; see `list-queries`", file=sys.stderr)
+        return 2
+    _emit(full[args.name](spark, args.sf_dir), args)
+    return 0
+
+
+def _cmd_sql(spark: SparkSession, args) -> int:
+    from .sql_views import register_query_views
+
+    register_query_views(spark, args.sf_dir)
+    _emit(spark.sql(args.statement), args)
+    return 0
+
+
+def _cmd_list_producer(spark: SparkSession, args) -> int:
+    from .operators import prepared
+    from .plans.pipeline import list_producer
+
+    inv = prepared(spark, args.sf_dir).table("inventory_src")
+    job = list_producer(
+        spark, inv, args.dst_bucket, args.tasks_dir, stats_path=args.stats_path
+    )
+    print(job["statistics"])
+    print(f"n_tasks={job['job_info']['n_tasks']} tasks_dir={args.tasks_dir}")
+    return 0
+
+
+def _make_copy_fn(backend: str, src_root: str | None, dst_root: str | None):
+    """CopyFn factory. `touch` marks success by creating an empty dst file
+    (test/dry-run); `fs` copies src_root/key → dst_root/key; `s3` is the
+    production boto3 server-side copy (libs/s3_utils.py:17-35), import-gated
+    like sources.metadata."""
+    if backend == "s3":
+        import boto3  # import-gated: raises cleanly if not installed
+
+        client = boto3.client("s3")
+
+        def s3_copy(src_bucket: str, dst_bucket: str, key: str) -> bool:
+            client.copy({"Bucket": src_bucket, "Key": key}, dst_bucket, key)
+            return True
+
+        return s3_copy
+
+    from pathlib import Path
+
+    def fs_copy(src_bucket: str, dst_bucket: str, key: str) -> bool:
+        dst = Path(dst_root or dst_bucket) / key
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if backend == "fs":
+            src = Path(src_root or src_bucket) / key
+            dst.write_bytes(src.read_bytes())
+        else:  # touch
+            dst.touch()
+        return True
+
+    return fs_copy
+
+
+def _cmd_task_executor(spark: SparkSession, args) -> int:
+    from .plans.pipeline import task_executor
+
+    fn = _make_copy_fn(args.copy_backend, args.src_root, args.dst_root)
+    n_ok, n_fail = task_executor(
+        spark, args.tasks_dir, fn, args.copy_log_dir, args.dead_letter_dir
+    )
+    print(f"success={n_ok} failed={n_fail}")
+    return 0 if n_fail == 0 else 1
+
+
+def _cmd_monitor(spark: SparkSession, args) -> int:
+    from .plans.pipeline import monitor_stats
+
+    monitor_stats(spark, args.copy_log_dir, args.stat_dir)
+    print(f"stat table written to {args.stat_dir}")
+    return 0
+
+
+def _cmd_dashboard(spark: SparkSession, args) -> int:
+    from .plans.pipeline import dashboard_progress
+
+    _emit(dashboard_progress(spark, args.stat_dir), args)
+    return 0
+
+
+def _cmd_corpus(spark: SparkSession, args) -> int:
+    from .plans.llm_corpus import corpus_yield_report
+
+    _emit(corpus_yield_report(spark, args.sf_dir), args)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="s3bigdatasync_spark", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.set_defaults(fn=fn)
+        return sp
+
+    add("list-queries", _cmd_list_queries, help="enumerate the operator registry")
+
+    q = add("query", _cmd_query, help="run one registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--explain", action="store_true", help="print the physical plan")
+    q.add_argument("--out", default=None, help="write result CSV here instead of showing")
+
+    s = add("sql", _cmd_sql, help="run SQL over base tables and *_v query views")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    s.add_argument("--limit", type=int, default=None)
+    s.add_argument("--explain", action="store_true")
+    s.add_argument("--out", default=None)
+
+    lp = add("list-producer", _cmd_list_producer, help="§3.1 inventory → stats + tasks")
+    lp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    lp.add_argument("--dst-bucket", required=True)
+    lp.add_argument("--tasks-dir", required=True)
+    lp.add_argument("--stats-path", default=None)
+
+    te = add("task-executor", _cmd_task_executor, help="§3.2 tasks → copy → log")
+    te.add_argument("--tasks-dir", required=True)
+    te.add_argument("--copy-log-dir", required=True)
+    te.add_argument("--dead-letter-dir", required=True)
+    te.add_argument("--copy-backend", choices=("touch", "fs", "s3"), default="touch")
+    te.add_argument("--src-root", default=None)
+    te.add_argument("--dst-root", default=None)
+
+    mo = add("monitor", _cmd_monitor, help="§3.3 1/5/60-min stat rollup")
+    mo.add_argument("--copy-log-dir", required=True)
+    mo.add_argument("--stat-dir", required=True)
+
+    da = add("dashboard", _cmd_dashboard, help="§3.3 progress rollup")
+    da.add_argument("--stat-dir", required=True)
+    da.add_argument("--limit", type=int, default=None)
+    da.add_argument("--explain", action="store_true")
+    da.add_argument("--out", default=None)
+
+    co = add("corpus", _cmd_corpus, help="north-star corpus yield report")
+    co.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    co.add_argument("--limit", type=int, default=None)
+    co.add_argument("--explain", action="store_true")
+    co.add_argument("--out", default=None)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("s3bigdatasync-cli", cpus=args.cpus)
+    return args.fn(spark, args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

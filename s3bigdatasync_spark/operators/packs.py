@@ -43,6 +43,7 @@ from . import (
     expressions,
     joins,
     multimodal,
+    pq,
     similarity,
     stats,
     text,
@@ -63,6 +64,7 @@ _SOURCE_MODULES = [
     layout,
     curation,
     timeline,
+    pq,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -109,7 +111,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "retry_worklist",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
-    # + JL random projection
+    # + JL random projection + product quantization (encode + ADC search)
     "pack_ann": [
         "ann_topk_bruteforce",
         "lsh_buckets",
@@ -118,6 +120,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "embedding_project",
         "kmeans_lloyd",
         "semantic_dedup",
+        "pq_encode",
+        "pq_search",
     ],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
     # + train/eval shingle-overlap decontamination (same explode-join family)
@@ -284,6 +288,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("multipart_count", "int"),
     ],
     "kmeans_lloyd": [("vec_id", "int"), ("cluster", "int"), ("d2", "num")],
+    "pq_encode": [
+        ("vec_id", "int"),
+        ("sub", "int"),
+        ("code", "int"),
+        ("d2", "num"),
+    ],
+    "pq_search": [("vec_id", "int"), ("adc_d2", "num"), ("rank", "int")],
     "semantic_dedup": [
         ("vec_id", "int"),
         ("cluster", "int"),

@@ -1,0 +1,297 @@
+"""Product quantization — the compressed-index ANN path for corpus-scale
+embedding search.
+
+IVF (`similarity.label_centroids`/`ivf_assign`) prunes which vectors a query
+scans; PQ compresses what each vector costs to scan: the 64-dim float vector
+(256 B) becomes M=8 one-byte codes (8 B), and query-time distance is a table
+lookup instead of a 64-term float op (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011). Together they are the standard
+IVF-PQ layout every billion-vector store ships.
+
+Two operators:
+
+  pq_encode — train per-subspace codebooks (K=16 centroids over each 8-dim
+      slice; deterministic init = the K lowest vec_ids, one Lloyd update —
+      the `kmeans_lloyd` contract applied per subspace) and emit every
+      vector's (subspace, code) assignment.
+  pq_search — asymmetric-distance (ADC) top-10 for QUERY_VEC_ID: the query's
+      128-entry (subspace × centroid) distance table is broadcast and joined
+      against the codes; per-vector ADC distance is one 8-row sum.
+
+Scale story: training state is a 16×64 centroid matrix (driver-held and
+broadcast, the same legitimate K×D state every distributed k-means ships);
+encoding is one Arrow-batched GEMM pass (mapInPandas, no shuffle); the
+update between passes is one groupBy(cid, dim) shuffle of the exploded
+vectors. Search never touches the float vectors: one broadcast hash join
+(128-row table) + one groupBy(vec_id) partial-agg sum + TakeOrderedAndProject
+— at 100 TB the codes table is ~32× smaller than the vectors it stands for.
+
+Cross-engine determinism (the ivf_assign/kmeans_lloyd contract): centroids
+round to 6dp, squared distances round to 6dp before argmin, ties break by
+ascending centroid id, ADC sums round to 6dp, ranking ties break by vec_id.
+The DuckDB oracle replays training + encoding + search from the same literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+from .similarity import QUERY_VEC_ID
+
+DIM = 64
+M_SUB = 8  # subspaces
+SUBDIM = DIM // M_SUB  # dims per subspace
+PQ_K = 16  # centroids per subspace codebook
+PQ_TOP_K = 10
+
+
+def _exploded(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.col("val").cast("double").alias("val"),
+        F.expr(f"dim div {SUBDIM}").cast("int").alias("sub"),
+    )
+
+
+def _collect_codebook(c_df, k: int) -> "object":
+    """(k, DIM) matrix from long-form (cid, dim, cv) rows — the driver-held
+    training state (≤16×64 doubles; every distributed k-means ships this).
+    k may be < PQ_K when the corpus has fewer vectors than centroids."""
+    import numpy as np
+
+    C = np.full((k, DIM), np.nan)
+    for r in c_df.collect():
+        C[r["cid"], r["dim"]] = r["cv"]
+    return C
+
+
+def _assign_codes(emb: DataFrame, spark: SparkSession, C) -> DataFrame:
+    """One Arrow-batched pass: per subspace, 6dp-rounded squared distance to
+    each centroid slice, argmin with ties to the lowest cid."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bc = spark.sparkContext.broadcast(C)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("sub", IntegerType()),
+            StructField("code", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        Cm = bc.value.reshape(len(bc.value), M_SUB, SUBDIM)  # (K, M, subdim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Mx = _np.array(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]]
+            ).reshape(len(pdf), M_SUB, SUBDIM)
+            # (n, K, M): squared distance of each subvector to each centroid slice
+            d2 = _np.round(
+                ((Mx[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
+            )
+            codes = d2.argmin(axis=1)  # (n, M); first min → lowest cid wins ties
+            n = len(pdf)
+            rows = _np.arange(n)[:, None], codes, _np.tile(_np.arange(M_SUB), (n, 1))
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), M_SUB),
+                    "sub": _np.tile(_np.arange(M_SUB, dtype="int32"), n),
+                    "code": codes.astype("int32").reshape(-1),
+                    "d2": d2[rows[0], rows[1], rows[2]].reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
+
+
+def _train_codebook(spark: SparkSession, emb: DataFrame):
+    """Deterministic init (PQ_K lowest vec_ids) + one Lloyd update per
+    subspace. Returns the (PQ_K, DIM) rounded codebook, or None if empty."""
+    v = _exploded(emb)
+    ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
+    ]
+    if not ids:
+        return None
+    cid_map = spark.createDataFrame(
+        [(int(x), i) for i, x in enumerate(ids)], "vec_id long, cid int"
+    )
+    c0 = v.join(F.broadcast(cid_map), "vec_id").select(
+        "cid", "dim", F.round("val", 6).alias("cv")
+    )
+    C0 = _collect_codebook(c0, len(ids))
+    a1 = _assign_codes(emb, spark, C0).select(
+        "vec_id", "sub", F.col("code").alias("cid")
+    )
+    c1 = (
+        v.join(a1, ["vec_id", "sub"])
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+    )
+    C1 = _collect_codebook(c1, len(ids))
+    # a centroid that lost every vector in some subspace keeps its init slice
+    import numpy as np
+
+    mask = np.isnan(C1)
+    C1[mask] = C0[mask]
+    return C1
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the per-subspace codebooks and encode every vector: one row per
+    (vec_id, subspace) with the assigned centroid code and its 6dp-rounded
+    squared reconstruction distance."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    C = _train_codebook(spark, emb)
+    if C is None:
+        return spark.createDataFrame([], "vec_id long, sub int, code int, d2 double")
+    return _assign_codes(emb, spark, C)
+
+
+def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for QUERY_VEC_ID over the PQ codes: the query's
+    (subspace × centroid) distance table — 128 doubles, computed driver-side
+    from the same broadcast codebook — joins the codes table (broadcast hash
+    join), and per-vector ADC distance is sum(dq) over the 8 subspaces."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    C = _train_codebook(spark, emb)
+    if C is None:
+        return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    if not q:
+        return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
+    qv = np.asarray(q[0]["embedding"], dtype=np.float64).reshape(M_SUB, SUBDIM)
+    k_eff = len(C)
+    Cm = C.reshape(k_eff, M_SUB, SUBDIM)
+    # (M, K) query→centroid-slice distance table
+    dq = np.round(((qv[None, :, :] - Cm) ** 2).sum(axis=2).T, 6)
+    dq_rows = [
+        (m, k, float(dq[m, k])) for m in range(M_SUB) for k in range(k_eff)
+    ]
+    dq_df = spark.createDataFrame(dq_rows, "sub int, code int, dq double")
+
+    codes = _assign_codes(emb, spark, C).filter(F.col("vec_id") != QUERY_VEC_ID)
+    adc = (
+        codes.join(F.broadcast(dq_df), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_d2"))
+    )
+    w = adc.orderBy("adc_d2", "vec_id").limit(PQ_TOP_K)
+    from pyspark.sql import Window
+
+    return w.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("adc_d2", "vec_id")).cast("int"),
+    )
+
+
+# --- DuckDB oracles ---------------------------------------------------------
+# Replays training (init → assign → update), encoding, and ADC search with
+# the same 6dp-round-before-argmin / lowest-cid tie-break contract.
+
+_PQ_TRAIN_CTES = f"""v AS (
+  SELECT vec_id, u.i - 1 AS dim, (u.i - 1) // {SUBDIM} AS sub,
+         embedding[u.i]::DOUBLE AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+init_ids AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+),
+c0 AS (
+  SELECT cid, dim, dim // {SUBDIM} AS sub, round(val, 6) AS cv
+  FROM v JOIN init_ids USING (vec_id)
+),
+d1 AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+  FROM v JOIN c0 c ON v.dim = c.dim
+  GROUP BY v.vec_id, v.sub, c.cid
+),
+a1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1_upd AS (
+  SELECT a1.cid, v.dim, round(avg(v.val), 6) AS cv
+  FROM v JOIN a1 ON v.vec_id = a1.vec_id AND v.sub = a1.sub
+  GROUP BY a1.cid, v.dim
+),
+c1 AS (  -- centroids that lost every vector in a subspace keep their init slice
+  SELECT c0.cid, c0.dim, c0.sub, coalesce(u.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1_upd u ON c0.cid = u.cid AND c0.dim = u.dim
+),
+d2_ AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+  FROM v JOIN c1 c ON v.dim = c.dim
+  GROUP BY v.vec_id, v.sub, c.cid
+),
+enc AS (
+  SELECT vec_id, sub, cid AS code, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+)"""
+
+_PQ_ENCODE_SQL = (
+    "WITH "
+    + _PQ_TRAIN_CTES
+    + "\nSELECT vec_id, cast(sub AS INT) AS sub, cast(code AS INT) AS code, d2 FROM enc"
+)
+
+_PQ_SEARCH_SQL = (
+    "WITH "
+    + _PQ_TRAIN_CTES
+    + f""",
+qd AS (
+  SELECT v.sub, c.cid AS code,
+         round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS dq
+  FROM v JOIN c1 c ON v.dim = c.dim
+  WHERE v.vec_id = {QUERY_VEC_ID}
+  GROUP BY v.sub, c.cid
+),
+adc AS (
+  SELECT e.vec_id, round(sum(qd.dq), 6) AS adc_d2
+  FROM enc e JOIN qd ON qd.sub = e.sub AND qd.code = e.code
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adc_d2,
+       cast(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
+FROM adc
+ORDER BY adc_d2, vec_id
+LIMIT {PQ_TOP_K}"""
+)
+
+QUERIES = {
+    "pq_encode": pq_encode,
+    "pq_search": pq_search,
+}
+
+ORACLES = {
+    "pq_encode": _PQ_ENCODE_SQL,
+    "pq_search": _PQ_SEARCH_SQL,
+}

@@ -34,6 +34,7 @@ from .operators import (
     limits,
     multimodal,
     packs,
+    pq,
     relational,
     similarity,
     skew,
@@ -62,6 +63,7 @@ _CORE_MODULES = [
     layout,  # all members of pack_ops_stats — driver count stays 50
     curation,  # all members folded into packs — driver count stays 50
     timeline,  # all members folded into packs — driver count stays 50
+    pq,  # all members folded into pack_ann — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round

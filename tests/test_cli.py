@@ -1,0 +1,124 @@
+"""CLI surface: the reference's operational verbs (start.sh scripts, monitor
+main, UICenter routes) as subcommands, plus ad-hoc query/SQL access."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from s3bigdatasync_spark import cli
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(spark, *argv) -> int:
+    return cli.main(list(argv), spark=spark)
+
+
+def test_list_queries(spark, capsys):
+    assert run(spark, "list-queries") == 0
+    out = capsys.readouterr().out
+    assert "inventory_diff" in out and "driver-registry entries" in out
+
+
+def test_query_runs_and_limits(spark, capsys):
+    assert run(spark, "query", "diff_summary", "--sf-dir", SF) == 0
+    out = capsys.readouterr().out
+    assert "variance" in out
+
+
+def test_query_unknown_name(spark, capsys):
+    assert run(spark, "query", "nope_not_a_query") == 2
+
+
+def test_query_explain(spark, capsys):
+    assert run(spark, "query", "inventory_stats", "--sf-dir", SF, "--explain") == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_query_csv_out(spark, tmp_path):
+    out = tmp_path / "res"
+    assert run(spark, "query", "diff_summary", "--sf-dir", SF, "--out", str(out)) == 0
+    files = list(out.glob("*.csv"))
+    assert files and "variance" in files[0].read_text().splitlines()[0]
+
+
+def test_sql_over_views(spark, capsys):
+    rc = run(
+        spark,
+        "sql",
+        "SELECT variance, n_objects FROM diff_summary_v ORDER BY variance",
+        "--sf-dir",
+        SF,
+    )
+    assert rc == 0
+    assert "New" in capsys.readouterr().out
+
+
+def test_pipeline_lifecycle(spark, tmp_path, capsys):
+    tasks = str(tmp_path / "tasks")
+    stats = str(tmp_path / "job.json")
+    log = str(tmp_path / "copy_log")
+    dlq = str(tmp_path / "dlq")
+    stat = str(tmp_path / "stat")
+    dst = str(tmp_path / "dst")
+
+    assert (
+        run(
+            spark,
+            "list-producer",
+            "--sf-dir",
+            SF,
+            "--dst-bucket",
+            "dst-bucket",
+            "--tasks-dir",
+            tasks,
+            "--stats-path",
+            stats,
+        )
+        == 0
+    )
+    job = json.loads(open(stats).read())
+    n_tasks = job["job_info"]["n_tasks"]
+    assert n_tasks > 0
+
+    assert (
+        run(
+            spark,
+            "task-executor",
+            "--tasks-dir",
+            tasks,
+            "--copy-log-dir",
+            log,
+            "--dead-letter-dir",
+            dlq,
+            "--copy-backend",
+            "touch",
+            "--dst-root",
+            dst,
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert f"success={n_tasks} failed=0" in out
+
+    assert run(spark, "monitor", "--copy-log-dir", log, "--stat-dir", stat) == 0
+    assert run(spark, "dashboard", "--stat-dir", stat) == 0
+    shown = capsys.readouterr().out
+    assert "success_num" in shown
+
+
+def test_copy_fn_backends(tmp_path):
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "a" / "k.txt").write_bytes(b"payload")
+    dst = tmp_path / "dst"
+
+    fs = cli._make_copy_fn("fs", str(src), str(dst))
+    assert fs("ignored", "ignored", "a/k.txt")
+    assert (dst / "a" / "k.txt").read_bytes() == b"payload"
+
+    touch = cli._make_copy_fn("touch", None, str(dst))
+    assert touch("ignored", "ignored", "b/empty.bin")
+    assert (dst / "b" / "empty.bin").exists()
