@@ -76,6 +76,8 @@ HEADLINE = [
     "retry_worklist",        # map-side-combinable last-attempt agg
     "hot_prefix_report",     # per-prefix skew + broadcast totals + top-k
     "restore_plan",          # pushed-down class filter + integer-money agg
+    "pq_encode",             # PQ codebook train + Arrow-batched encode
+    "pq_search",             # ADC top-k over codes (128-row broadcast join)
 ]
 
 

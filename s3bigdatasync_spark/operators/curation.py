@@ -587,6 +587,87 @@ FROM r1
 """
 
 
+# --- unigram_logprob: corpus-LM quality filter ------------------------------
+
+# CCNet/FineWeb-style language-model quality gate without an external model:
+# the corpus's own unigram distribution IS the model. Docs whose tokens are
+# systematically rare under that distribution (high bits/token) are the
+# gibberish/boilerplate tail a curation pass drops.
+BITS_KEEP_MAX = 4.92  # keep docs at or below this bits-per-token
+# (testdata's synthetic docs sit in a tight 4.88-5.34 bits/token band; the
+# cut keeps ~90% at sf0.01 so both verdict classes are exercised end-to-end)
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own token
+    distribution: mean_lp = Σ c_d·(ln cf − ln T) / n_d, reported also as
+    bits-per-token (−mean_lp/ln 2) with a keep flag at BITS_KEEP_MAX.
+
+    Plan shape at 100 TB: ONE explode → groupBy(doc_id, token) count pass,
+    cache-pinned (the hot_prefix_report by_pfx pattern — without the pin the
+    explode+agg subtree executes three times: vocab build, grand total, and
+    join probe); the corpus vocabulary is a token-keyed re-agg of the pin,
+    its totals join back on token (hash join, vocabulary-bounded; AQE
+    broadcasts when the vocab is small), and the grand total is a 1-row
+    broadcast. No window, no sort, everything map-side combinable. Float
+    contract: ln-sums are summed raw and rounded to 6dp at the end (the
+    word_entropy contract, proven cross-engine in round 1)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    dcnt = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    vocab = dcnt.groupBy("token").agg(F.sum("c").alias("cf"))
+    tot = vocab.agg(F.sum("cf").alias("t"))
+    agg = (
+        dcnt.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.log("cf") - F.log("t"))).alias("sll"),
+        )
+    )
+    bits = F.round(-(F.col("sll") / F.col("n_tokens")) / F.lit(LN2), 6)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sll") / F.col("n_tokens"), 6).alias("mean_logprob"),
+        bits.alias("bits_per_token"),
+        (bits <= BITS_KEEP_MAX).alias("keep"),
+    )
+
+
+_UNIGRAM_SQL = rf"""
+WITH dcnt AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token, sum(c) AS cf FROM dcnt GROUP BY token
+),
+tot AS (
+  SELECT sum(cf) AS t FROM vocab
+),
+agg AS (
+  SELECT d.doc_id, sum(d.c) AS n_tokens,
+         sum(d.c * (ln(v.cf) - ln(tot.t))) AS sll
+  FROM dcnt d JOIN vocab v USING (token), tot
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(sll / n_tokens, 6) AS mean_logprob,
+       round(-(sll / n_tokens) / {LN2}, 6) AS bits_per_token,
+       round(-(sll / n_tokens) / {LN2}, 6) <= {BITS_KEEP_MAX} AS keep
+FROM agg
+"""
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "weighted_sample": weighted_sample,
@@ -597,6 +678,7 @@ QUERIES = {
     "pii_redact": pii_redact,
     "ewma_smooth": ewma_smooth,
     "group_sample": group_sample,
+    "unigram_logprob": unigram_logprob,
 }
 
 ORACLES = {
@@ -609,4 +691,5 @@ ORACLES = {
     "pii_redact": _PII_SQL,
     "ewma_smooth": _ewma_sql(),
     "group_sample": _GROUP_SAMPLE_SQL,
+    "unigram_logprob": _UNIGRAM_SQL,
 }

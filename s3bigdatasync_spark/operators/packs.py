@@ -160,6 +160,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "inverted_index",
         "bm25_search",
         "group_sample",
+        "unigram_logprob",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -389,6 +390,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("tokens_per_char", "num"),
     ],
     "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+    "unigram_logprob": [
+        ("doc_id", "int"),
+        ("n_tokens", "int"),
+        ("mean_logprob", "num"),
+        ("bits_per_token", "num"),
+        ("keep", "bool"),
+    ],
     "word_entropy": [
         ("doc_id", "int"),
         ("n_tokens", "int"),

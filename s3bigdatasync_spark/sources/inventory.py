@@ -193,3 +193,48 @@ def to_parquet_mirror(df: DataFrame, out_dir: str, partitions: int | None = None
     if partitions:
         df = df.repartition(partitions)
     df.sortWithinPartitions("key").write.mode("overwrite").parquet(out_dir)
+
+
+# LLM-corpus document stream — the JSONL shape every web-scale text corpus
+# ships in (one JSON doc per line). Same tolerant/strict contract as the
+# inventory CSV reader: schema is explicit, malformed lines are dropped (or
+# FAILFAST), and nothing is inferred at scan time (inference would read the
+# data twice and produce drift across corpus shards).
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    schema: StructType = DOCUMENTS_SCHEMA,
+    strict: bool = False,
+) -> DataFrame:
+    """JSONL corpus reader with explicit schema + corrupt-line policy.
+
+    strict=False drops malformed lines after a `_corrupt_record` filter (the
+    A3 tolerant contract applied to the corpus-ingest path); strict=True is
+    FAILFAST. Plain and .gz/.zst-compressed files read identically (codec
+    from extension); like single gzip CSVs, compressed JSONL is
+    non-splittable — shard corpora into many files and re-encode to Parquet
+    (`to_parquet_mirror`) before heavy processing.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if strict:
+        return spark.read.schema(schema).options(mode="FAILFAST").json(paths)
+    full = StructType(schema.fields + [StructField("_corrupt_record", StringType())])
+    df = (
+        spark.read.schema(full)
+        .options(mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+        .json(paths)
+    ).cache()
+    return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

@@ -253,3 +253,71 @@ def test_collapse_runs_breaks_on_presence_gap(spark):
     assert ("gap", 1, 1) in runs and ("gap", 3, 3) in runs
     assert ("steady", 1, 3) in runs
     assert len([r for r in runs if r[0] == "gap"]) == 2
+
+
+def test_snapshot_history_merge_equivalence(spark):
+    """Folding snapshot v3 into collapse_runs(v<=2) must equal
+    collapse_runs(v<=3) on a well-formed relation (one etag per key per
+    snapshot) covering: steady key, etag change, delete+recreate-same-etag
+    (gap), late create, and delete (absent from v3)."""
+    from s3bigdatasync_spark.operators.timeline import (
+        collapse_runs,
+        snapshot_history_merge,
+    )
+
+    rows = [
+        # steady across all three
+        ("steady", 1, "e", 5), ("steady", 2, "e", 5), ("steady", 3, "e", 4),
+        # etag changes at v3
+        ("churn", 1, "a", 9), ("churn", 2, "a", 9), ("churn", 3, "b", 9),
+        # present v1, absent v2, recreated v3 with the SAME etag
+        ("gap", 1, "e", 7), ("gap", 3, "e", 7),
+        # first appears at v3
+        ("late", 3, "x", 2),
+        # deleted before v3
+        ("gone", 1, "z", 1), ("gone", 2, "z", 1),
+    ]
+    schema = "key string, v int, etag string, size long"
+    all_v = spark.createDataFrame(rows, schema)
+    upto2 = spark.createDataFrame([r for r in rows if r[1] <= 2], schema)
+    v3 = spark.createDataFrame(
+        [(k, e, s) for (k, v, e, s) in rows if v == 3],
+        "key string, etag string, size long",
+    )
+
+    direct = {tuple(r) for r in collapse_runs(all_v).collect()}
+    merged = {
+        tuple(r)
+        for r in snapshot_history_merge(collapse_runs(upto2), v3, 3).collect()
+    }
+    assert merged == direct
+
+
+def test_snapshot_history_merge_incremental_cost(spark):
+    """The merge never re-reads history beyond the run table: a key absent
+    from the new snapshot passes through byte-identical (same run_id, same
+    interval), and repeated merges compose (v3 then v4 == direct v<=4)."""
+    from s3bigdatasync_spark.operators.timeline import (
+        collapse_runs,
+        snapshot_history_merge,
+    )
+
+    rows = [
+        ("k1", 1, "a", 5), ("k1", 2, "a", 5), ("k1", 3, "b", 5), ("k1", 4, "b", 5),
+        ("k2", 1, "e", 3), ("k2", 2, "e", 3), ("k2", 3, "e", 3), ("k2", 4, "e", 3),
+        ("k3", 1, "z", 9), ("k3", 2, "z", 9),
+    ]
+    schema = "key string, v int, etag string, size long"
+    all_v = spark.createDataFrame(rows, schema)
+    upto2 = spark.createDataFrame([r for r in rows if r[1] <= 2], schema)
+
+    def snap(v):
+        return spark.createDataFrame(
+            [(k, e, s) for (k, vv, e, s) in rows if vv == v],
+            "key string, etag string, size long",
+        )
+
+    step3 = snapshot_history_merge(collapse_runs(upto2), snap(3), 3)
+    step4 = snapshot_history_merge(step3, snap(4), 4)
+    direct = {tuple(r) for r in collapse_runs(all_v).collect()}
+    assert {tuple(r) for r in step4.collect()} == direct

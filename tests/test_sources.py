@@ -84,3 +84,29 @@ def test_azure_projection(spark, tmp_path):
     df = read_azure_inventory(spark, str(p), columns=["name", "CONTENT-LENGTH"])
     assert df.columns == ["Name", "Content-Length"]  # case-normalized access
     assert df.collect()[0]["Content-Length"] == 123
+
+
+def test_jsonl_documents_tolerant_and_strict(spark, tmp_path):
+    """A3's corrupt-row contract applied to the JSONL corpus-ingest path:
+    tolerant mode drops the malformed line, strict mode fails fast."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from s3bigdatasync_spark.sources.inventory import read_jsonl_documents
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11},
+        {"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7},
+    ]
+    lines = [_json.dumps(r) for r in rows] + ['{"doc_id": 3, "text": "trunc']
+    p.write_text("\n".join(lines))
+
+    df = read_jsonl_documents(spark, str(p))
+    got = {r["doc_id"] for r in df.collect()}
+    assert got == {1, 2}
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+    with _pytest.raises(Exception):
+        read_jsonl_documents(spark, str(p), strict=True).collect()
