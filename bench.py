@@ -78,6 +78,7 @@ HEADLINE = [
     "restore_plan",          # pushed-down class filter + integer-money agg
     "pq_encode",             # PQ codebook train + Arrow-batched encode
     "pq_search",             # ADC top-k over codes (128-row broadcast join)
+    "ivf_pq_search",         # IVF cell pruning + PQ ADC (the composed layout)
 ]
 
 

@@ -144,6 +144,22 @@ def _cmd_monitor(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_monitor_stream(spark: SparkSession, args) -> int:
+    from .streaming.monitor import stream_time_rollup
+
+    q = stream_time_rollup(
+        spark,
+        args.copy_log_dir,
+        args.stat_dir,
+        args.checkpoint_dir,
+        minutes=args.minutes,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    print(f"streamed stat table written to {args.stat_dir}")
+    return 0
+
+
 def _cmd_dashboard(spark: SparkSession, args) -> int:
     from .plans.pipeline import dashboard_progress
 
@@ -203,6 +219,18 @@ def build_parser() -> argparse.ArgumentParser:
     mo = add("monitor", _cmd_monitor, help="§3.3 1/5/60-min stat rollup")
     mo.add_argument("--copy-log-dir", required=True)
     mo.add_argument("--stat-dir", required=True)
+
+    ms = add(
+        "monitor-stream",
+        _cmd_monitor_stream,
+        help="§3.3 streaming leg: watermarked windowed stat stream "
+        "(checkpointed; drains available data and exits)",
+    )
+    ms.add_argument("--copy-log-dir", required=True)
+    ms.add_argument("--stat-dir", required=True)
+    ms.add_argument("--checkpoint-dir", required=True)
+    ms.add_argument("--minutes", type=int, default=1)
+    ms.add_argument("--max-files-per-trigger", type=int, default=10)
 
     da = add("dashboard", _cmd_dashboard, help="§3.3 progress rollup")
     da.add_argument("--stat-dir", required=True)

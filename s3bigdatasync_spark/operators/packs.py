@@ -122,6 +122,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "semantic_dedup",
         "pq_encode",
         "pq_search",
+        "ivf_pq_search",
     ],
     # near-dup candidate/verified pair sets (n-gram, minhash-LSH, embedding)
     # + train/eval shingle-overlap decontamination (same explode-join family)
@@ -296,6 +297,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("d2", "num"),
     ],
     "pq_search": [("vec_id", "int"), ("adc_d2", "num"), ("rank", "int")],
+    "ivf_pq_search": [
+        ("vec_id", "int"),
+        ("cell", "int"),
+        ("adc_d2", "num"),
+        ("rank", "int"),
+    ],
     "semantic_dedup": [
         ("vec_id", "int"),
         ("cluster", "int"),

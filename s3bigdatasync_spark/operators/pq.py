@@ -286,12 +286,148 @@ ORDER BY adc_d2, vec_id
 LIMIT {PQ_TOP_K}"""
 )
 
+# --- IVF-PQ: coarse cells prune, codes compress -----------------------------
+
+IVF_NPROBE = 2  # cells searched per query
+
+
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector layout: IVF cells decide WHICH vectors a
+    query touches (nprobe nearest label-centroids), PQ codes decide what each
+    touched vector COSTS (8-byte ADC lookup). The two stages are exactly
+    `ivf_assign` and `pq_search`'s machinery composed — at production scale
+    the codes table is written partitioned by IVF cell, so the candidate
+    restriction below (join on the probed cells) becomes partition pruning
+    and a query reads nprobe/K of an already-32×-compressed table.
+
+    Determinism: probe cells are chosen by the ivf_assign contract (6dp-round
+    d2 before ranking, ties by ascending label); candidate ADC follows the
+    pq_search contract; final ranking ties break by vec_id."""
+    import numpy as np
+
+    from .similarity import ivf_assign, label_centroids
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    C = _train_codebook(spark, emb)
+    if C is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, adc_d2 double, rank int"
+        )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    if not q:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, adc_d2 double, rank int"
+        )
+    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+
+    # probe cells: nprobe nearest IVF centroids to the query (driver-side —
+    # the centroid table is the same tiny K×D state ivf_assign broadcasts)
+    cents = label_centroids(spark, sf_dir).toPandas()
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    Civf = np.zeros((len(labels), dim))
+    for li, lab in enumerate(labels):
+        sub = cents[cents["label"] == lab].sort_values("dim")
+        Civf[li] = sub["centroid_v"].to_numpy()
+    d2 = np.round(((qvec[None, :] - Civf) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(labels)), key=lambda i: (d2[i], labels[i]))
+    probe = [int(labels[i]) for i in order[:IVF_NPROBE]]
+
+    cand = (
+        ivf_assign(spark, sf_dir)
+        .filter(F.col("assigned").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", F.col("assigned").alias("cell"))
+    )
+
+    # ADC over the candidates only (pq_search machinery)
+    k_eff = len(C)
+    Cm = C.reshape(k_eff, M_SUB, SUBDIM)
+    qsub = qvec.reshape(M_SUB, SUBDIM)
+    dq = np.round(((qsub[None, :, :] - Cm) ** 2).sum(axis=2).T, 6)
+    dq_df = spark.createDataFrame(
+        [(m, k, float(dq[m, k])) for m in range(M_SUB) for k in range(k_eff)],
+        "sub int, code int, dq double",
+    )
+    codes = _assign_codes(emb, spark, C).join(cand, "vec_id")
+    adc = (
+        codes.join(F.broadcast(dq_df), ["sub", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_d2"))
+    )
+    from pyspark.sql import Window
+
+    top = adc.orderBy("adc_d2", "vec_id").limit(PQ_TOP_K)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy("adc_d2", "vec_id")).cast("int"),
+    )
+
+
+def _ivf_pq_sql() -> str:
+    from .similarity import _CENTROIDS_SQL
+
+    return (
+        "WITH "
+        + _PQ_TRAIN_CTES
+        + f""",
+cent AS ({_CENTROIDS_SQL}),
+vecs AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+dcell AS (
+  SELECT vx.vec_id, c.label AS clabel,
+         round(sum((vx.v - c.centroid_v) * (vx.v - c.centroid_v)), 6) AS d2
+  FROM vecs vx JOIN cent c ON c.dim = vx.dim
+  GROUP BY vx.vec_id, c.label
+),
+assign_ AS (
+  SELECT vec_id, clabel AS cell FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+    FROM dcell
+  ) WHERE rn = 1
+),
+qcell AS (
+  SELECT clabel FROM (
+    SELECT clabel, row_number() OVER (ORDER BY d2, clabel) AS rn
+    FROM dcell WHERE vec_id = {QUERY_VEC_ID}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT vec_id, cell FROM assign_
+  WHERE cell IN (SELECT clabel FROM qcell) AND vec_id <> {QUERY_VEC_ID}
+),
+qd AS (
+  SELECT v.sub, c.cid AS code,
+         round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS dq
+  FROM v JOIN c1 c ON v.dim = c.dim
+  WHERE v.vec_id = {QUERY_VEC_ID}
+  GROUP BY v.sub, c.cid
+),
+adc AS (
+  SELECT e.vec_id, cand.cell, round(sum(qd.dq), 6) AS adc_d2
+  FROM enc e
+  JOIN cand ON cand.vec_id = e.vec_id
+  JOIN qd ON qd.sub = e.sub AND qd.code = e.code
+  GROUP BY e.vec_id, cand.cell
+)
+SELECT vec_id, cast(cell AS INT) AS cell, adc_d2,
+       cast(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
+FROM adc
+ORDER BY adc_d2, vec_id
+LIMIT {PQ_TOP_K}"""
+    )
+
+
 QUERIES = {
     "pq_encode": pq_encode,
     "pq_search": pq_search,
+    "ivf_pq_search": ivf_pq_search,
 }
 
 ORACLES = {
     "pq_encode": _PQ_ENCODE_SQL,
     "pq_search": _PQ_SEARCH_SQL,
+    "ivf_pq_search": _ivf_pq_sql(),
 }

@@ -122,3 +122,36 @@ def test_copy_fn_backends(tmp_path):
     touch = cli._make_copy_fn("touch", None, str(dst))
     assert touch("ignored", "ignored", "b/empty.bin")
     assert (dst / "b" / "empty.bin").exists()
+
+
+def test_monitor_stream_subcommand(spark, tmp_path, capsys):
+    """The streaming leg as a CLI verb: copy_log parquet in, checkpointed
+    watermarked rollup out, availableNow drain-and-exit semantics."""
+    import datetime as dt
+
+    schema = (
+        "object_key string, replication_time timestamp, replication_status int,"
+        " size long"
+    )
+    log = str(tmp_path / "copy_log")
+    stat = str(tmp_path / "stat")
+    ckpt = str(tmp_path / "ckpt")
+    early = [
+        ("k1", dt.datetime(2024, 1, 1, 7, 0, 10), 1, 100),
+        ("k2", dt.datetime(2024, 1, 1, 7, 0, 40), 0, 50),
+        ("k3", dt.datetime(2024, 1, 1, 7, 5, 5), 1, 10),
+    ]
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(log)
+    args = ["monitor-stream", "--copy-log-dir", log, "--stat-dir", stat,
+            "--checkpoint-dir", ckpt, "--max-files-per-trigger", "1"]
+    assert run(spark, *args) == 0
+
+    # append-mode emits only watermark-closed windows; a later append (well
+    # past the 10-minute delay) + second drain flushes the early ones
+    late = [("k4", dt.datetime(2024, 1, 1, 8, 0, 0), 1, 7)]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(log)
+    assert run(spark, *args) == 0
+
+    out = spark.read.parquet(stat)
+    assert out.count() >= 3  # the three early (window, status) groups closed
+    assert {r["time_unit"] for r in out.select("time_unit").distinct().collect()} == {1}
