@@ -134,14 +134,98 @@ GROUP BY event_type
 """
 
 
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every unordered type
+    pair, how many (user, day) baskets contain both, with lift vs the
+    independence expectation — "what do users who purchase also do?".
+
+    Plan: the distinct (user, day, type) relation is built once and
+    cache-pinned (it feeds the self-join, the per-type totals, and the
+    basket count); the pair self-join is keyed on (user, day) — per-basket
+    fan-out is bounded by the type vocabulary (|types| choose 2 per basket),
+    never by corpus size — and the totals join back as broadcasts since the
+    type vocabulary is tiny. Lift's inputs are exact integers; the single
+    IEEE division is correctly rounded, so both engines agree to the 6dp
+    round."""
+    ev = prepared(spark, sf_dir).table("events")
+    day = (F.col("ts").cast("long") / 86400).cast("long")
+    ud = (
+        ev.select("user_id", day.alias("day"), "event_type").distinct().cache()
+    )
+    n_baskets = ud.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    per_type = ud.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a = ud.select("user_id", "day", F.col("event_type").alias("et_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("et_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.selectExpr("event_type AS et_a", "n_type AS n_a")),
+            "et_a",
+        )
+        .join(
+            F.broadcast(per_type.selectExpr("event_type AS et_b", "n_type AS n_b")),
+            "et_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "et_a",
+            "et_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_pair") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_AFFINITY_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day, event_type
+  FROM events
+),
+n_baskets AS (
+  SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM ud)
+),
+per_type AS (
+  SELECT event_type, count(*) AS n_type FROM ud GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS n_pair
+  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.et_a, p.et_b, p.n_pair,
+       ta.n_type AS n_a, tb.n_type AS n_b,
+       round((p.n_pair * nb.n_baskets) / CAST(ta.n_type * tb.n_type AS DOUBLE), 6)
+         AS lift
+FROM pairs p
+JOIN per_type ta ON ta.event_type = p.et_a
+JOIN per_type tb ON tb.event_type = p.et_b, n_baskets nb
+"""
+
+
 QUERIES = {
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
     "props_extract": props_extract,
+    "event_type_affinity": event_type_affinity,
 }
 
 ORACLES = {
     "funnel_steps": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "props_extract": _PROPS_SQL,
+    "event_type_affinity": _AFFINITY_SQL,
 }

@@ -109,6 +109,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "ewma_smooth",
         "snapshot_history",
         "retry_worklist",
+        "event_type_affinity",
     ],
     # ANN family: brute-force + LSH buckets + LSH top-k + IVF training data
     # + JL random projection + product quantization (encode + ADC search)
@@ -162,6 +163,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "bm25_search",
         "group_sample",
         "unigram_logprob",
+        "vocab_coverage",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -397,6 +399,20 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("tokens_per_char", "num"),
     ],
     "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+    "vocab_coverage": [
+        ("doc_id", "int"),
+        ("n_tokens", "int"),
+        ("n_oov", "int"),
+        ("oov_rate", "num"),
+    ],
+    "event_type_affinity": [
+        ("et_a", "str"),
+        ("et_b", "str"),
+        ("n_pair", "int"),
+        ("n_a", "int"),
+        ("n_b", "int"),
+        ("lift", "num"),
+    ],
     "unigram_logprob": [
         ("doc_id", "int"),
         ("n_tokens", "int"),

@@ -830,7 +830,82 @@ LIMIT {BM25_TOP_N}
 """
 
 
+# --- vocab_coverage: tokenizer-coverage analysis -----------------------------
+
+VOCAB_V = 256  # top-V corpus tokens form the "tokenizer vocabulary"
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV analysis against a top-V corpus vocabulary — the question
+    every tokenizer build asks ("what coverage does a V-entry vocab buy, and
+    which docs fall outside it"). Vocabulary = the VOCAB_V most frequent
+    tokens (ties broken by token asc, engine-deterministic).
+
+    Plan: one explode → (doc, token) count pass, cache-pinned (feeds both the
+    vocabulary top-k and the per-doc rollup); the vocabulary itself compiles
+    to TakeOrderedAndProject and joins back as a V-row broadcast. Per-doc
+    output, no window, no global order."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0)
+    )
+    dcnt = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    vocab = (
+        dcnt.groupBy("token")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(VOCAB_V)
+        .select("token", F.lit(1).alias("in_v"))
+    )
+    per = (
+        dcnt.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("c")).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+    )
+
+
+_VOCAB_COVERAGE_SQL = rf"""
+WITH dcnt AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, sum(c) AS cnt FROM dcnt GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT {VOCAB_V}
+),
+per AS (
+  SELECT d.doc_id, sum(d.c) AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN d.c ELSE 0 END) AS n_oov
+  FROM dcnt d LEFT JOIN vocab v USING (token)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+FROM per
+"""
+
+
 QUERIES = {
+    "vocab_coverage": vocab_coverage,
     "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
     "top_tokens": top_tokens,
@@ -848,6 +923,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
     "source_mix_weights": _SOURCE_MIX_SQL,

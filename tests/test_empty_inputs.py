@@ -82,6 +82,13 @@ EMPTY_SAFE = [
     "hot_prefix_report",
     "retention_sweep",
     "restore_plan",
+    # round-2 batch C
+    "pq_encode",
+    "pq_search",
+    "ivf_pq_search",
+    "unigram_logprob",
+    "vocab_coverage",
+    "event_type_affinity",
 ]
 
 
