@@ -47,6 +47,12 @@ DOC_QUERIES = [
     "kmeans_lloyd",
     "semantic_dedup",
     "embedding_neardup",
+    # round-2 batch C
+    "pq_encode",
+    "pq_search",
+    "ivf_pq_search",
+    "unigram_logprob",
+    "vocab_coverage",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
