@@ -164,6 +164,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "group_sample",
         "unigram_logprob",
         "vocab_coverage",
+        "bpe_merges",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -399,6 +400,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("tokens_per_char", "num"),
     ],
     "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+    "bpe_merges": [
+        ("round", "int"),
+        ("lhs", "str"),
+        ("rhs", "str"),
+        ("merged", "str"),
+        ("freq", "int"),
+    ],
     "vocab_coverage": [
         ("doc_id", "int"),
         ("n_tokens", "int"),

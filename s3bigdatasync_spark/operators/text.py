@@ -830,6 +830,116 @@ LIMIT {BM25_TOP_N}
 """
 
 
+# --- bpe_merges: byte-pair-encoding vocabulary training ----------------------
+
+BPE_ROUNDS = 4
+
+
+def _bpe_prep_spark(docs: DataFrame) -> DataFrame:
+    """Symbol stream per doc: lowercase, non-alnum runs → one '_' boundary
+    symbol, then every char spaced out — ' h e l l o _ w o r l d '."""
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", "_")
+    spaced = F.concat(F.lit(" "), F.regexp_replace(cleaned, r"(.)", r"$1 "))
+    return docs.select("doc_id", spaced.alias("s"))
+
+
+def _bpe_pair_counts(sdf: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the corpus — a vocabulary²-bounded
+    aggregation (map-side combinable), never corpus-bounded."""
+    toks = F.split(F.trim(F.col("s")), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("l"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("r"),
+    )
+    return (
+        sdf.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _bpe_apply(sdf: DataFrame, left: str, right: str) -> DataFrame:
+    """Merge every adjacent (left, right) occurrence. The spaced-string
+    replace consumes the shared boundary space, so a chain like 'a b a b'
+    only merges alternate occurrences in one pass — a second pass catches
+    the stragglers (after pass one no two remaining occurrences share a
+    boundary), which exactly reproduces greedy left-to-right BPE ('a a a'
+    with merge (a,a) → [aa, a], both engines, same answer)."""
+    pat = f" {left} {right} "
+    rep = f" {left}{right} "
+    s1 = F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+    s2 = F.replace(s1, F.lit(pat), F.lit(rep))
+    return sdf.select("doc_id", s2.alias("s"))
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary training (Sennrich et al. 2016), the
+    canonical LLM-tokenizer job, done Spark-first: BPE_ROUNDS greedy merge
+    rounds, each = one vocabulary²-bounded pair-count aggregation + a 1-row
+    driver collect (the merge table IS the model — the same legitimate
+    driver state every distributed trainer ships) + one scan applying the
+    merge. Output: the learned merge table (round, left, right, merged,
+    freq), deterministic via (freq DESC, left, right) tie-break.
+
+    At 100 TB: tokenizer training never runs on the full corpus — compose
+    with deterministic_sample/dataset_split for the standard sample-then-
+    train flow; each round's heavy op is the pair count, which aggregates to
+    |vocab|² keys regardless of corpus size. The DuckDB oracle replays all
+    rounds from the same prep/count/apply text."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sdf = _bpe_prep_spark(docs)
+    out_rows = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(sdf)
+            .orderBy(F.desc("freq"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
+        out_rows.append((rnd, l, r, l + r, int(freq)))
+        sdf = _bpe_apply(sdf, l, r)
+    return spark.createDataFrame(
+        out_rows, "round int, lhs string, rhs string, merged string, freq long"
+    )
+
+
+def _bpe_sql() -> str:
+    prep = (
+        "SELECT doc_id, ' ' || regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9]+', '_', 'g'), '(.)', '\\1 ', 'g') AS s FROM documents"
+    )
+    count_tpl = """
+SELECT l, r, count(*) AS freq FROM (
+  SELECT toks[i] AS l, toks[i + 1] AS r
+  FROM (SELECT string_split(trim({src}.s), ' ') AS toks FROM {src}),
+       unnest(generate_series(1, len(toks) - 1)) u(i)
+) GROUP BY l, r"""
+    top_tpl = "SELECT l, r, freq FROM c{n} ORDER BY freq DESC, l, r LIMIT 1"
+    apply_tpl = """
+SELECT doc_id,
+       replace(replace(s{prev}.s, ' ' || t{n}.l || ' ' || t{n}.r || ' ',
+                       ' ' || t{n}.l || t{n}.r || ' '),
+               ' ' || t{n}.l || ' ' || t{n}.r || ' ',
+               ' ' || t{n}.l || t{n}.r || ' ') AS s
+FROM s{prev}, t{n}"""
+    ctes = [f"s0 AS ({prep})"]
+    selects = []
+    for n in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"c{n} AS ({count_tpl.format(src=f's{n - 1}')})")
+        ctes.append(f"t{n} AS ({top_tpl.format(n=n)})")
+        if n < BPE_ROUNDS:
+            ctes.append(f"s{n} AS ({apply_tpl.format(prev=n - 1, n=n)})")
+        selects.append(
+            f"SELECT {n} AS round, l AS lhs, r AS rhs,"
+            f" l || r AS merged, cast(freq AS BIGINT) AS freq FROM t{n}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # --- vocab_coverage: tokenizer-coverage analysis -----------------------------
 
 VOCAB_V = 256  # top-V corpus tokens form the "tokenizer vocabulary"
@@ -905,6 +1015,7 @@ FROM per
 
 
 QUERIES = {
+    "bpe_merges": bpe_merges,
     "vocab_coverage": vocab_coverage,
     "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
@@ -923,6 +1034,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merges": _bpe_sql(),
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,

@@ -70,6 +70,7 @@ EVENT_QUERIES = [
     "retry_worklist",
     "salted_hot_key_agg",
     "asof_last_success",
+    "event_type_affinity",
 ]
 
 # Inventory-shaped headline queries (all derive from lineitem).
