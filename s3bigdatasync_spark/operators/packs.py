@@ -165,6 +165,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "unigram_logprob",
         "vocab_coverage",
         "bpe_merges",
+        "bpe_tokenize",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -400,6 +401,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("tokens_per_char", "num"),
     ],
     "variance_counts": [("variance_class", "str"), ("n_rows", "int"), ("total_bytes", "int")],
+    "bpe_tokenize": [
+        ("doc_id", "int"),
+        ("n_chars_clean", "int"),
+        ("n_symbols", "int"),
+        ("chars_per_symbol", "num"),
+    ],
     "bpe_merges": [
         ("round", "int"),
         ("lhs", "str"),

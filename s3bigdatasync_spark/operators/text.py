@@ -907,7 +907,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql() -> str:
+def _bpe_ctes(final_apply: bool) -> tuple[list[str], list[str]]:
+    """(CTE list, per-round merge-row selects) for the BPE training replay.
+    final_apply=True also materializes s{BPE_ROUNDS} (the fully-encoded
+    corpus) for the tokenize oracle."""
     prep = (
         "SELECT doc_id, ' ' || regexp_replace(regexp_replace(lower(text),"
         " '[^a-z0-9]+', '_', 'g'), '(.)', '\\1 ', 'g') AS s FROM documents"
@@ -931,13 +934,71 @@ FROM s{prev}, t{n}"""
     for n in range(1, BPE_ROUNDS + 1):
         ctes.append(f"c{n} AS ({count_tpl.format(src=f's{n - 1}')})")
         ctes.append(f"t{n} AS ({top_tpl.format(n=n)})")
-        if n < BPE_ROUNDS:
+        if n < BPE_ROUNDS or final_apply:
             ctes.append(f"s{n} AS ({apply_tpl.format(prev=n - 1, n=n)})")
         selects.append(
             f"SELECT {n} AS round, l AS lhs, r AS rhs,"
             f" l || r AS merged, cast(freq AS BIGINT) AS freq FROM t{n}"
         )
+    return ctes, selects
+
+
+def _bpe_sql() -> str:
+    ctes, selects = _bpe_ctes(final_apply=False)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the learned BPE merge table: apply the
+    BPE_ROUNDS merges in training order, then report per-doc symbol counts
+    and the compression each doc gets vs its raw character stream — the
+    metric that tells a tokenizer build whether the vocabulary earns its
+    size. Training state (the merge list) is recomputed via the bpe_merges
+    rounds (tiny driver loop); encoding itself is BPE_ROUNDS pure scans —
+    no shuffle at all, embarrassingly parallel at any corpus size."""
+    docs = prepared(spark, sf_dir).table("documents")
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_merges(spark, sf_dir).collect()
+    ]
+    sdf = _bpe_prep_spark(docs)
+    for l, r in merges:
+        sdf = _bpe_apply(sdf, l, r)
+    toks = F.split(F.trim(F.col("s")), " ")
+    n_syms = F.size(F.filter(toks, lambda x: x != ""))
+    # character count of the cleaned stream = total symbol characters
+    chars = F.aggregate(
+        F.filter(toks, lambda x: x != ""),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    return sdf.select(
+        "doc_id",
+        chars.alias("n_chars_clean"),
+        n_syms.alias("n_symbols"),
+        F.round(
+            chars / F.nullif(n_syms.cast("double"), F.lit(0.0)), 6
+        ).alias("chars_per_symbol"),
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    ctes, _selects = _bpe_ctes(final_apply=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+syms AS (
+  SELECT doc_id, list_filter(string_split(trim(s), ' '), x -> x <> '') AS toks
+  FROM s{BPE_ROUNDS}
+)
+SELECT doc_id,
+       cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS INT)
+         AS n_chars_clean,
+       cast(len(toks) AS INT) AS n_symbols,
+       round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             / nullif(cast(len(toks) AS DOUBLE), 0.0), 6) AS chars_per_symbol
+FROM syms"""
+    )
 
 
 # --- vocab_coverage: tokenizer-coverage analysis -----------------------------
@@ -1016,6 +1077,7 @@ FROM per
 
 QUERIES = {
     "bpe_merges": bpe_merges,
+    "bpe_tokenize": bpe_tokenize,
     "vocab_coverage": vocab_coverage,
     "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
@@ -1035,6 +1097,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_merges": _bpe_sql(),
+    "bpe_tokenize": _bpe_tokenize_sql(),
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
