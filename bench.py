@@ -79,6 +79,10 @@ HEADLINE = [
     "pq_encode",             # PQ codebook train + Arrow-batched encode
     "pq_search",             # ADC top-k over codes (128-row broadcast join)
     "ivf_pq_search",         # IVF cell pruning + PQ ADC (the composed layout)
+    "unigram_logprob",       # corpus-LM bits/token gate (cache-pinned counts)
+    "vocab_coverage",        # OOV rate vs top-V vocab (broadcast join)
+    "bpe_merges",            # iterative BPE vocab training (4 rounds)
+    "event_type_affinity",   # market-basket lift over (user, day) baskets
 ]
 
 
