@@ -1,0 +1,67 @@
+"""Streaming windowed top-k: append-mode window completeness makes the
+in-batch rank exact — pinned by batch parity over incremental appends."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from s3bigdatasync_spark.streaming.trending import (
+    EVENTS_SCHEMA,
+    batch_equivalent,
+    stream_trending_types,
+)
+
+T0 = dt.datetime(2024, 1, 1, 7, 0, 0)
+
+
+def _mk(eid0: int, minute0: int, types: list[str]):
+    """One event per (minute offset, type) starting at minute0."""
+    rows = []
+    eid = eid0
+    for i, t in enumerate(types):
+        rows.append(
+            (eid, T0 + dt.timedelta(minutes=minute0, seconds=7 * i), 1 + i, t, 1.0)
+        )
+        eid += 1
+    return rows
+
+
+def test_stream_trending_matches_batch(spark, tmp_path):
+    ev_dir = str(tmp_path / "events")
+    out = str(tmp_path / "trending")
+    ckpt = str(tmp_path / "ckpt")
+
+    # window 1 (07:00): click dominates; window 2 (07:05): view dominates
+    batch1 = _mk(0, 0, ["click", "click", "click", "view", "view", "scroll", "buy"])
+    batch1 += _mk(100, 5, ["view", "view", "view", "click", "buy"])
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+    q = stream_trending_types(spark, ev_dir, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # a much later append closes both earlier windows past the watermark
+    late = _mk(200, 60, ["click"])
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev_dir)
+    q = stream_trending_types(spark, ev_dir, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["rank"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # compare on the closed span only (the late window itself is still open)
+    expected_df = batch_equivalent(spark, ev_dir)
+    closed_max = max(ws for ws, *_ in got)
+    expected = {
+        (r["window_start"], r["event_type"], r["n_events"], r["rank"])
+        for r in expected_df.filter(F.col("window_start") <= closed_max).collect()
+    }
+    assert got == expected
+    # rank-1 rows identify the dominant type per window
+    top1 = {ws: t for ws, t, n, rk in got if rk == 1}
+    assert set(top1.values()) == {"click", "view"}
