@@ -160,6 +160,22 @@ def _cmd_monitor_stream(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_trending(spark: SparkSession, args) -> int:
+    from .streaming.trending import stream_trending_types
+
+    q = stream_trending_types(
+        spark,
+        args.events_dir,
+        args.out_dir,
+        args.checkpoint_dir,
+        window_minutes=args.window_minutes,
+        k=args.k,
+    )
+    q.awaitTermination()
+    print(f"trending windows written to {args.out_dir}")
+    return 0
+
+
 def _cmd_dashboard(spark: SparkSession, args) -> int:
     from .plans.pipeline import dashboard_progress
 
@@ -231,6 +247,17 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--checkpoint-dir", required=True)
     ms.add_argument("--minutes", type=int, default=1)
     ms.add_argument("--max-files-per-trigger", type=int, default=10)
+
+    tr = add(
+        "trending",
+        _cmd_trending,
+        help="streaming windowed top-k event types (drains available data)",
+    )
+    tr.add_argument("--events-dir", required=True)
+    tr.add_argument("--out-dir", required=True)
+    tr.add_argument("--checkpoint-dir", required=True)
+    tr.add_argument("--window-minutes", type=int, default=5)
+    tr.add_argument("-k", type=int, default=3)
 
     da = add("dashboard", _cmd_dashboard, help="§3.3 progress rollup")
     da.add_argument("--stat-dir", required=True)

@@ -155,3 +155,30 @@ def test_monitor_stream_subcommand(spark, tmp_path, capsys):
     out = spark.read.parquet(stat)
     assert out.count() >= 3  # the three early (window, status) groups closed
     assert {r["time_unit"] for r in out.select("time_unit").distinct().collect()} == {1}
+
+
+def test_trending_subcommand(spark, tmp_path):
+    """Streaming top-k as a CLI verb over an events parquet dir."""
+    import datetime as dt
+
+    from s3bigdatasync_spark.streaming.trending import EVENTS_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 7, 0, 0)
+    early = [
+        (i, t0 + dt.timedelta(seconds=10 * i), i, "click" if i % 2 else "view", 1.0)
+        for i in range(8)
+    ]
+    ev = str(tmp_path / "events")
+    spark.createDataFrame(early, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    args = ["trending", "--events-dir", ev, "--out-dir", out, "--checkpoint-dir", ckpt]
+    assert run(spark, *args) == 0
+    late = [(99, t0 + dt.timedelta(hours=2), 99, "click", 1.0)]
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ev)
+    assert run(spark, *args) == 0
+    res = spark.read.parquet(out)
+    assert res.count() >= 2 and "rank" in res.columns
