@@ -1,0 +1,68 @@
+"""Streaming SCD2 maintenance: the streamed run table must equal batch
+collapse_runs over every version seen, after every round of appends; a
+checkpoint replay of already-applied versions must be a no-op."""
+
+from __future__ import annotations
+
+import shutil
+
+from s3bigdatasync_spark.operators.timeline import collapse_runs
+from s3bigdatasync_spark.streaming.scd2 import (
+    SNAPSHOT_STREAM_SCHEMA,
+    read_runs,
+    stream_snapshot_history,
+)
+
+ROWS = [
+    # v1
+    ("steady", 1, "e", 5), ("churn", 1, "a", 9), ("gone", 1, "z", 1),
+    # v2: churn's etag flips, gone disappears, late appears
+    ("steady", 2, "e", 4), ("churn", 2, "b", 9), ("late", 2, "x", 2),
+    # v3: everyone persists; churn's size shrinks (run size = min over members)
+    ("steady", 3, "e", 5), ("churn", 3, "b", 8), ("late", 3, "x", 2),
+]
+
+
+def _runs_set(df):
+    return {
+        (r["key"], r["run_id"], r["etag"], r["v_from"], r["v_to"], r["size"])
+        for r in df.collect()
+    }
+
+
+def test_stream_scd2_matches_batch(spark, tmp_path):
+    snaps = str(tmp_path / "snaps")
+    runs_dir = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def append(vs):
+        rows = [r for r in ROWS if r[1] in vs]
+        spark.createDataFrame(rows, SNAPSHOT_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(snaps)
+
+    def drain():
+        q = stream_snapshot_history(spark, snaps, runs_dir, ckpt, max_files_per_trigger=1)
+        q.awaitTermination(120)
+
+    def batch_expected(vs):
+        rows = [r for r in ROWS if r[1] in vs]
+        versions = spark.createDataFrame(
+            rows, "key string, v int, etag string, size long"
+        )
+        return _runs_set(collapse_runs(versions))
+
+    append({1})
+    drain()
+    assert _runs_set(read_runs(spark, runs_dir)) == batch_expected({1})
+
+    append({2, 3})  # two versions in one batch — applied in ascending order
+    drain()
+    assert _runs_set(read_runs(spark, runs_dir)) == batch_expected({1, 2, 3})
+
+    # replay from a wiped checkpoint: every file redelivers, the version
+    # watermark (max v_to) skips them all, state is unchanged
+    before = _runs_set(read_runs(spark, runs_dir))
+    shutil.rmtree(ckpt)
+    drain()
+    assert _runs_set(read_runs(spark, runs_dir)) == before
