@@ -286,20 +286,104 @@ def measure(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def _diff(src, dst):
+    from pyspark.sql import functions as F
+
+    s = src.select(
+        "key", F.col("size").alias("src_size"), F.col("etag").alias("src_etag")
+    )
+    d = dst.select(
+        "key", F.col("size").alias("dst_size"), F.col("etag").alias("dst_etag")
+    )
+    return (
+        s.join(d, "key", "full_outer")
+        .withColumn(
+            "variance",
+            F.when(F.col("dst_etag").isNull(), "New")
+            .when(F.col("src_etag").isNull(), "Delete")
+            .when(
+                (F.col("src_etag") != F.col("dst_etag"))
+                | (F.col("src_size") != F.col("dst_size")),
+                "Update",
+            )
+            .otherwise("Same"),
+        )
+        .filter(F.col("variance") != "Same")
+    )
+
+
+def run_bucketed(spark, out_dir: str, copies: int) -> dict:
+    """Measure the flagship diff on PLAIN vs KEY-BUCKETED snapshot layout at
+    `copies`× scale — the claim 'bucketing removes the exchange' as a
+    wall-clock number instead of a plan assertion."""
+    from s3bigdatasync_spark.operators import _PREPARED, prepared
+
+    build_scaled_dir(spark, out_dir, copies)
+    _PREPARED.clear()
+    src = prepared(spark, out_dir).table("inventory_src").select("key", "size", "etag")
+    dst = spark.table("inventory_dst").select("key", "size", "etag")
+
+    plain = {}
+    for name, df in (("p_src", src), ("p_dst", dst)):
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        plain[name] = spark.read.parquet(f"{out_dir}/{name}")
+    for name, df in (("b_src", src), ("b_dst", dst)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(32, "key")
+            .sortBy("key")
+            .option("path", f"{out_dir}/{name}")
+            .saveAsTable(name)
+        )
+
+    def steady(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
+    d_plain = _diff(plain["p_src"], plain["p_dst"])
+    d_bucket = _diff(spark.table("b_src"), spark.table("b_dst"))
+    res = {
+        "plain_s": steady(d_plain),
+        "bucketed_s": steady(d_bucket),
+        "plain_exchanges": d_plain._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning"),
+        "bucketed_exchanges": d_bucket._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning"),
+    }
+    for name in ("b_src", "b_dst"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
-        "--mode", choices=["inventory", "docs", "events"], default="inventory",
+        "--mode",
+        choices=["inventory", "docs", "events", "bucketed"],
+        default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
-        " ops; events: time-window/session/behavior ops",
+        " ops; events: time-window/session/behavior ops; bucketed: flagship"
+        " diff on plain vs key-bucketed layout",
     )
     args = ap.parse_args()
 
     from s3bigdatasync_spark.session import get_spark
 
     spark = get_spark("scale-probe")
+    if args.mode == "bucketed":
+        res = run_bucketed(spark, args.out, args.copies)
+        print(json.dumps({"copies": args.copies, "mode": "bucketed", **res}))
+        return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
         names = DOC_QUERIES
