@@ -363,17 +363,82 @@ def run_bucketed(spark, out_dir: str, copies: int) -> dict:
     return res
 
 
+def run_skew(spark, out_dir: str, copies: int) -> dict:
+    """Hot-key skew: replicate copy_log ×copies with 30% of all rows
+    collapsed onto ONE object key, then measure 'latest attempt per key'
+    two ways — the naive per-key window (row_number) vs the shipped
+    map-side-combinable max(struct) shape (operators/timeline.retry_worklist's
+    documented design choice). The window sorts the hot key's entire volume
+    in one task; the agg collapses it map-side before the shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from s3bigdatasync_spark.operators import _PREPARED, prepared
+
+    _PREPARED.clear()
+    log = prepared(spark, BASE_SF).table("copy_log").select(
+        "object_key", "replication_time", "replication_status", "size", "etag"
+    )
+    parts = []
+    for i in range(copies):
+        c = log.withColumn(
+            "object_key",
+            F.when(F.crc32(F.col("etag").cast("binary")) % 10 < 3, F.lit("HOT"))
+            .otherwise(F.concat(F.col("object_key"), F.lit(f"#c{i}"))),
+        )
+        parts.append(c)
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    path = f"{out_dir}/copy_log_skewed"
+    scaled.write.mode("overwrite").parquet(path)
+    sk = spark.read.parquet(path)
+
+    ts = F.col("replication_time").cast("long")
+    wk = Window.partitionBy("object_key").orderBy(F.desc(ts), F.desc("etag"))
+    via_window = (
+        sk.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("object_key", ts.alias("last_ts"), "replication_status")
+    )
+    via_agg = (
+        sk.groupBy("object_key")
+        .agg(
+            F.max(
+                F.struct(ts.alias("ts"), F.col("etag"), F.col("replication_status").alias("st"))
+            ).alias("last")
+        )
+        .select("object_key", F.col("last.ts").alias("last_ts"), F.col("last.st"))
+    )
+
+    def steady(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
+    n_hot = sk.filter(F.col("object_key") == "HOT").count()
+    return {
+        "rows": sk.count(),
+        "hot_rows": n_hot,
+        "window_s": steady(via_window),
+        "max_struct_s": steady(via_agg),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "events", "bucketed"],
+        choices=["inventory", "docs", "events", "bucketed", "skew"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
-        " diff on plain vs key-bucketed layout",
+        " diff on plain vs key-bucketed layout; skew: hot-key window vs"
+        " map-side-combinable agg",
     )
     args = ap.parse_args()
 
@@ -383,6 +448,10 @@ def main() -> None:
     if args.mode == "bucketed":
         res = run_bucketed(spark, args.out, args.copies)
         print(json.dumps({"copies": args.copies, "mode": "bucketed", **res}))
+        return
+    if args.mode == "skew":
+        res = run_skew(spark, args.out, args.copies)
+        print(json.dumps({"copies": args.copies, "mode": "skew", **res}))
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
