@@ -95,6 +95,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "hot_prefix_report",
         "retention_sweep",
         "restore_plan",
+        "layout_advisor",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -261,6 +262,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_dup_groups", "int"),
         ("bytes_total", "int"),
         ("bytes_dedupable", "int"),
+    ],
+    "layout_advisor": [
+        ("n_objects", "int"),
+        ("total_bytes", "int"),
+        ("n_files_512mb", "int"),
+        ("shuffle_partitions_128mb", "int"),
+        ("bucket_count", "int"),
     ],
     "zorder_layout": [
         ("zbucket", "int"),

@@ -530,7 +530,84 @@ cum AS (
     )
 
 
+# --- layout_advisor: partitioning recommendations from table stats ----------
+
+TARGET_FILE_BYTES = 512 * 1024 * 1024  # parquet file target (~512 MB)
+TARGET_TASK_BYTES = 128 * 1024 * 1024  # shuffle-partition target (~128 MB)
+_BUCKET_UNIT = 1 << 30  # one bucket per GiB, rounded up to a power of two
+_POW2_MAX = 30
+
+
+def _pow2_ceil_cases(expr: str) -> str:
+    """Smallest power of two >= expr as a generated CASE ladder — exact
+    integer comparison in both engines (log2+ceil would ride libm's last
+    ulp across engines)."""
+    whens = " ".join(
+        f"WHEN {expr} <= {1 << k} THEN {1 << k}" for k in range(_POW2_MAX + 1)
+    )
+    return f"(CASE {whens} ELSE {1 << (_POW2_MAX + 1)} END)"
+
+
+def layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout recommendation from one stats pass over the inventory:
+    how many ~512 MB files to write, how many ~128 MB shuffle partitions to
+    configure, and the power-of-two bucket count for the key-bucketed layout
+    SCALING.md measures (one bucket per GiB, rounded up) — the knobs the
+    brief says to size so partitions fit executor memory at the target SF.
+    Everything is exact integer arithmetic (ceil-div via (a+b-1) div b and a
+    generated power-of-two CASE ladder), so the advice is engine-identical
+    at any byte scale."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    agg = inv.agg(
+        F.count("*").alias("n_objects"), F.sum("size").alias("total_bytes")
+    )
+    # exact integer ceil-div (`div`, not `/` — a double quotient can land a
+    # last-ulp away from DuckDB's integer `//` at scale)
+    ceil_div = lambda a, b: F.expr(f"({a} + {b - 1}) div {b}")  # noqa: E731
+    n_files = F.greatest(F.lit(1).cast("long"), ceil_div("total_bytes", TARGET_FILE_BYTES))
+    n_parts = F.greatest(F.lit(1).cast("long"), ceil_div("total_bytes", TARGET_TASK_BYTES))
+    n_gib = F.greatest(F.lit(1).cast("long"), ceil_div("total_bytes", _BUCKET_UNIT))
+    out = agg.select(
+        "n_objects",
+        "total_bytes",
+        n_files.alias("n_files_512mb"),
+        n_parts.alias("shuffle_partitions_128mb"),
+        n_gib.alias("n_gib_ceil"),
+    )
+    return out.selectExpr(
+        "n_objects",
+        "total_bytes",
+        "n_files_512mb",
+        "shuffle_partitions_128mb",
+        f"CAST({_pow2_ceil_cases('n_gib_ceil')} AS BIGINT) AS bucket_count",
+    )
+
+
+def _layout_advisor_sql() -> str:
+    from ..views import oracle_cte
+
+    return oracle_cte("inventory_src") + f"""
+, agg AS (
+  SELECT count(*) AS n_objects, cast(sum(size) AS BIGINT) AS total_bytes
+  FROM inventory_src
+),
+derived AS (
+  SELECT n_objects, total_bytes,
+         greatest(1, (total_bytes + {TARGET_FILE_BYTES - 1}) // {TARGET_FILE_BYTES}) AS n_files_512mb,
+         greatest(1, (total_bytes + {TARGET_TASK_BYTES - 1}) // {TARGET_TASK_BYTES}) AS shuffle_partitions_128mb,
+         greatest(1, (total_bytes + {_BUCKET_UNIT - 1}) // {_BUCKET_UNIT}) AS n_gib_ceil
+  FROM agg
+)
+SELECT n_objects, total_bytes,
+       cast(n_files_512mb AS BIGINT) AS n_files_512mb,
+       cast(shuffle_partitions_128mb AS BIGINT) AS shuffle_partitions_128mb,
+       cast({_pow2_ceil_cases('n_gib_ceil')} AS BIGINT) AS bucket_count
+FROM derived
+"""
+
+
 QUERIES = {
+    "layout_advisor": layout_advisor,
     "size_histogram": size_histogram,
     "inventory_stats": inventory_stats,
     "progress_rollup": progress_rollup,
@@ -544,6 +621,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "layout_advisor": _layout_advisor_sql(),
     "size_histogram": _SIZE_HISTOGRAM_SQL,
     "inventory_stats": _INVENTORY_STATS_SQL,
     "progress_rollup": _PROGRESS_ROLLUP_SQL.replace("WITH_AGG: ", ""),

@@ -110,3 +110,27 @@ def test_jsonl_documents_tolerant_and_strict(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_jsonl_documents(spark, str(p), strict=True).collect()
+
+
+def test_parquet_mirror_pushes_key_range_to_scan(spark, tmp_path):
+    """to_parquet_mirror's sortWithinPartitions(key) exists so min/max row-
+    group stats prune key-range scans; pin the plan-level contract — the key
+    predicate reaches the scan as PushedFilters — and result correctness."""
+    from s3bigdatasync_spark.operators import prepared
+    from s3bigdatasync_spark.sources.inventory import to_parquet_mirror
+    from pyspark.sql import functions as F
+
+    inv = prepared(spark, "/root/testdata/sf0.001").table("inventory_src").select(
+        "key", "size", "etag"
+    )
+    out = str(tmp_path / "mirror")
+    to_parquet_mirror(inv, out, partitions=4)
+
+    mirrored = spark.read.parquet(out)
+    hi = mirrored.agg(F.max("key")).collect()[0][0]
+    q = mirrored.filter(F.col("key") >= hi)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(key" in pushed
+    assert q.count() == inv.filter(F.col("key") >= hi).count()
