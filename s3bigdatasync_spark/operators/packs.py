@@ -96,6 +96,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "retention_sweep",
         "restore_plan",
         "layout_advisor",
+        "listing_anomalies",
     ],
     # time extrema + HWM incremental buckets (A8, D5, D6, F1) + the
     # event-behavior family (ordered funnel, retention triangle, JSON props)
@@ -262,6 +263,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_dup_groups", "int"),
         ("bytes_total", "int"),
         ("bytes_dedupable", "int"),
+    ],
+    "listing_anomalies": [
+        ("side", "str"),
+        ("n_keys", "int"),
+        ("n_rows", "int"),
+        ("dup_keys", "int"),
+        ("extra_rows", "int"),
     ],
     "layout_advisor": [
         ("n_objects", "int"),

@@ -606,8 +606,50 @@ FROM derived
 """
 
 
+def listing_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory data-quality audit: duplicate key listings per snapshot
+    side. A real S3 inventory lists each key once; eventual-consistency
+    windows and mid-listing mutations produce duplicates that silently
+    corrupt downstream window/run logic (collapse_runs dedupes them first
+    for exactly this reason — and the sf0.001 fixture genuinely contains
+    one). One map-side-combinable groupBy(side, key) + a 2-row rollup."""
+    sp = prepared(spark, sf_dir)
+    src = sp.table("inventory_src").select(F.lit("src").alias("side"), "key")
+    dst = sp.table("inventory_dst").select(F.lit("dst").alias("side"), "key")
+    per_key = (
+        src.unionByName(dst).groupBy("side", "key").agg(F.count("*").alias("n"))
+    )
+    return per_key.groupBy("side").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_keys"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("extra_rows"),
+    )
+
+
+def _listing_anomalies_sql() -> str:
+    from ..views import oracle_cte
+
+    return oracle_cte("inventory_src", "inventory_dst") + """
+, per_key AS (
+  SELECT side, key, count(*) AS n FROM (
+    SELECT 'src' AS side, key FROM inventory_src
+    UNION ALL
+    SELECT 'dst' AS side, key FROM inventory_dst
+  ) GROUP BY side, key
+)
+SELECT side,
+       count(*) AS n_keys,
+       cast(sum(n) AS BIGINT) AS n_rows,
+       cast(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+       cast(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS extra_rows
+FROM per_key GROUP BY side
+"""
+
+
 QUERIES = {
     "layout_advisor": layout_advisor,
+    "listing_anomalies": listing_anomalies,
     "size_histogram": size_histogram,
     "inventory_stats": inventory_stats,
     "progress_rollup": progress_rollup,
@@ -622,6 +664,7 @@ QUERIES = {
 
 ORACLES = {
     "layout_advisor": _layout_advisor_sql(),
+    "listing_anomalies": _listing_anomalies_sql(),
     "size_histogram": _SIZE_HISTOGRAM_SQL,
     "inventory_stats": _INVENTORY_STATS_SQL,
     "progress_rollup": _PROGRESS_ROLLUP_SQL.replace("WITH_AGG: ", ""),
