@@ -146,6 +146,82 @@ def read_manifest_files(spark: SparkSession, manifest: dict, base: str = "") -> 
     return read_inventory_csv(spark, paths)
 
 
+def validate_manifest(spark: SparkSession, manifest: dict, base: str = "") -> DataFrame:
+    """A2's integrity step, implemented instead of stubbed: the reference
+    declares per-file MD5 validation but ships a pass-through
+    (libs/s3_utils.py:83-87 — `validate_download_file` always returns True).
+    Here every manifest entry is checked DISTRIBUTED-ly: one task per file
+    (mapInPandas over the entry list) stats and hashes the file, comparing
+    declared size and MD5checksum. Returns one row per entry with status in
+    {'ok', 'size_mismatch', 'md5_mismatch', 'missing'} — route non-ok rows to
+    quarantine exactly like the copy pipeline's dead-letter table.
+
+    At 100 TB inventories the manifest lists thousands of data files;
+    hashing parallelizes per file and nothing but the verdict rows moves."""
+    from pyspark.sql.types import LongType
+
+    entries = [
+        (
+            (base + f["key"]) if base else f["key"],
+            int(f.get("size", -1)),
+            (f.get("MD5checksum") or "").lower(),
+        )
+        for f in manifest["files"]
+    ]
+    ent_df = spark.createDataFrame(
+        entries, "path string, declared_size long, declared_md5 string"
+    ).repartition(max(1, min(len(entries), 64)))
+
+    def kernel(batches):
+        import hashlib as _hl
+        import os as _os
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for path, dsize, dmd5 in zip(
+                pdf["path"], pdf["declared_size"], pdf["declared_md5"]
+            ):
+                if not _os.path.exists(path):
+                    out.append((path, dsize, -1, "", "missing"))
+                    continue
+                actual = _os.path.getsize(path)
+                h = _hl.md5()
+                with open(path, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                md5 = h.hexdigest()
+                if dsize >= 0 and actual != dsize:
+                    status = "size_mismatch"
+                elif dmd5 and md5 != dmd5:
+                    status = "md5_mismatch"
+                else:
+                    status = "ok"
+                out.append((path, dsize, actual, md5, status))
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "path",
+                    "declared_size",
+                    "actual_size",
+                    "actual_md5",
+                    "status",
+                ],
+            )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("declared_size", LongType()),
+            StructField("actual_size", LongType()),
+            StructField("actual_md5", StringType()),
+            StructField("status", StringType()),
+        ]
+    )
+    return ent_df.mapInPandas(kernel, schema)
+
+
 def read_azure_inventory(
     spark: SparkSession, paths: str | list[str], columns: list[str] | None = None
 ) -> DataFrame:

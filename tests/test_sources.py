@@ -134,3 +134,40 @@ def test_parquet_mirror_pushes_key_range_to_scan(spark, tmp_path):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "GreaterThanOrEqual(key" in pushed
     assert q.count() == inv.filter(F.col("key") >= hi).count()
+
+
+def test_validate_manifest(spark, tmp_path):
+    """A2's integrity step, real instead of the reference's pass-through stub
+    (libs/s3_utils.py:83-87): ok / size_mismatch / md5_mismatch / missing."""
+    import hashlib
+
+    from s3bigdatasync_spark.sources.inventory import validate_manifest
+
+    good = tmp_path / "good.csv"
+    good.write_bytes(b"a,b,c\n")
+    sized = tmp_path / "sized.csv"
+    sized.write_bytes(b"longer than declared\n")
+    hashed = tmp_path / "hashed.csv"
+    hashed.write_bytes(b"payload\n")
+
+    manifest = {
+        "files": [
+            {
+                "key": str(good),
+                "size": good.stat().st_size,
+                "MD5checksum": hashlib.md5(good.read_bytes()).hexdigest(),
+            },
+            {"key": str(sized), "size": 1, "MD5checksum": ""},
+            {
+                "key": str(hashed),
+                "size": hashed.stat().st_size,
+                "MD5checksum": "0" * 32,
+            },
+            {"key": str(tmp_path / "gone.csv"), "size": 5, "MD5checksum": ""},
+        ]
+    }
+    res = {r["path"]: r["status"] for r in validate_manifest(spark, manifest).collect()}
+    assert res[str(good)] == "ok"
+    assert res[str(sized)] == "size_mismatch"
+    assert res[str(hashed)] == "md5_mismatch"
+    assert res[str(tmp_path / "gone.csv")] == "missing"
