@@ -144,6 +144,19 @@ def _cmd_monitor(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_validate_manifest(spark: SparkSession, args) -> int:
+    from pyspark.sql import functions as F
+
+    from .sources.inventory import read_manifest, validate_manifest
+
+    manifest = read_manifest(spark, args.manifest)
+    res = validate_manifest(spark, manifest, base=args.base or "").cache()
+    n_bad = res.filter(F.col("status") != "ok").count()
+    res.show(100, truncate=False)
+    print(f"{res.count()} files checked, {n_bad} failed validation")
+    return 0 if n_bad == 0 else 1
+
+
 def _cmd_monitor_stream(spark: SparkSession, args) -> int:
     from .streaming.monitor import stream_time_rollup
 
@@ -235,6 +248,15 @@ def build_parser() -> argparse.ArgumentParser:
     mo = add("monitor", _cmd_monitor, help="§3.3 1/5/60-min stat rollup")
     mo.add_argument("--copy-log-dir", required=True)
     mo.add_argument("--stat-dir", required=True)
+
+    vm = add(
+        "validate-manifest",
+        _cmd_validate_manifest,
+        help="A2 integrity: check every manifest file's size+MD5 (exit 1 on"
+        " any failure)",
+    )
+    vm.add_argument("--manifest", required=True)
+    vm.add_argument("--base", default=None)
 
     ms = add(
         "monitor-stream",

@@ -182,3 +182,29 @@ def test_trending_subcommand(spark, tmp_path):
     assert run(spark, *args) == 0
     res = spark.read.parquet(out)
     assert res.count() >= 2 and "rank" in res.columns
+
+
+def test_validate_manifest_subcommand(spark, tmp_path, capsys):
+    """validate-manifest: exit 0 when all entries check out, 1 otherwise."""
+    import hashlib
+    import json as _json
+
+    good = tmp_path / "g.csv"
+    good.write_bytes(b"row\n")
+    man = {
+        "files": [
+            {
+                "key": str(good),
+                "size": good.stat().st_size,
+                "MD5checksum": hashlib.md5(good.read_bytes()).hexdigest(),
+            }
+        ]
+    }
+    mp = tmp_path / "manifest.json"
+    mp.write_text(_json.dumps(man))
+    assert run(spark, "validate-manifest", "--manifest", str(mp)) == 0
+
+    man["files"].append({"key": str(tmp_path / "gone.csv"), "size": 3, "MD5checksum": ""})
+    mp.write_text(_json.dumps(man))
+    assert run(spark, "validate-manifest", "--manifest", str(mp)) == 1
+    assert "failed validation" in capsys.readouterr().out
