@@ -34,6 +34,7 @@ HEADLINE = [
     "verification_join",     # projection-heavy compare
     "exact_dedup",           # content-hash groupBy
     "minhash_lsh_pairs",     # explode + 12-way agg + band self-join
+    "incremental_neardup",   # broadcast new-batch probe vs corpus band index
     "ngram_jaccard_pairs",   # shingle self-join + verify
     "embedding_neardup",     # banded sign-LSH candidates + exact cosine verify
     "ann_topk_bruteforce",   # vector top-k

@@ -158,12 +158,10 @@ _MINHASH_SIG_SQL = (
 )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature (4 bands × 3 rows),
-    hash each band, join docs sharing a band bucket. The join key is
-    (band_idx, band_sig) — at scale the bucket sizes are the only quadratic
-    term, and banding keeps them tiny."""
-    sigs = minhash_signatures(spark, sf_dir)
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — the LSH band index relation: hash each of the
+    BANDS signature slices. This is the relation a production pipeline
+    PERSISTS (partitioned by sig prefix) as its near-dup index."""
     rows_per_band = MINHASH_K // BANDS
     band_cols = []
     for band in range(BANDS):
@@ -173,9 +171,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(band).alias("band"), F.md5(F.concat(*[F.col(c) for c in cols])).alias("sig")
             )
         )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (4 bands × 3 rows),
+    hash each band, join docs sharing a band bucket. The join key is
+    (band_idx, band_sig) — at scale the bucket sizes are the only quadratic
+    term, and banding keeps them tiny."""
+    banded = _banded(minhash_signatures(spark, sf_dir))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -210,6 +216,71 @@ FROM banded a
 JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
 )
+
+# --- incremental near-dup: new batch vs stored corpus band index -------------
+
+# Deterministic batch split: ~10% of docs act as "today's new batch", the
+# rest as the already-indexed corpus. A modulus (not a hash) so the oracle
+# predicate is trivially identical in both engines.
+_NEW_BATCH_MOD = 10
+_NEW_BATCH_REM = 7
+
+
+def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission check — the production shape of
+    minhash-LSH dedup: a NEW batch of documents is checked against the
+    EXISTING corpus's persisted band index without ever rescanning or
+    re-pairing the corpus with itself (the document-level analogue of the
+    reference's message-dedup anti-join, libs/s3_utils.py SQS dedup).
+
+    Output: per new doc, how many distinct corpus docs share an LSH band
+    (n_matches) and the smallest such corpus doc (first_match); new docs with
+    zero candidates don't appear (they are admitted unchecked).
+
+    Scale: the corpus side is the stored `(doc_id, band, sig)` index —
+    banding it here stands in for reading it back. The new batch is the
+    small side and is broadcast, so the probe is a map-side join against
+    the index scan: cost O(|new batch| + |index|) with NO corpus×corpus
+    term, vs re-running full-corpus LSH at O(|corpus|) pair generation
+    every batch. The band relation is computed once and cache-pinned so
+    the new/corpus split reads one materialization."""
+    banded = _banded(minhash_signatures(spark, sf_dir)).cache()
+    is_new = (F.col("doc_id") % _NEW_BATCH_MOD) == _NEW_BATCH_REM
+    new = banded.filter(is_new).withColumnRenamed("doc_id", "new_doc")
+    corpus = banded.filter(~is_new).withColumnRenamed("doc_id", "corpus_doc")
+    return (
+        F.broadcast(new)
+        .join(corpus, ["band", "sig"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+        .groupBy("new_doc")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("corpus_doc").alias("first_match"),
+        )
+    )
+
+
+_INCR_NEARDUP_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL}),\nsigs AS (\nSELECT doc_id,\n"
+    + ",\n".join(
+        f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(MINHASH_K)
+    )
+    + "\nFROM sh GROUP BY doc_id\n),\nbanded AS (\n"
+    + "\nUNION ALL\n".join(_band_sig_sql(b) for b in range(BANDS))
+    + f"""
+)
+SELECT a.doc_id AS new_doc,
+       count(DISTINCT b.doc_id) AS n_matches,
+       min(b.doc_id) AS first_match
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id % {_NEW_BATCH_MOD} = {_NEW_BATCH_REM}
+  AND b.doc_id % {_NEW_BATCH_MOD} <> {_NEW_BATCH_REM}
+GROUP BY a.doc_id
+"""
+)
+
 
 # --- SimHash ------------------------------------------------------------------
 
@@ -758,6 +829,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "incremental_neardup": incremental_neardup,
     "simhash_fingerprint": simhash_fingerprint,
     "embedding_neardup": embedding_neardup,
     "span_dedup": span_dedup,
@@ -771,6 +843,7 @@ ORACLES = {
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+    "incremental_neardup": _INCR_NEARDUP_SQL,
     "simhash_fingerprint": _SIMHASH_ORACLE_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,

@@ -132,6 +132,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_dedup_pairs": [
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
+        "incremental_neardup",
         "embedding_neardup",
         "decontaminate",
         "prefix_filter_pairs",
@@ -239,6 +240,11 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     "earliest_event": [("object_key", "str"), ("etag", "str"), ("ts", "int")],
     "embedding_project": [("vec_id", "int"), ("out_dim", "int"), ("proj_v", "num")],
     "embedding_neardup": [("id_a", "int"), ("id_b", "int"), ("cosine", "num")],
+    "incremental_neardup": [
+        ("new_doc", "int"),
+        ("n_matches", "int"),
+        ("first_match", "int"),
+    ],
     "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
     "bigram_pmi": [("w1", "str"), ("w2", "str"), ("c_xy", "int"), ("pmi", "num")],
     "bloom_semi_prune": [
