@@ -53,6 +53,7 @@ HEADLINE = [
     "interval_bucket_join",  # bucket-and-refine range join
     "asof_last_success",     # as-of join composition
     "token_shards",          # chunker + distributed prefix sum + packing
+    "training_order",        # seeded global shuffle via range-partitioned rank
     "quality_score",         # stopword/punct ratio text scan
     "stratified_sample",     # deterministic md5-bucket sampling
     "events_pivot",          # conditional-agg pivot

@@ -169,6 +169,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "vocab_coverage",
         "bpe_merges",
         "bpe_tokenize",
+        "training_order",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -246,6 +247,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("first_match", "int"),
     ],
     "frame_sample_plan": [("doc_id", "int"), ("n_frames", "int"), ("n_sampled", "int")],
+    "training_order": [
+        ("doc_id", "int"),
+        ("source", "str"),
+        ("global_pos", "int"),
+        ("shard_id", "int"),
+        ("pos_in_shard", "int"),
+    ],
     "bigram_pmi": [("w1", "str"), ("w2", "str"), ("c_xy", "int"), ("pmi", "num")],
     "bloom_semi_prune": [
         ("n_total", "int"),

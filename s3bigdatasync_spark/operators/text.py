@@ -385,6 +385,62 @@ GROUP BY shard_id
 )
 
 
+# --- training_order: seeded global corpus shuffle ---------------------------
+
+SHUFFLE_SEED = "s42"  # training-order shuffle seed (string-keyed, portable)
+DOCS_PER_TRAIN_SHARD = 32
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data ordering: every
+    doc gets a seeded pseudo-random position, then positions are cut into
+    fixed-size training shards. The step between a curated corpus and a
+    dataloader — training wants documents well-mixed across sources, and the
+    order must be reproducible from the seed alone (resume-from-step, data
+    ablations). Changing SHUFFLE_SEED reshuffles; same seed always yields the
+    same order on any engine/partitioning.
+
+    Scale: the shuffle key is md5(seed || doc_id) — uniform by construction,
+    so repartitionByRange splits evenly with no skew — and the global
+    position rides operators.prefix.with_global_order (range partition +
+    local window + broadcast offsets; no single-partition sort). At 100 TB
+    this is ONE range exchange, which is also exactly the write order, so
+    the shard files come out of the same pass (write-sorted layout)."""
+    from .prefix import with_global_order
+
+    docs = prepared(spark, sf_dir).table("documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    ordered = with_global_order(keyed, ["shuffle_key", "doc_id"])
+    return ordered.select(
+        "doc_id",
+        "source",
+        F.col("global_rn").alias("global_pos"),
+        F.expr(f"global_rn div {DOCS_PER_TRAIN_SHARD}").alias("shard_id"),
+        (F.col("global_rn") % DOCS_PER_TRAIN_SHARD).alias("pos_in_shard"),
+    )
+
+
+_TRAINING_ORDER_SQL = f"""
+SELECT doc_id, source,
+       rn AS global_pos,
+       cast(rn // {DOCS_PER_TRAIN_SHARD} AS BIGINT) AS shard_id,
+       rn % {DOCS_PER_TRAIN_SHARD} AS pos_in_shard
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           ORDER BY md5(concat('{SHUFFLE_SEED}:', cast(doc_id AS VARCHAR))), doc_id
+         ) - 1 AS rn
+  FROM documents
+)
+"""
+
+
 # --- Decontamination: eval-holdout n-gram overlap ---------------------------
 #
 # The standard train/test contamination check (GPT-3 appendix C / PaLM style):
@@ -1088,6 +1144,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "stratified_sample": stratified_sample,
     "token_shards": token_shards,
+    "training_order": training_order,
     "decontaminate": decontaminate,
     "repetition_stats": repetition_stats,
     "source_mix_weights": source_mix_weights,
@@ -1105,6 +1162,7 @@ ORACLES = {
     "doc_chunks": _DOC_CHUNKS_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "token_shards": _TOKEN_SHARDS_SQL,
+    "training_order": _TRAINING_ORDER_SQL,
     "token_stats": _TOKEN_STATS_SQL,
     "top_tokens": _TOP_TOKENS_SQL,
     "lang_id": _LANG_ID_SQL,
