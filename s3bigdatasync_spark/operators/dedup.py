@@ -66,6 +66,9 @@ def _shingles(docs: DataFrame) -> DataFrame:
     toks = F.regexp_extract_all(_norm_text(), F.lit(r"\S+"), F.lit(0))
     return (
         docs.select("doc_id", toks.alias("toks"))
+        # guard: sequence(1, 0) counts DOWN in Spark, producing slice(toks, 0)
+        # which throws — docs shorter than SHINGLE_N tokens have no shingles
+        .filter(F.size("toks") >= SHINGLE_N)
         .select(
             "doc_id",
             F.explode(
@@ -136,17 +139,22 @@ WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
 """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: k=12 independent hash functions as
-    min(md5(seed || shingle)) — string minima are portable across engines.
-    One groupBy over the shingle set; no per-row Python."""
-    docs = prepared(spark, sf_dir).table("documents")
+def signatures_for(docs: DataFrame) -> DataFrame:
+    """MinHash signatures of any (doc_id, text) relation: k=12 independent
+    hash functions as min(md5(seed || shingle)) — string minima are portable
+    across engines. One groupBy over the shingle set; no per-row Python.
+    Docs with fewer than SHINGLE_N tokens have no shingles and drop out."""
     sh = _shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
         for seed in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over the documents table (see signatures_for)."""
+    return signatures_for(prepared(spark, sf_dir).table("documents"))
 
 
 _MINHASH_SIG_SQL = (

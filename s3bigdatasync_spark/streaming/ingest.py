@@ -129,6 +129,89 @@ def stream_corpus_ingest(
     )
 
 
+def stream_neardup_ingest(
+    spark: SparkSession,
+    incoming_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Near-dup admission at ingestion time: each arriving document is
+    admitted only if its MinHash-LSH bands collide with neither (a) the
+    accumulated band index of previously ADMITTED documents nor (b) a
+    lower-doc_id document in the same micro-batch. Admitted documents
+    append their bands to the index — the streaming counterpart of
+    operators/dedup.incremental_neardup, closing the loop from "report
+    candidates" to "gate the corpus".
+
+    Semantics are deterministic, not chain-greedy: a same-batch collision
+    rejects against the lower doc_id regardless of whether that doc is
+    itself admitted (order-independent, batch-SQL-expressible). Documents
+    too short to shingle (< SHINGLE_N tokens) have no bands: always
+    admitted, never indexed.
+
+    Exactly-once: both sinks write under the index's batch_id guard (same
+    contract as stream_corpus_ingest). Scale: per-batch cost is the batch's
+    own signature agg plus one semi-join probe of batch bands (small,
+    broadcast) against the index — at 100 TB the index is a table
+    partitioned by (band, sig-prefix) and the probe prunes partitions; the
+    admitted corpus is never rescanned."""
+    from ..operators.dedup import _banded, signatures_for
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(incoming_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            index = sess.read.parquet(index_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            index = sess.createDataFrame(
+                [], "doc_id long, band int, sig string, batch_id long"
+            )
+        if index.filter(F.col("batch_id") >= batch_id).limit(1).count() > 0:
+            return  # retry of an applied batch — idempotent skip
+        bands = _banded(signatures_for(batch_df)).cache()
+        prior_hit = (
+            bands.join(index.select("band", "sig"), ["band", "sig"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        batch_hit = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        rejected = prior_hit.union(batch_hit).distinct()
+        admitted = batch_df.join(rejected, "doc_id", "left_anti")
+        admitted.write.mode("append").parquet(corpus_dir)
+        bands.join(rejected, "doc_id", "left_anti").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(index_dir)
+        bands.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def batch_equivalent(spark: SparkSession, incoming_dir: str) -> DataFrame:
     """What the admitted corpus must equal for arrival-ordered drops (doc_id
     nondecreasing across files): gates + keep-lowest-doc_id exact dedup in

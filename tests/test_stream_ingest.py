@@ -72,6 +72,91 @@ def test_stream_matches_batch_admission(spark, tmp_path):
     assert seen.count() == 4  # GOOD, GOOD2, BAD, GOOD+again
 
 
+def _bands_py(text):
+    """Independent pure-Python replica of the engine's MinHash banding
+    (operators/dedup: _norm_text → 5-gram shingles → 12 md5 minima → 4 band
+    sigs)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.sub(r"\s+", " ", text).lower().split(" ") if t]
+    shingles = {" ".join(toks[i : i + 5]) for i in range(max(len(toks) - 4, 0))}
+    if not shingles:
+        return set()
+    mh = [
+        min(hashlib.md5(f"{seed}:{sh}".encode()).hexdigest() for sh in shingles)
+        for seed in range(12)
+    ]
+    return {
+        (b, hashlib.md5("".join(mh[b * 3 : (b + 1) * 3]).encode()).hexdigest())
+        for b in range(4)
+    }
+
+
+def _expected_neardup_admission(drops):
+    """Greedy per-drop admission under the module's rule: reject on any band
+    shared with the admitted index or with a lower-id doc in the same drop."""
+    index, admitted = set(), []
+    for drop in drops:
+        bands = {d["doc_id"]: _bands_py(d["text"]) for d in drop}
+        rejected = {
+            did
+            for did, bs in bands.items()
+            if (bs & index)
+            or any(o < did and (bs & obs) for o, obs in bands.items() if o != did)
+        }
+        for did in sorted(bands):
+            if did not in rejected:
+                index |= bands[did]
+                admitted.append(did)
+    return sorted(admitted)
+
+
+def test_stream_neardup_admission_matches_reference(spark, tmp_path):
+    from s3bigdatasync_spark.streaming.ingest import stream_neardup_ingest
+
+    inc = tmp_path / "incoming"
+    drop1 = [
+        _doc(0, GOOD),
+        _doc(1, GOOD2),
+        _doc(2, GOOD),  # exact in-batch dup of 0 → rejected (lower id wins)
+    ]
+    drop2 = [
+        _doc(10, GOOD),  # cross-batch dup of admitted 0 → rejected
+        _doc(11, "a new tale of the old mill by the river bend at dawn light"),
+        _doc(12, "too short"),  # < 5 tokens: no bands, always admitted
+    ]
+    _write(inc, drop1, "a.json")
+    q = stream_neardup_ingest(
+        spark,
+        str(inc),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+    _write(inc, drop2, "b.json")
+    q = stream_neardup_ingest(
+        spark,
+        str(inc),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "index"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert got == _expected_neardup_admission([drop1, drop2])
+    assert got == [0, 1, 11, 12]
+    # the index holds bands only for admitted, shingleable docs
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [0, 1, 11]
+
+
 def test_checkpoint_loss_replay_is_noop(spark, tmp_path):
     inc = tmp_path / "incoming"
     _write(inc, [_doc(0, GOOD), _doc(1, BAD)], "a.json")
