@@ -207,3 +207,22 @@ def test_restore_plan_filter_pushed(spark, sf_dir):
     plan = plan_of(_Q["restore_plan"](spark, sf_dir))
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "l_suppkey" in scan  # storage_class derives from suppkey % 3
+
+
+def test_incremental_neardup_broadcasts_new_batch(spark, sf_dir):
+    """The new-batch probe must be a broadcast hash join against the corpus
+    band index (no shuffle of the index side, no cartesian anywhere)."""
+    plan = plan_of(_Q["incremental_neardup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_order_no_global_window(spark, sf_dir):
+    """The seeded corpus shuffle must ride the range-partitioned local-window
+    primitive: a range exchange on the shuffle key, windows only keyed by
+    _pid, never an unpartitioned (single-task) window."""
+    plan = plan_of(_Q["training_order"](spark, sf_dir))
+    assert "rangepartitioning(shuffle_key" in plan
+    assert "windowspecdefinition(_pid" in plan
+    # any global window spec would start with the order column directly
+    assert "windowspecdefinition(shuffle_key" not in plan
