@@ -668,6 +668,101 @@ FROM agg
 """
 
 
+# --- source_kl_divergence: corpus-mixture drift report ----------------------
+
+# A corpus refresh changes the source mixture; the operational question is
+# "which source's token distribution moved away from the corpus it feeds?".
+# KL(source ‖ corpus) over unigram distributions answers it with one number
+# per source — the standard drift gate a pipeline checks before retraining a
+# tokenizer or re-weighting the mixture (source_mix_weights is the knob this
+# report justifies turning). KL is finite by construction: every source token
+# is in the corpus vocabulary (support subset). The drift flag is RELATIVE —
+# KL of a same-distribution sample shrinks ~1/n_s as the source grows
+# (measured: median 0.012 bits at sf0.001, 0.0013 at sf0.1), so a fixed
+# cut would mean something different at every corpus size; an outlier vs the
+# cross-source mean means the same thing at any scale.
+DRIFT_FACTOR = 1.3  # flag sources whose KL exceeds this × the mean KL
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the whole-corpus distribution:
+    KL_s = (1/n_s)·Σ_t c_st·(ln c_st − ln n_s − ln cf_t + ln T), in bits.
+
+    Plan shape at 100 TB (the unigram_logprob pattern): ONE explode →
+    groupBy(source, token) pass, cache-pinned; the vocabulary totals are a
+    token-keyed re-agg of the pin joined back on token (vocabulary-bounded
+    hash join), per-source totals are a source-keyed re-agg (broadcast — rows
+    = #sources), and the grand total is a 1-row broadcast. No window, no
+    sort, everything map-side combinable. Float contract: integer-scaled
+    ln-terms summed raw, one division, rounded to 6dp at the end (the
+    word_entropy/unigram_logprob contract, proven cross-engine)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    scnt = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    vocab = scnt.groupBy("token").agg(F.sum("c").alias("cf"))
+    stot = scnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = vocab.agg(F.sum("cf").alias("t"))
+    agg = (
+        scnt.join(vocab, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(
+                F.col("c")
+                * (F.log("c") - F.log("n_s") - F.log("cf") + F.log("t"))
+            ).alias("sll"),
+        )
+    )
+    kl_bits = F.round(F.col("sll") / F.col("n_tokens") / F.lit(LN2), 6)
+    per_src = agg.select(
+        "source", "n_tokens", "n_types", kl_bits.alias("kl_bits")
+    )
+    mean_kl = per_src.agg(F.avg("kl_bits").alias("mean_kl"))
+    return per_src.crossJoin(F.broadcast(mean_kl)).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "kl_bits",
+        (F.col("kl_bits") > F.lit(DRIFT_FACTOR) * F.col("mean_kl")).alias("drifted"),
+    )
+
+
+_SOURCE_KL_SQL = rf"""
+WITH scnt AS (
+  SELECT source, token, count(*) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
+        FROM documents)
+  GROUP BY source, token
+),
+vocab AS (SELECT token, sum(c) AS cf FROM scnt GROUP BY token),
+stot AS (SELECT source, sum(c) AS n_s FROM scnt GROUP BY source),
+tot AS (SELECT sum(cf) AS t FROM vocab),
+per_src AS (
+  SELECT s.source,
+         cast(max(st.n_s) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         round(sum(s.c * (ln(s.c) - ln(st.n_s) - ln(v.cf) + ln(tot.t)))
+               / max(st.n_s) / {LN2}, 6) AS kl_bits
+  FROM scnt s
+  JOIN vocab v USING (token)
+  JOIN stot st USING (source), tot
+  GROUP BY s.source
+),
+mean_kl AS (SELECT avg(kl_bits) AS m FROM per_src)
+SELECT source, n_tokens, n_types, kl_bits,
+       kl_bits > {DRIFT_FACTOR} * m AS drifted
+FROM per_src, mean_kl
+"""
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "weighted_sample": weighted_sample,
@@ -679,6 +774,7 @@ QUERIES = {
     "ewma_smooth": ewma_smooth,
     "group_sample": group_sample,
     "unigram_logprob": unigram_logprob,
+    "source_kl_divergence": source_kl_divergence,
 }
 
 ORACLES = {
@@ -692,4 +788,5 @@ ORACLES = {
     "ewma_smooth": _ewma_sql(),
     "group_sample": _GROUP_SAMPLE_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
+    "source_kl_divergence": _SOURCE_KL_SQL,
 }

@@ -170,6 +170,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "bpe_merges",
         "bpe_tokenize",
         "training_order",
+        "source_kl_divergence",
     ],
     # multimodal plumbing (media features, frame sampling plan)
     "pack_media": ["media_features", "frame_sample_plan", "media_dedup"],
@@ -397,6 +398,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("keep", "bool"),
     ],
     "simhash_fingerprint": [("doc_id", "int"), ("simhash", "int"), ("keeper_doc_id", "int")],
+    "source_kl_divergence": [
+        ("source", "str"),
+        ("n_tokens", "int"),
+        ("n_types", "int"),
+        ("kl_bits", "num"),
+        ("drifted", "bool"),
+    ],
     "source_mix_weights": [
         ("source", "str"),
         ("n_docs", "int"),
