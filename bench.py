@@ -85,6 +85,9 @@ HEADLINE = [
     "vocab_coverage",        # OOV rate vs top-V vocab (broadcast join)
     "bpe_merges",            # iterative BPE vocab training (4 rounds)
     "event_type_affinity",   # market-basket lift over (user, day) baskets
+    "source_kl_divergence",  # per-source unigram KL drift (cache-pinned counts)
+    "fuzzy_match_pairs",     # blocked edit-distance entity resolution
+    "minhash_calibration",   # estimator audit over LSH candidates
 ]
 
 

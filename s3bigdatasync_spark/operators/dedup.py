@@ -830,6 +830,135 @@ GROUP BY cluster_size
 """
 
 
+# --- minhash_calibration: estimator audit over LSH candidates ---------------
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash estimator on the pairs LSH actually
+    surfaces: per candidate pair, the signature-agreement estimate
+    (matching components / k) next to the exact shingle Jaccard, with the
+    absolute error. This is the report that justifies (or indicts) the
+    (k=12, 4×3 bands) configuration before anyone trusts minhash_lsh_pairs
+    at corpus scale — systematic over-estimation means band collisions, wide
+    errors mean k is too small for the threshold in play.
+
+    Plan shape at 100 TB: candidates come from the banded LSH join (bounded
+    bucket sizes, never O(n²)); exact Jaccard is computed ONLY for candidate
+    docs — the shingle relation is semi-joined down to candidates before the
+    shared-shingle self-join, so the verify cost is proportional to the
+    candidate set, not the corpus. Signature agreement is a 12-term integer
+    sum over a doc_id equi-join. All ratios are exact-integer divisions
+    rounded at 6dp — deterministic cross-engine."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).cache()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(MINHASH_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    banded = _banded(sigs)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    n_match = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_match.cast("long").alias("n_sig_match"))
+    )
+    # exact Jaccard restricted to candidate docs (semi-join before self-join)
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    shc = sh.join(cdocs, "doc_id", "left_semi")
+    x, y = shc.alias("x"), shc.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ix"))
+    )
+    cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    est_j = F.round(F.col("n_sig_match") / F.lit(MINHASH_K), 6)
+    ex_j = F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6)
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            est_j.alias("est_jaccard"),
+            ex_j.alias("exact_jaccard"),
+            F.round(F.abs(est_j - ex_j), 6).alias("abs_err"),
+        )
+    )
+
+
+_CALIB_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL}),\nsigs AS (\nSELECT doc_id,\n"
+    + ",\n".join(
+        f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}" for seed in range(MINHASH_K)
+    )
+    + "\nFROM sh GROUP BY doc_id\n),\nbanded AS (\n"
+    + "\nUNION ALL\n".join(_band_sig_sql(b) for b in range(BANDS))
+    + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ("""
+    + " + ".join(
+        f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(MINHASH_K)
+    )
+    + f""") AS n_sig_match
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+shc AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ix
+  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id)
+SELECT e.doc_a, e.doc_b, cast(e.n_sig_match AS BIGINT) AS n_sig_match,
+       round(e.n_sig_match / {MINHASH_K}.0, 6) AS est_jaccard,
+       round(i.ix / (ca.n + cb.n - i.ix), 6) AS exact_jaccard,
+       round(abs(round(e.n_sig_match / {MINHASH_K}.0, 6)
+                 - round(i.ix / (ca.n + cb.n - i.ix), 6)), 6) AS abs_err
+FROM est e
+JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN cnt ca ON ca.doc_id = e.doc_a
+JOIN cnt cb ON cb.doc_id = e.doc_b
+"""
+)
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "simhash_near_pairs": simhash_near_pairs,
@@ -842,6 +971,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "span_dedup": span_dedup,
     "cluster_sizes": cluster_sizes,
+    "minhash_calibration": minhash_calibration,
 }
 
 ORACLES = {
@@ -856,4 +986,5 @@ ORACLES = {
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
+    "minhash_calibration": _CALIB_SQL,
 }

@@ -44,6 +44,7 @@ from . import (
     joins,
     multimodal,
     pq,
+    resolve,
     similarity,
     stats,
     text,
@@ -65,6 +66,7 @@ _SOURCE_MODULES = [
     curation,
     timeline,
     pq,
+    resolve,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -137,6 +139,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "decontaminate",
         "prefix_filter_pairs",
         "cluster_sizes",
+        "fuzzy_match_pairs",
+        "minhash_calibration",
     ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
     # + span-level exact dedup (per-doc duplicated-span fractions)
@@ -264,6 +268,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("fp_rate", "num"),
     ],
     "funnel_steps": [("step", "str"), ("n_users", "int")],
+    "fuzzy_match_pairs": [
+        ("dirty_id", "int"),
+        ("n_candidates", "int"),
+        ("best_lev", "int"),
+        ("matched_key", "int"),
+        ("self_match", "bool"),
+    ],
     "ewma_smooth": [("minute", "int"), ("n", "int"), ("ewma", "num")],
     "cluster_sizes": [
         ("cluster_size", "int"),
@@ -366,6 +377,14 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"),
     ],
     "min_max_timestamps": [("replication_status", "int"), ("min_ts", "int"), ("max_ts", "int")],
+    "minhash_calibration": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("n_sig_match", "int"),
+        ("est_jaccard", "num"),
+        ("exact_jaccard", "num"),
+        ("abs_err", "num"),
+    ],
     "minhash_lsh_pairs": [("doc_a", "int"), ("doc_b", "int")],
     "minhash_signatures": [("doc_id", "int")]
     + [(f"mh{i}", "str") for i in range(12)],

@@ -1,0 +1,139 @@
+"""Entity resolution: blocked fuzzy matching by edit distance.
+
+The reference reconciles catalogs by EXACT key equality only (the J4 diff
+family — diff_list_multi_sqs.py joins src/dst inventories on the raw key).
+Real catalogs drift: keys get re-encoded, names truncated or typo'd, and the
+reconciliation a data platform then needs is a *blocked fuzzy join* — cheap
+blocking keys bound the candidate set, an edit-distance refine picks the
+match. This module implements that as a first-class operator over the `part`
+dimension: a deterministic "dirty" replica of every part name (one character
+deleted at an md5-derived position — the classic single-edit typo) is matched
+back to the clean catalog.
+
+Scale notes (100 TB):
+  * The only join is dirty × clean on the structured blocking key
+    (p_brand, p_size) with a cheap ±MAX_LEV length band — candidate count is
+    Σ_block |dirty_b|·|clean_b|, never a cross join. At larger scales the
+    blocking key gains a q-gram prefix component (the PPJoin prefix-filter
+    family already implemented in curation.prefix_filter_pairs); the refine
+    stage is unchanged.
+  * The refine uses Spark's 3-arg levenshtein(l, r, threshold) — a banded
+    DP that early-exits at MAX_LEV+1, so cost per candidate is
+    O(len·MAX_LEV), not O(len²).
+  * Best-match selection is min(lev·2³² + partkey) — a plain map-side
+    combinable MIN, no window, no sort; the composite decodes to
+    (best_lev, matched_key) exactly in both engines (values ≪ 2⁵³).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prepared
+from .curation import _hex_bucket_sql
+
+MAX_LEV = 2
+_ENC = 4294967296  # 2^32 — composite (lev, partkey) encoding base
+_FZ_SEED = "fz:"
+
+
+def _dirty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic single-edit 'dirty' replica of the part catalog: delete
+    the character at md5-derived position pos ∈ [1, len] of p_name. Seeded
+    like dataset_split (engine/partitioning-independent md5 bucket)."""
+    part = prepared(spark, sf_dir).table("part")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_FZ_SEED), F.col("p_partkey").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return part.select(
+        F.col("p_partkey").alias("dirty_id"),
+        "p_brand",
+        "p_size",
+        (bucket % F.length("p_name") + 1).alias("pos"),
+        "p_name",
+    ).select(
+        "dirty_id",
+        "p_brand",
+        "p_size",
+        F.expr("concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1))").alias(
+            "dirty_name"
+        ),
+    )
+
+
+def fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match of the dirty replica back to the clean catalog:
+    block on (p_brand, p_size) + a ±MAX_LEV length band, refine with
+    levenshtein ≤ MAX_LEV, keep the best match per dirty record
+    (lowest distance, ties to the lowest partkey).
+
+    Output: one row per matched dirty record — candidate count inside its
+    block, best distance, matched key, and whether the match recovered the
+    original record (self_match; false when an identical-name twin with a
+    lower key wins the tie, which is itself a dedup signal)."""
+    part = prepared(spark, sf_dir).table("part")
+    dirty = _dirty_parts(spark, sf_dir)
+    lev = F.levenshtein(F.col("dirty_name"), F.col("p_name"), MAX_LEV)
+    cand = (
+        dirty.join(
+            part,
+            ["p_brand", "p_size"],
+        )
+        .filter(
+            F.abs(F.length("dirty_name") - F.length("p_name")) <= MAX_LEV
+        )
+        .select("dirty_id", "p_partkey", lev.alias("lev"))
+        # 3-arg levenshtein returns -1 when the banded DP exceeds MAX_LEV
+        .filter(F.col("lev") >= 0)
+    )
+    enc = F.col("lev").cast("long") * F.lit(_ENC) + F.col("p_partkey")
+    agg = cand.groupBy("dirty_id").agg(
+        F.count("*").alias("n_candidates"), F.min(enc).alias("best")
+    )
+    return agg.select(
+        "dirty_id",
+        "n_candidates",
+        F.expr(f"best div {_ENC}").alias("best_lev"),
+        (F.col("best") % F.lit(_ENC)).alias("matched_key"),
+        (F.col("best") % F.lit(_ENC) == F.col("dirty_id")).alias("self_match"),
+    )
+
+
+_FUZZY_SQL = f"""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id, p_brand, p_size,
+         concat(substr(p_name, 1, pos - 1), substr(p_name, pos + 1)) AS dirty_name
+  FROM (
+    SELECT p_partkey, p_brand, p_size, p_name,
+           ({_hex_bucket_sql(f"concat('{_FZ_SEED}', cast(p_partkey AS VARCHAR))", 4)})
+             % length(p_name) + 1 AS pos
+    FROM part)
+),
+cand AS (
+  SELECT d.dirty_id, c.p_partkey,
+         levenshtein(d.dirty_name, c.p_name) AS lev
+  FROM dirty d
+  JOIN part c ON d.p_brand = c.p_brand AND d.p_size = c.p_size
+     AND abs(length(d.dirty_name) - length(c.p_name)) <= {MAX_LEV}
+  WHERE levenshtein(d.dirty_name, c.p_name) <= {MAX_LEV}
+),
+agg AS (
+  SELECT dirty_id, count(*) AS n_candidates,
+         min(cast(lev AS BIGINT) * {_ENC} + p_partkey) AS best
+  FROM cand GROUP BY dirty_id
+)
+SELECT dirty_id, n_candidates,
+       best // {_ENC} AS best_lev,
+       best % {_ENC} AS matched_key,
+       best % {_ENC} = dirty_id AS self_match
+FROM agg
+"""
+
+
+QUERIES = {"fuzzy_match_pairs": fuzzy_match_pairs}
+ORACLES = {"fuzzy_match_pairs": _FUZZY_SQL}

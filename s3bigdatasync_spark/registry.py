@@ -36,6 +36,7 @@ from .operators import (
     packs,
     pq,
     relational,
+    resolve,
     similarity,
     skew,
     star,
@@ -64,6 +65,7 @@ _CORE_MODULES = [
     curation,  # all members folded into packs — driver count stays 50
     timeline,  # all members folded into packs — driver count stays 50
     pq,  # all members folded into pack_ann — driver count stays 50
+    resolve,  # folded into pack_dedup_pairs — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round
