@@ -226,3 +226,32 @@ def test_training_order_no_global_window(spark, sf_dir):
     assert "windowspecdefinition(_pid" in plan
     # any global window spec would start with the order column directly
     assert "windowspecdefinition(shuffle_key" not in plan
+
+
+def test_fuzzy_match_no_window_no_cartesian(spark, sf_dir):
+    """The blocked fuzzy join must stay an equi-join on the blocking key
+    (never a cartesian/nested-loop), and best-match selection must be a
+    plain aggregate with map-side partials, not a window sort."""
+    plan = plan_of(_Q["fuzzy_match_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_minhash_calibration_semi_join_restricts_verify(spark, sf_dir):
+    """The exact-Jaccard verify stage must be restricted to candidate docs
+    via a semi-join BEFORE the shared-shingle self-join — the property that
+    keeps verify cost proportional to the candidate set at corpus scale."""
+    plan = plan_of(_Q["minhash_calibration"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_kl_broadcasts_totals(spark, sf_dir):
+    """Per-source totals and the grand total must broadcast (rows = #sources
+    and 1); the only shuffles are the count passes and the vocabulary join —
+    no sort, no window anywhere."""
+    plan = plan_of(_Q["source_kl_divergence"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

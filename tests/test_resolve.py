@@ -1,0 +1,42 @@
+"""Entity-resolution invariants beyond the oracle hash check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3bigdatasync_spark.operators import prepared
+from s3bigdatasync_spark.operators.resolve import MAX_LEV, fuzzy_match_pairs
+
+
+def test_fuzzy_match_full_recall(spark, sf_dir):
+    """Every dirty record's own source shares its blocking key and is exactly
+    one edit away, so the matcher must emit one row per part — a blocking
+    scheme that loses its own source record would be silently broken."""
+    out = fuzzy_match_pairs(spark, sf_dir).cache()
+    n_parts = prepared(spark, sf_dir).table("part").count()
+    assert out.count() == n_parts
+    assert out.select("dirty_id").distinct().count() == n_parts
+
+
+def test_fuzzy_match_distance_bounds(spark, sf_dir):
+    """best_lev ∈ [0, MAX_LEV]: 0 only when the edit collides with another
+    catalog name exactly; never above the refine threshold. A non-self match
+    must never be farther than the self match (distance 1)."""
+    rows = fuzzy_match_pairs(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["best_lev"] <= MAX_LEV
+        if not r["self_match"]:
+            # the self record is at distance exactly 1, so a winner that is
+            # not the self record must be at distance <= 1 (ties go low-key)
+            assert r["best_lev"] <= 1
+
+
+def test_fuzzy_match_self_matches_dominate(spark, sf_dir):
+    """On a catalog without systematic name twins the overwhelming share of
+    dirty records must resolve back to their own source."""
+    out = fuzzy_match_pairs(spark, sf_dir)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("self_match").cast("int")).alias("n_self"),
+    ).collect()[0]
+    assert agg["n_self"] / agg["n"] > 0.95

@@ -53,6 +53,8 @@ DOC_QUERIES = [
     "ivf_pq_search",
     "unigram_logprob",
     "vocab_coverage",
+    "source_kl_divergence",
+    "minhash_calibration",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
