@@ -684,26 +684,11 @@ FROM agg
 DRIFT_FACTOR = 1.3  # flag sources whose KL exceeds this × the mean KL
 
 
-def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source unigram KL divergence vs the whole-corpus distribution:
-    KL_s = (1/n_s)·Σ_t c_st·(ln c_st − ln n_s − ln cf_t + ln T), in bits.
-
-    Plan shape at 100 TB (the unigram_logprob pattern): ONE explode →
-    groupBy(source, token) pass, cache-pinned; the vocabulary totals are a
-    token-keyed re-agg of the pin joined back on token (vocabulary-bounded
-    hash join), per-source totals are a source-keyed re-agg (broadcast — rows
-    = #sources), and the grand total is a 1-row broadcast. No window, no
-    sort, everything map-side combinable. Float contract: integer-scaled
-    ln-terms summed raw, one division, rounded to 6dp at the end (the
-    word_entropy/unigram_logprob contract, proven cross-engine)."""
-    docs = prepared(spark, sf_dir).table("documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
-    scnt = (
-        docs.select("source", F.explode(toks).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count("*").alias("c"))
-        .cache()
-    )
+def kl_report_from_counts(scnt: DataFrame) -> DataFrame:
+    """The KL report stage over any (source, token, c) count relation —
+    shared by the batch operator below and the incrementally-maintained
+    count state in streaming/drift.py (counts are the sufficient statistic:
+    they merge by addition, the report replays over the merged state)."""
     vocab = scnt.groupBy("token").agg(F.sum("c").alias("cf"))
     stot = scnt.groupBy("source").agg(F.sum("c").alias("n_s"))
     tot = vocab.agg(F.sum("cf").alias("t"))
@@ -733,6 +718,33 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kl_bits",
         (F.col("kl_bits") > F.lit(DRIFT_FACTOR) * F.col("mean_kl")).alias("drifted"),
     )
+
+
+def source_token_counts(docs: DataFrame) -> DataFrame:
+    """(source, token, c) unigram counts of any (source, text) relation —
+    the sufficient statistic kl_report_from_counts consumes."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    return (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the whole-corpus distribution:
+    KL_s = (1/n_s)·Σ_t c_st·(ln c_st − ln n_s − ln cf_t + ln T), in bits.
+
+    Plan shape at 100 TB (the unigram_logprob pattern): ONE explode →
+    groupBy(source, token) pass, cache-pinned; the vocabulary totals are a
+    token-keyed re-agg of the pin joined back on token (vocabulary-bounded
+    hash join), per-source totals are a source-keyed re-agg (broadcast — rows
+    = #sources), and the grand total is a 1-row broadcast. No window, no
+    sort, everything map-side combinable. Float contract: integer-scaled
+    ln-terms summed raw, one division, rounded to 6dp at the end (the
+    word_entropy/unigram_logprob contract, proven cross-engine)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    return kl_report_from_counts(source_token_counts(docs).cache())
 
 
 _SOURCE_KL_SQL = rf"""

@@ -855,7 +855,10 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
         for seed in range(MINHASH_K)
     ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    # cache-pin: the signature relation feeds FOUR subtrees (both sides of
+    # the banded self-join, and the sa/sb agreement probes) — without the pin
+    # the 12-way min-agg over the shingle set executes four times
+    sigs = sh.groupBy("doc_id").agg(*aggs).cache()
     banded = _banded(sigs)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -867,6 +870,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()  # feeds the agreement probe and the candidate-doc semi-join
     )
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     n_match = sum(
@@ -884,7 +888,9 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select("doc_b"))
         .distinct()
     )
-    shc = sh.join(cdocs, "doc_id", "left_semi")
+    # cache-pin: the candidate-restricted shingle relation feeds the pair
+    # intersection (both sides) and the per-doc counts
+    shc = sh.join(cdocs, "doc_id", "left_semi").cache()
     x, y = shc.alias("x"), shc.alias("y")
     inter = (
         x.join(

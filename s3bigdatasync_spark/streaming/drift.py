@@ -1,0 +1,128 @@
+"""Incremental source-drift maintenance — the streaming leg of
+operators/curation.source_kl_divergence.
+
+The batch operator scans the whole corpus per report; at 100 TB you don't
+want a full re-tokenize every time a new document drop lands. The
+(source, token) unigram counts are the report's sufficient statistic and
+merge by plain addition, so each micro-batch contributes its own counts and
+the running state is the summed relation; the KL report replays over the
+state (kl_report_from_counts) without touching any document ever seen.
+The parity oracle (tests/test_stream_drift.py) pins
+
+    report(stream-over-appends state)  ==  batch report over everything seen
+
+after every round of appends.
+
+Exactly-once: foreachBatch is at-least-once on retry, and the state here is
+a read-modify-write of a multi-row relation — so the state is VERSIONED by
+batch_id: the merge reads the version the meta row points at, writes
+counts_v{batch_id}, then flips the meta pointer. A crash between the two
+writes re-runs the merge from the still-pointed-at OLD version, making the
+retry idempotent (the half-written new version is simply overwritten).
+This is the multi-row generalization of streaming/checksum.py's 1-row
+batch-id guard.
+
+Scale: per-batch work is one tokenize+agg over the NEW documents only plus a
+merge bounded by |vocabulary × sources| — the state never grows with corpus
+size, only with vocabulary. The report is the batch plan over that bounded
+relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.curation import kl_report_from_counts, source_token_counts
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+_META_SCHEMA = "last_batch_id long"
+_COUNTS_SCHEMA = "source string, token string, c long"
+
+
+def _read_meta(spark: SparkSession, state_dir: str) -> int:
+    try:
+        rows = spark.read.parquet(f"{state_dir}/meta").collect()
+    except AnalysisException as e:
+        # Only a missing meta (first batch ever) may start fresh; any other
+        # read error must propagate — treating a transient failure as "no
+        # state" would reset the batch-id guard and double-apply history.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        rows = []
+    return rows[0]["last_batch_id"] if rows else -1
+
+
+def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The running (source, token, c) state — the version the meta points at
+    (empty relation before the first applied batch)."""
+    last = _read_meta(spark, state_dir)
+    if last < 0:
+        return spark.createDataFrame([], _COUNTS_SCHEMA)
+    return spark.read.schema(_COUNTS_SCHEMA).parquet(f"{state_dir}/counts_v{last}")
+
+
+def drift_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The KL drift report over the current running state — identical shape
+    and semantics to the batch source_kl_divergence output."""
+    return kl_report_from_counts(read_counts(spark, state_dir))
+
+
+def stream_source_drift(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Maintain the running unigram-count state over an append-only document
+    dir. Returns the StreamingQuery (availableNow trigger: drains the
+    backlog, then stops — re-run on the same checkpoint for new files)."""
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        last = _read_meta(sp, state_dir)
+        if batch_id <= last:
+            return  # retry of an applied batch — idempotent skip
+        old = read_counts(sp, state_dir)
+        merged = (
+            old.unionByName(source_token_counts(batch_df))
+            .groupBy("source", "token")
+            .agg(F.sum("c").alias("c"))
+        )
+        # the merge result must not depend on the files it's about to replace;
+        # versioned dirs already guarantee that (write target != read source),
+        # so no localCheckpoint materialization is needed.
+        merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v{batch_id}")
+        sp.createDataFrame([(batch_id,)], _META_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/meta")
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_equivalent(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """What the state-backed report must equal: the batch KL report over one
+    pass of everything that has landed."""
+    docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir)
+    return kl_report_from_counts(source_token_counts(docs))
