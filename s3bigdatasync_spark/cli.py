@@ -173,6 +173,21 @@ def _cmd_monitor_stream(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_drift(spark: SparkSession, args) -> int:
+    from .streaming.drift import drift_report, stream_source_drift
+
+    q = stream_source_drift(
+        spark,
+        args.docs_dir,
+        args.state_dir,
+        args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    drift_report(spark, args.state_dir).orderBy("source").show(100, truncate=False)
+    return 0
+
+
 def _cmd_trending(spark: SparkSession, args) -> int:
     from .streaming.trending import stream_trending_types
 
@@ -269,6 +284,17 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--checkpoint-dir", required=True)
     ms.add_argument("--minutes", type=int, default=1)
     ms.add_argument("--max-files-per-trigger", type=int, default=10)
+
+    dr = add(
+        "drift",
+        _cmd_drift,
+        help="incremental source-drift state over new document drops; "
+        "prints the per-source KL report (drains available data)",
+    )
+    dr.add_argument("--docs-dir", required=True)
+    dr.add_argument("--state-dir", required=True)
+    dr.add_argument("--checkpoint-dir", required=True)
+    dr.add_argument("--max-files-per-trigger", type=int, default=10)
 
     tr = add(
         "trending",

@@ -208,3 +208,24 @@ def test_validate_manifest_subcommand(spark, tmp_path, capsys):
     mp.write_text(_json.dumps(man))
     assert run(spark, "validate-manifest", "--manifest", str(mp)) == 1
     assert "failed validation" in capsys.readouterr().out
+
+
+def test_drift_subcommand(spark, tmp_path, capsys):
+    """Incremental drift maintenance as a CLI verb: document parquet drops
+    in, versioned count state out, per-source KL report printed."""
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (i, f"alpha beta tok{i % 5} gamma delta", f"src{i % 3}") for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    args = [
+        "drift",
+        "--docs-dir", docs_dir,
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    assert run(spark, *args) == 0
+    out = capsys.readouterr().out
+    assert "kl_bits" in out and "src0" in out
