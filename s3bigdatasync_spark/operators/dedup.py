@@ -830,6 +830,57 @@ GROUP BY cluster_size
 """
 
 
+# --- cross_source_duplication: provenance matrix of verified near-dups ------
+
+
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-provenance matrix: verified near-dup pairs rolled up by
+    the (source, source) combination of their endpoints — the governance
+    report that tells a corpus owner WHICH feeds copy from each other (and
+    which self-duplicate), i.e. where dedup budget should go and which
+    source pair needs an upstream fix.
+
+    Source pairs are canonicalized (least, greatest) so the matrix is
+    upper-triangular; `within_source` marks the diagonal. Plan shape: the
+    verified pair set (ngram_jaccard_pairs — LSH-verify at scale) joined
+    twice against the tiny (doc_id, source) projection, then a groupBy
+    bounded by #sources² — output never grows with corpus size."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    docs = prepared(spark, sf_dir).table("documents").select("doc_id", "source")
+    da, db = docs.alias("da"), docs.alias("db")
+    src_x = F.least(F.col("da.source"), F.col("db.source"))
+    src_y = F.greatest(F.col("da.source"), F.col("db.source"))
+    return (
+        pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
+        .join(db, F.col("doc_b") == F.col("db.doc_id"))
+        .groupBy(src_x.alias("src_x"), src_y.alias("src_y"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+        .withColumn("within_source", F.col("src_x") == F.col("src_y"))
+    )
+
+
+# nested WITH: a CTE body is a subquery and may carry its own WITH clause,
+# so the verified-pairs statement embeds verbatim
+_CROSS_SOURCE_SQL = f"""
+WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+lab AS (
+  SELECT least(da.source, db.source) AS src_x,
+         greatest(da.source, db.source) AS src_y,
+         p.jaccard
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT src_x, src_y, count(*) AS n_pairs,
+       round(avg(jaccard), 6) AS mean_jaccard,
+       src_x = src_y AS within_source
+FROM lab GROUP BY src_x, src_y
+"""
+
+
 # --- minhash_calibration: estimator audit over LSH candidates ---------------
 
 
@@ -978,6 +1029,7 @@ QUERIES = {
     "span_dedup": span_dedup,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
+    "cross_source_duplication": cross_source_duplication,
 }
 
 ORACLES = {
@@ -993,4 +1045,5 @@ ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,
+    "cross_source_duplication": _CROSS_SOURCE_SQL,
 }

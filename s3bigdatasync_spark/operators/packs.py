@@ -141,6 +141,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "cluster_sizes",
         "fuzzy_match_pairs",
         "minhash_calibration",
+        "cross_source_duplication",
     ],
     # per-doc fingerprints (minhash signatures, simhash, rolling-hash)
     # + span-level exact dedup (per-doc duplicated-span fractions)
@@ -377,6 +378,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "int"),
     ],
     "min_max_timestamps": [("replication_status", "int"), ("min_ts", "int"), ("max_ts", "int")],
+    "cross_source_duplication": [
+        ("src_x", "str"),
+        ("src_y", "str"),
+        ("n_pairs", "int"),
+        ("mean_jaccard", "num"),
+        ("within_source", "bool"),
+    ],
     "minhash_calibration": [
         ("doc_a", "int"),
         ("doc_b", "int"),
