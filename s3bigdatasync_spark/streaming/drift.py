@@ -13,14 +13,24 @@ The parity oracle (tests/test_stream_drift.py) pins
 
 after every round of appends.
 
-Exactly-once: foreachBatch is at-least-once on retry, and the state here is
-a read-modify-write of a multi-row relation — so the state is VERSIONED by
-batch_id: the merge reads the version the meta row points at, writes
-counts_v{batch_id}, then flips the meta pointer. A crash between the two
-writes re-runs the merge from the still-pointed-at OLD version, making the
-retry idempotent (the half-written new version is simply overwritten).
-This is the multi-row generalization of streaming/checksum.py's 1-row
-batch-id guard.
+Exactly-once, from two mechanisms working together:
+  * versioned state — the merge reads the version the meta row points at,
+    writes counts_v{batch_id} + files_v{batch_id} (never the version it
+    read), then flips the meta pointer last. A crash between the writes
+    re-runs the merge from the still-pointed-at OLD version; half-written
+    new versions are simply overwritten. This is the multi-row
+    generalization of streaming/checksum.py's 1-row state swap.
+  * file-identity filtering — the state carries the applied-FILES log and
+    every batch anti-joins its rows by input file before counting. There is
+    deliberately NO batch-id skip guard: batch ids restart at 0 when a lost
+    checkpoint is replaced, so an id-based skip would silently drop a
+    renumbered batch carrying a genuinely-new file (and an id-based accept
+    would double-count old ones). File identity doesn't renumber —
+    checkpoint replacement degrades to a harmless re-listing where applied
+    files contribute nothing and new files count exactly once; a
+    checkpoint-intact retry just rewrites an identical state version.
+    (streaming/ingest.py gets the same property from its content-hash
+    seen-log; counts have no natural content key, hence the file log.)
 
 Scale: per-batch work is one tokenize+agg over the NEW documents only plus a
 merge bounded by |vocabulary × sources| — the state never grows with corpus
@@ -47,6 +57,7 @@ DOCS_STREAM_SCHEMA = StructType(
 
 _META_SCHEMA = "last_batch_id long"
 _COUNTS_SCHEMA = "source string, token string, c long"
+_FILES_SCHEMA = "file_path string"
 
 
 def _read_meta(spark: SparkSession, state_dir: str) -> int:
@@ -69,6 +80,14 @@ def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     if last < 0:
         return spark.createDataFrame([], _COUNTS_SCHEMA)
     return spark.read.schema(_COUNTS_SCHEMA).parquet(f"{state_dir}/counts_v{last}")
+
+
+def _read_files(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The applied-files log of the version the meta points at."""
+    last = _read_meta(spark, state_dir)
+    if last < 0:
+        return spark.createDataFrame([], _FILES_SCHEMA)
+    return spark.read.schema(_FILES_SCHEMA).parquet(f"{state_dir}/files_v{last}")
 
 
 def drift_report(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -95,19 +114,28 @@ def stream_source_drift(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        last = _read_meta(sp, state_dir)
-        if batch_id <= last:
-            return  # retry of an applied batch — idempotent skip
+        # NO batch-id skip guard: after checkpoint replacement batches
+        # renumber from 0, and an id-based skip would silently drop a
+        # renumbered batch that carries a genuinely-new file. The file log
+        # makes every delivery idempotent instead — a retry of a fully
+        # applied batch just rewrites an identical state version.
+        applied = _read_files(sp, state_dir)
+        # file-identity filter: a replaced checkpoint renumbers batches, so
+        # rows from already-applied files must contribute nothing
+        tagged = batch_df.withColumn("file_path", F.input_file_name())
+        fresh = tagged.join(applied, "file_path", "left_anti")
         old = read_counts(sp, state_dir)
         merged = (
-            old.unionByName(source_token_counts(batch_df))
+            old.unionByName(source_token_counts(fresh))
             .groupBy("source", "token")
             .agg(F.sum("c").alias("c"))
         )
+        files = applied.unionByName(fresh.select("file_path").distinct()).distinct()
         # the merge result must not depend on the files it's about to replace;
         # versioned dirs already guarantee that (write target != read source),
         # so no localCheckpoint materialization is needed.
         merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v{batch_id}")
+        files.write.mode("overwrite").parquet(f"{state_dir}/files_v{batch_id}")
         sp.createDataFrame([(batch_id,)], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/meta")

@@ -85,3 +85,31 @@ def test_duplicate_batch_is_skipped(spark, tmp_path):
     q2.awaitTermination(120)
     assert _read_meta(spark, state_dir) == before_meta
     assert _report_rows(drift_report(spark, state_dir)) == before
+
+
+def test_checkpoint_replacement_is_exactly_once(spark, tmp_path):
+    """Losing the checkpoint renumbers batches from 0; the applied-files log
+    must keep old files from double-counting while new files (delivered
+    under the renumbered ids) are still applied exactly once."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+
+    spark.createDataFrame(_mk_docs("a", 30), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_source_drift(spark, docs_dir, state_dir, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+
+    # checkpoint lost: new drop lands, stream restarts on a FRESH checkpoint
+    # and re-delivers everything (old file + new file) as renumbered batches
+    spark.createDataFrame(_mk_docs("b", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q2 = stream_source_drift(
+        spark, docs_dir, state_dir, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+
+    got = _report_rows(drift_report(spark, state_dir))
+    want = _report_rows(batch_equivalent(spark, docs_dir))
+    assert got == want  # old file not double-counted, new file applied once
