@@ -412,7 +412,9 @@ N_EMB_BANDS = 8
 EMB_BAND_BITS = 3
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, band_bits: int = EMB_BAND_BITS
+) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ COSINE_THRESHOLD, restricted to
     banded-LSH candidates (the operator's contract: candidate generation is
     sign-LSH banding, verification is exact cosine — both engines compute the
@@ -426,15 +428,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in several bands (their cosines are bit-identical, computed from
     the same two vectors). At 100 TB the stages are: one 8× keyed shuffle,
     per-bucket vectorized GEMM (bucket size is the precision dial —
-    EMB_BAND_BITS scales with log2(n) so buckets stay bounded), and a
+    `band_bits` scales with log2(n) so buckets stay bounded: the 30× probe
+    measured the default 3-bit config at 34× cost and the log2-scaled 8-bit
+    config restoring a linear slope, SCALING.md), and a
     distinct over the (small) surviving pair set. Vector math never enters
-    Catalyst expression chains (the 64-term codegen trap).
+    Catalyst expression chains (the 64-term codegen trap). The registered
+    query uses the default band_bits so the static oracle replays it.
     """
     emb = prepared(spark, sf_dir).table("embeddings")
     from .vector_lsh import planes_matrix
 
-    P = planes_matrix(N_EMB_BANDS * EMB_BAND_BITS)
-    n_bands, band_bits = N_EMB_BANDS, EMB_BAND_BITS
+    P = planes_matrix(N_EMB_BANDS * band_bits)
+    n_bands = N_EMB_BANDS
     threshold = COSINE_THRESHOLD
 
     def key_kernel(batches):

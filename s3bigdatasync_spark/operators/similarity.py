@@ -340,7 +340,7 @@ def _collect_centroids(c_df) -> "tuple":
     return np.array(cids), C
 
 
-def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_lloyd(spark: SparkSession, sf_dir: str, k: int = KMEANS_K) -> DataFrame:
     """Lloyd's k-means over the embedding table: K=8, deterministic init (the
     K lowest vec_ids), KMEANS_ITERS assignment passes with one centroid
     update between them. The iterative-algorithm pattern done Spark-first:
@@ -359,7 +359,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
         "vec_id", "dim", F.col("val").cast("double").alias("val")
     )
-    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(KMEANS_K).collect()]
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(k).collect()]
     if not ids:
         # empty corpus (bootstrap/restart condition): empty assignment, same
         # schema — mirrors the oracle, whose CTEs all evaluate to zero rows
@@ -468,7 +468,7 @@ _KMEANS_SQL = "WITH " + _KMEANS_CTES + "\nSELECT vec_id, cluster, d2 FROM km_ass
 SEM_COS_THRESHOLD = 0.45  # matches dedup.COSINE_THRESHOLD (class-cluster data)
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(spark: SparkSession, sf_dir: str, k: int = KMEANS_K) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means partitions the embedding
     space, then near-duplicate search runs ONLY within each cluster — the
     standard way to keep pairwise work from being O(n²) over the corpus. A
@@ -483,7 +483,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly, so cross-cluster pairs (the deliberate recall trade SemDeDup
     makes) never materialize anywhere and no join-back is needed."""
     emb = prepared(spark, sf_dir).table("embeddings")
-    assign = kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster")
+    assign = kmeans_lloyd(spark, sf_dir, k=k).select("vec_id", "cluster")
     ve = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding")
 
     def cluster_kernel(pdf):

@@ -288,6 +288,45 @@ def measure(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def run_docs_knobs(spark, out_dir: str, copies: int) -> dict:
+    """Prove the quadratic-work knobs on the two Σ|bucket|²-shaped operators:
+    at `copies`× vectors, measure embedding_neardup with the DEFAULT band
+    width vs log2-scaled width, and semantic_dedup with the DEFAULT K vs
+    n-proportional K. The claim under test: bucket/cluster count must track
+    corpus size, and when it does, the slope returns to ~linear."""
+    import math
+
+    from s3bigdatasync_spark.operators import _PREPARED
+    from s3bigdatasync_spark.operators.dedup import EMB_BAND_BITS, embedding_neardup
+    from s3bigdatasync_spark.operators.similarity import KMEANS_K, semantic_dedup
+
+    build_scaled_docs_dir(spark, out_dir, copies)
+    scaled_bits = EMB_BAND_BITS + math.ceil(math.log2(copies))
+    scaled_k = KMEANS_K * copies
+
+    def steady(mk) -> float:
+        mk().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
+    _PREPARED.clear()
+    res = {
+        "emb_default_bits_s": steady(lambda: embedding_neardup(spark, out_dir)),
+        "emb_scaled_bits": scaled_bits,
+        "emb_scaled_bits_s": steady(
+            lambda: embedding_neardup(spark, out_dir, band_bits=scaled_bits)
+        ),
+        "sem_default_k_s": steady(lambda: semantic_dedup(spark, out_dir)),
+        "sem_scaled_k": scaled_k,
+        "sem_scaled_k_s": steady(lambda: semantic_dedup(spark, out_dir, k=scaled_k)),
+    }
+    _PREPARED.clear()
+    return res
+
+
 def _diff(src, dst):
     from pyspark.sql import functions as F
 
@@ -435,7 +474,7 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "events", "bucketed", "skew"],
+        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
@@ -454,6 +493,10 @@ def main() -> None:
     if args.mode == "skew":
         res = run_skew(spark, args.out, args.copies)
         print(json.dumps({"copies": args.copies, "mode": "skew", **res}))
+        return
+    if args.mode == "docs-knobs":
+        res = run_docs_knobs(spark, args.out, args.copies)
+        print(json.dumps({"copies": args.copies, "mode": "docs-knobs", **res}))
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
