@@ -15,11 +15,12 @@ after every round of appends.
 
 Exactly-once, from two mechanisms working together:
   * versioned state — the merge reads the version the meta row points at,
-    writes counts_v{batch_id} + files_v{batch_id} (never the version it
-    read), then flips the meta pointer last. A crash between the writes
-    re-runs the merge from the still-pointed-at OLD version; half-written
-    new versions are simply overwritten. This is the multi-row
-    generalization of streaming/checksum.py's 1-row state swap.
+    writes counts/files under the NEXT monotonic version (never the one it
+    read — batch_id-keyed versions would self-overwrite on a
+    completed-batch retry), then flips the meta pointer last. A crash
+    between the writes re-runs the merge from the still-pointed-at OLD
+    version; half-written new versions are unreachable and GC'd. This is
+    the multi-row generalization of streaming/checksum.py's 1-row swap.
   * file-identity filtering — the state carries the applied-FILES log and
     every batch anti-joins its rows by input file before counting. There is
     deliberately NO batch-id skip guard: batch ids restart at 0 when a lost
@@ -55,7 +56,7 @@ DOCS_STREAM_SCHEMA = StructType(
     ]
 )
 
-_META_SCHEMA = "last_batch_id long"
+_META_SCHEMA = "version long"
 _COUNTS_SCHEMA = "source string, token string, c long"
 _FILES_SCHEMA = "file_path string"
 
@@ -70,7 +71,7 @@ def _read_meta(spark: SparkSession, state_dir: str) -> int:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         rows = []
-    return rows[0]["last_batch_id"] if rows else -1
+    return rows[0]["version"] if rows else -1
 
 
 def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -80,6 +81,26 @@ def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     if last < 0:
         return spark.createDataFrame([], _COUNTS_SCHEMA)
     return spark.read.schema(_COUNTS_SCHEMA).parquet(f"{state_dir}/counts_v{last}")
+
+
+def _gc_versions(state_dir: str, keep: set[int]) -> None:
+    """Best-effort removal of superseded state versions — the meta pointer
+    has already moved past them, so they are unreachable by any reader and
+    the dir would otherwise grow by one counts+files version per batch
+    forever. Local filesystem only (the test/driver environment); an object
+    store deployment swaps in its own lifecycle rule or SDK delete. Failures
+    are ignored: GC is an optimization, never a correctness dependency."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    root = Path(state_dir)
+    if not root.is_dir():  # non-local path (s3://, hdfs://) — skip
+        return
+    for d in root.iterdir():
+        m = re.fullmatch(r"(counts|files)_v(\d+)", d.name)
+        if m and int(m.group(2)) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _read_files(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -119,6 +140,10 @@ def stream_source_drift(
         # renumbered batch that carries a genuinely-new file. The file log
         # makes every delivery idempotent instead — a retry of a fully
         # applied batch just rewrites an identical state version.
+        # Versions are MONOTONIC (last+1), deliberately not batch_id: a
+        # completed-batch retry under batch_id-keyed versions would read and
+        # overwrite the SAME dir in one action (the self-overwrite trap).
+        version = _read_meta(sp, state_dir) + 1
         applied = _read_files(sp, state_dir)
         # file-identity filter: a replaced checkpoint renumbers batches, so
         # rows from already-applied files must contribute nothing
@@ -134,11 +159,12 @@ def stream_source_drift(
         # the merge result must not depend on the files it's about to replace;
         # versioned dirs already guarantee that (write target != read source),
         # so no localCheckpoint materialization is needed.
-        merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v{batch_id}")
-        files.write.mode("overwrite").parquet(f"{state_dir}/files_v{batch_id}")
-        sp.createDataFrame([(batch_id,)], _META_SCHEMA).write.mode(
+        merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v{version}")
+        files.write.mode("overwrite").parquet(f"{state_dir}/files_v{version}")
+        sp.createDataFrame([(version,)], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/meta")
+        _gc_versions(state_dir, keep={version})
 
     return (
         stream.writeStream.outputMode("append")

@@ -64,6 +64,12 @@ def test_drift_state_is_vocab_bounded(spark, tmp_path):
     # vocabulary: alpha beta x gamma delta epsilon + tok{0..6} + tok{0..2}
     vocab_max = 6 + 7 + 3
     assert state.count() <= n_src * vocab_max
+    # superseded versions are GC'd — exactly one counts/files version remains
+    from pathlib import Path
+
+    names = [d.name for d in Path(state_dir).iterdir()]
+    assert sum(n.startswith("counts_v") for n in names) == 1
+    assert sum(n.startswith("files_v") for n in names) == 1
 
 
 def test_duplicate_batch_is_skipped(spark, tmp_path):
