@@ -21,8 +21,10 @@ that a re-run cannot clobber.
 
 Scale: per-batch work is keyed joins between one snapshot and the run
 table, all hash-partitioned on the object key; the run table rewrite is the
-only full-table write (at production scale: a MERGE into a Delta/Iceberg
-table, same plan shape).
+only full-table write, landed as a pointer-swapped version dir so no crash
+window can corrupt the current table (at production scale: a MERGE into a
+Delta/Iceberg table, same plan shape — the table format supplies the
+atomic pointer).
 """
 
 from __future__ import annotations
@@ -46,17 +48,48 @@ SNAPSHOT_STREAM_SCHEMA = StructType(
 _RUNS_SCHEMA = (
     "key string, run_id long, etag string, v_from int, v_to int, size long"
 )
+_META_SCHEMA = "version long"
+
+
+def _read_meta(spark: SparkSession, runs_dir: str) -> int:
+    try:
+        rows = spark.read.parquet(f"{runs_dir}/meta").collect()
+    except AnalysisException as e:
+        # only a missing meta (bootstrap) may start empty; see checksum.py
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        rows = []
+    return rows[0]["version"] if rows else -1
 
 
 def read_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
-    """Current run table (empty before the first snapshot)."""
-    try:
-        return spark.read.schema(_RUNS_SCHEMA).parquet(runs_dir)
-    except AnalysisException as e:
-        # only a missing dir (bootstrap) may start empty; see checksum.py
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    """Current run table — the version the meta pointer names (empty before
+    the first snapshot). The state is pointer-swapped, never overwritten in
+    place: a plain `overwrite` of the run table is not atomic (a crash
+    mid-commit leaves a corrupt dir whose max(v_to) watermark regresses, and
+    the next merge silently re-applies history); writing runs_v{n+1} and
+    flipping the 1-row meta last makes every crash window recoverable —
+    the drift.py state contract."""
+    last = _read_meta(spark, runs_dir)
+    if last < 0:
         return spark.createDataFrame([], _RUNS_SCHEMA)
+    return spark.read.schema(_RUNS_SCHEMA).parquet(f"{runs_dir}/runs_v{last}")
+
+
+def _gc_versions(runs_dir: str, keep: set[int]) -> None:
+    """Best-effort deletion of superseded (unreachable) run-table versions.
+    Local FS only; object-store deployments use a lifecycle rule."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    root = Path(runs_dir)
+    if not root.is_dir():
+        return
+    for d in root.iterdir():
+        m = re.fullmatch(r"runs_v(\d+)", d.name)
+        if m and int(m.group(1)) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def stream_snapshot_history(
@@ -89,14 +122,19 @@ def stream_snapshot_history(
         for v in versions:
             snap = batch_df.filter(F.col("v") == v).select("key", "etag", "size")
             runs = snapshot_history_merge(runs, snap, v)
-        # localCheckpoint materializes the merged table on executors and
-        # truncates lineage, so the overwrite below no longer depends on the
-        # files it is about to replace — data never funnels through the
-        # driver. (Production shape: a Delta/Iceberg MERGE, same plan.)
-        runs = runs.localCheckpoint(eager=True)
+        # pointer-swap state: the merge writes the NEXT version dir (never
+        # the one it read, so no localCheckpoint lineage cut is needed and
+        # no crash can corrupt the current table), then flips the meta.
+        # (Production shape: a Delta/Iceberg MERGE — same plan, the table
+        # format supplies the atomic pointer.)
+        version = _read_meta(sess, runs_dir) + 1
         runs.select(
             "key", "run_id", "etag", "v_from", "v_to", "size"
-        ).write.mode("overwrite").parquet(runs_dir)
+        ).write.mode("overwrite").parquet(f"{runs_dir}/runs_v{version}")
+        sess.createDataFrame([(version,)], _META_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{runs_dir}/meta")
+        _gc_versions(runs_dir, keep={version})
 
     return (
         stream.writeStream.outputMode("append")
