@@ -113,6 +113,14 @@ def stream_corpus_ingest(
         admitted = fresh.filter(
             F.col("quality_keep") & (F.col("pred_lang") != "und")
         )
+        # WRITE ORDER + CRASH WINDOW: corpus append first, seen-log commit
+        # second. A crash between them re-runs the batch (the seen-log has
+        # no row for it yet), re-appending the same admitted rows — so the
+        # corpus dir is at-least-once and read_corpus() dedups on
+        # content_hash (exact by construction: a committed corpus has one
+        # row per hash, and replayed rows are byte-identical). The reverse
+        # order would be worse: seen-log first + crash = admitted docs
+        # recorded as seen but never written — silent data loss.
         admitted.drop("quality_keep").write.mode("append").parquet(corpus_dir)
         # every fresh hash (admitted or gate-rejected) becomes seen: a
         # rejected doc's later identical copy must not be re-evaluated
@@ -127,6 +135,15 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The admitted corpus, exactly-once: the append in stream_corpus_ingest
+    is at-least-once across the corpus-append/seen-commit crash window, so
+    consumers read through this hash-dedup (one row per content_hash — exact
+    by construction, since admission itself is keep-first-per-hash; replayed
+    rows are byte-identical so which copy survives is immaterial)."""
+    return spark.read.parquet(corpus_dir).dropDuplicates(["content_hash"])
 
 
 def stream_neardup_ingest(

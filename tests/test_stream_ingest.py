@@ -171,3 +171,24 @@ def test_checkpoint_loss_replay_is_noop(spark, tmp_path):
     assert after == before == [0, 2]
     seen = spark.read.parquet(str(tmp_path / "seen"))
     assert seen.count() == 3
+
+
+def test_read_corpus_survives_replayed_append(spark, tmp_path):
+    """The corpus-append/seen-commit crash window makes the corpus dir
+    at-least-once; read_corpus() must return exactly-once rows. Simulated by
+    re-appending a drained corpus's own rows (what a foreachBatch replay of
+    an uncommitted batch does — byte-identical duplicates)."""
+    from s3bigdatasync_spark.streaming.ingest import read_corpus
+
+    inc = tmp_path / "incoming"
+    _write(inc, [_doc(0, GOOD), _doc(1, GOOD2)], "a.json")
+    _drain(spark, tmp_path)
+    corpus_dir = str(tmp_path / "corpus")
+    once = spark.read.parquet(corpus_dir)
+    rows_before = sorted(r["doc_id"] for r in once.collect())
+    once.write.mode("append").parquet(corpus_dir)  # the replayed append
+    assert spark.read.parquet(corpus_dir).count() == 2 * len(rows_before)
+    assert (
+        sorted(r["doc_id"] for r in read_corpus(spark, corpus_dir).collect())
+        == rows_before
+    )
