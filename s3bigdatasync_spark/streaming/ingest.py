@@ -137,13 +137,17 @@ def stream_corpus_ingest(
     )
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The admitted corpus, exactly-once: the append in stream_corpus_ingest
-    is at-least-once across the corpus-append/seen-commit crash window, so
-    consumers read through this hash-dedup (one row per content_hash — exact
-    by construction, since admission itself is keep-first-per-hash; replayed
-    rows are byte-identical so which copy survives is immaterial)."""
-    return spark.read.parquet(corpus_dir).dropDuplicates(["content_hash"])
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, key: tuple[str, ...] = ("content_hash",)
+) -> DataFrame:
+    """The admitted corpus, exactly-once: the appends in both ingest sinks
+    are at-least-once across the corpus-append/log-commit crash window, so
+    consumers read through this key-dedup. A committed corpus has one row
+    per key by construction (admission is keep-first-per-hash here,
+    one-row-per-doc_id in stream_neardup_ingest — pass key=("doc_id",) for
+    that corpus); replayed rows are byte-identical so which copy survives
+    is immaterial."""
+    return spark.read.parquet(corpus_dir).dropDuplicates(list(key))
 
 
 def stream_neardup_ingest(
@@ -214,6 +218,9 @@ def stream_neardup_ingest(
         )
         rejected = prior_hit.union(batch_hit).distinct()
         admitted = batch_df.join(rejected, "doc_id", "left_anti")
+        # same crash-window trade as stream_corpus_ingest: corpus append
+        # first (at-least-once; read_corpus(key=("doc_id",)) dedups), index
+        # commit second — reversed order would lose admitted docs
         admitted.write.mode("append").parquet(corpus_dir)
         bands.join(rejected, "doc_id", "left_anti").withColumn(
             "batch_id", F.lit(batch_id).cast("long")
