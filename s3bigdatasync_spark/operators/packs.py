@@ -140,6 +140,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "prefix_filter_pairs",
         "cluster_sizes",
         "fuzzy_match_pairs",
+        "fuzzy_match_qgram",
         "minhash_calibration",
         "cross_source_duplication",
     ],
@@ -270,6 +271,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
     ],
     "funnel_steps": [("step", "str"), ("n_users", "int")],
     "fuzzy_match_pairs": [
+        ("dirty_id", "int"),
+        ("n_candidates", "int"),
+        ("best_lev", "int"),
+        ("matched_key", "int"),
+        ("self_match", "bool"),
+    ],
+    "fuzzy_match_qgram": [
         ("dirty_id", "int"),
         ("n_candidates", "int"),
         ("best_lev", "int"),

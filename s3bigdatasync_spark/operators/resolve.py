@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
@@ -135,5 +135,157 @@ FROM agg
 """
 
 
-QUERIES = {"fuzzy_match_pairs": fuzzy_match_pairs}
-ORACLES = {"fuzzy_match_pairs": _FUZZY_SQL}
+# --- fuzzy_match_qgram: the attribute-free scale path (Ed-Join prefix) ------
+
+QGRAM = 3
+# Ed-Join prefix bound: strings within edit distance d differ in at most q·d
+# q-grams, so any two matching strings must share a q-gram among the q·d+1
+# RAREST q-grams of each (rarest-first prefixes of a shared total order
+# intersect whenever the symmetric difference is bounded).
+PREFIX_K = QGRAM * MAX_LEV + 1  # = 7
+
+
+def _qgram_rel(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """(id, qg) distinct — 3-grams of the name (whole name when shorter)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({name_col}) - {QGRAM - 1}, 1)),"
+                f" i -> substring({name_col}, i, {QGRAM}))"
+            )
+        ).alias("qg"),
+    ).distinct()
+
+
+def fuzzy_match_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribute-FREE fuzzy matcher — Ed-Join-style q-gram prefix
+    blocking, for catalogs where no reliable structured blocking key exists
+    (the production complement of fuzzy_match_pairs' (brand, size) blocks):
+
+      1. q-gram rarity order: global 3-gram frequencies over the CLEAN
+         catalog define one total order (count, then gram — wholly
+         deterministic); dirty-side grams unseen in the catalog rank
+         rarest (count 0), which only widens recall.
+      2. prefix candidates: each name keeps its PREFIX_K = q·d+1 = 7 rarest
+         grams; two names within edit distance d=MAX_LEV MUST share one
+         (the Ed-Join prefix-filter bound), so the equi-join on prefix
+         grams has FULL recall — the self record is always a candidate and
+         best_lev ≤ 1 for every dirty row.
+      3. refine + best-match: identical to fuzzy_match_pairs (threshold
+         levenshtein, min(lev·2³²+key) — no window).
+
+    Scale: the join key frequency is bounded because prefixes keep only the
+    RAREST grams (the PPJoin/prefix_filter_pairs argument); the global
+    frequency relation is vocabulary-bounded and the per-name top-7 is a
+    small window over ≤len(name) rows. Unlike attribute blocking, recall is
+    a theorem, not a data assumption."""
+    part = prepared(spark, sf_dir).table("part")
+    dirty = _dirty_parts(spark, sf_dir)
+
+    clean_qg = _qgram_rel(part, "p_partkey", "p_name")
+    cnt = clean_qg.groupBy("qg").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("id").orderBy("cnt", "qg")
+
+    def prefix_of(qg_rel: DataFrame) -> DataFrame:
+        return (
+            qg_rel.join(F.broadcast(cnt), "qg", "left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= PREFIX_K)
+            .select("id", "qg")
+        )
+
+    dp = prefix_of(_qgram_rel(dirty, "dirty_id", "dirty_name")).withColumnRenamed(
+        "id", "dirty_id"
+    )
+    cp = prefix_of(clean_qg).withColumnRenamed("id", "p_partkey")
+    cand_ids = dp.join(cp, "qg").select("dirty_id", "p_partkey").distinct()
+    lev = F.levenshtein(F.col("dirty_name"), F.col("p_name"), MAX_LEV)
+    cand = (
+        cand_ids.join(dirty.select("dirty_id", "dirty_name"), "dirty_id")
+        .join(part.select("p_partkey", "p_name"), "p_partkey")
+        .filter(F.abs(F.length("dirty_name") - F.length("p_name")) <= MAX_LEV)
+        .select("dirty_id", "p_partkey", lev.alias("lev"))
+        .filter(F.col("lev") >= 0)
+    )
+    enc = F.col("lev").cast("long") * F.lit(_ENC) + F.col("p_partkey")
+    agg = cand.groupBy("dirty_id").agg(
+        F.count("*").alias("n_candidates"), F.min(enc).alias("best")
+    )
+    return agg.select(
+        "dirty_id",
+        "n_candidates",
+        F.expr(f"best div {_ENC}").alias("best_lev"),
+        (F.col("best") % F.lit(_ENC)).alias("matched_key"),
+        (F.col("best") % F.lit(_ENC) == F.col("dirty_id")).alias("self_match"),
+    )
+
+
+_DIRTY_CTE = f"""
+  SELECT p_partkey AS dirty_id,
+         concat(substr(p_name, 1, pos - 1), substr(p_name, pos + 1)) AS dirty_name
+  FROM (
+    SELECT p_partkey, p_name,
+           ({_hex_bucket_sql(f"concat('{_FZ_SEED}', cast(p_partkey AS VARCHAR))", 4)})
+             % length(p_name) + 1 AS pos
+    FROM part)
+"""
+
+_QGRAM_SQL = f"""
+WITH dirty AS ({_DIRTY_CTE}),
+clean_qg AS (
+  SELECT DISTINCT p_partkey AS id, substr(p_name, i, {QGRAM}) AS qg
+  FROM part, unnest(generate_series(1, greatest(length(p_name) - {QGRAM - 1}, 1))) u(i)
+),
+dirty_qg AS (
+  SELECT DISTINCT dirty_id AS id, substr(dirty_name, i, {QGRAM}) AS qg
+  FROM dirty, unnest(generate_series(1, greatest(length(dirty_name) - {QGRAM - 1}, 1))) u(i)
+),
+cnt AS (SELECT qg, count(*) AS cnt FROM clean_qg GROUP BY qg),
+cp AS (
+  SELECT id AS p_partkey, qg FROM (
+    SELECT c.id, c.qg,
+           row_number() OVER (PARTITION BY c.id ORDER BY coalesce(n.cnt, 0), c.qg) AS rn
+    FROM clean_qg c LEFT JOIN cnt n USING (qg))
+  WHERE rn <= {PREFIX_K}
+),
+dp AS (
+  SELECT id AS dirty_id, qg FROM (
+    SELECT d.id, d.qg,
+           row_number() OVER (PARTITION BY d.id ORDER BY coalesce(n.cnt, 0), d.qg) AS rn
+    FROM dirty_qg d LEFT JOIN cnt n USING (qg))
+  WHERE rn <= {PREFIX_K}
+),
+cand_ids AS (
+  SELECT DISTINCT dp.dirty_id, cp.p_partkey FROM dp JOIN cp USING (qg)
+),
+cand AS (
+  SELECT c.dirty_id, c.p_partkey, levenshtein(d.dirty_name, p.p_name) AS lev
+  FROM cand_ids c
+  JOIN dirty d USING (dirty_id)
+  JOIN part p USING (p_partkey)
+  WHERE abs(length(d.dirty_name) - length(p.p_name)) <= {MAX_LEV}
+    AND levenshtein(d.dirty_name, p.p_name) <= {MAX_LEV}
+),
+agg AS (
+  SELECT dirty_id, count(*) AS n_candidates,
+         min(cast(lev AS BIGINT) * {_ENC} + p_partkey) AS best
+  FROM cand GROUP BY dirty_id
+)
+SELECT dirty_id, n_candidates,
+       best // {_ENC} AS best_lev,
+       best % {_ENC} AS matched_key,
+       best % {_ENC} = dirty_id AS self_match
+FROM agg
+"""
+
+
+QUERIES = {
+    "fuzzy_match_pairs": fuzzy_match_pairs,
+    "fuzzy_match_qgram": fuzzy_match_qgram,
+}
+ORACLES = {
+    "fuzzy_match_pairs": _FUZZY_SQL,
+    "fuzzy_match_qgram": _QGRAM_SQL,
+}

@@ -40,3 +40,31 @@ def test_fuzzy_match_self_matches_dominate(spark, sf_dir):
         F.sum(F.col("self_match").cast("int")).alias("n_self"),
     ).collect()[0]
     assert agg["n_self"] / agg["n"] > 0.95
+
+
+def test_qgram_prefix_blocking_full_recall(spark, sf_dir):
+    """The Ed-Join prefix bound guarantees every dirty record's self pair
+    (distance 1) survives blocking with NO structured attributes: one row
+    per part, best_lev <= 1 for all of them."""
+    from s3bigdatasync_spark.operators.resolve import fuzzy_match_qgram
+
+    out = fuzzy_match_qgram(spark, sf_dir).cache()
+    n_parts = prepared(spark, sf_dir).table("part").count()
+    assert out.count() == n_parts
+    assert out.filter(F.col("best_lev") > 1).count() == 0
+
+
+def test_qgram_matches_are_superset_of_attribute_blocking(spark, sf_dir):
+    """Attribute blocking can only LOSE candidates relative to the
+    theorem-backed q-gram blocking (a cross-brand name twin falls outside
+    every (brand,size) block), so per dirty record the q-gram candidate
+    count must be >= the attribute-blocked count."""
+    from s3bigdatasync_spark.operators.resolve import (
+        fuzzy_match_pairs,
+        fuzzy_match_qgram,
+    )
+
+    attr = {r["dirty_id"]: r["n_candidates"] for r in fuzzy_match_pairs(spark, sf_dir).collect()}
+    qg = {r["dirty_id"]: r["n_candidates"] for r in fuzzy_match_qgram(spark, sf_dir).collect()}
+    assert set(attr) == set(qg)
+    assert all(qg[k] >= attr[k] for k in attr)
