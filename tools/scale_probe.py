@@ -468,10 +468,22 @@ def run_skew(spark, out_dir: str, copies: int) -> dict:
     }
 
 
+
+def _emit(payload: dict, json_out: str | None) -> None:
+    """Print the result line AND write it to a file when asked — JVM GC
+    warnings can interleave with stdout in local mode, so piping stdout is
+    not a reliable way to capture the JSON."""
+    line = json.dumps(payload)
+    print(line)
+    if json_out:
+        Path(json_out).write_text(line + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--json-out", default=None, help="also write the result JSON line to this file")
     ap.add_argument(
         "--mode",
         choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew"],
@@ -488,15 +500,15 @@ def main() -> None:
     spark = get_spark("scale-probe")
     if args.mode == "bucketed":
         res = run_bucketed(spark, args.out, args.copies)
-        print(json.dumps({"copies": args.copies, "mode": "bucketed", **res}))
+        _emit({"copies": args.copies, "mode": "bucketed", **res}, args.json_out)
         return
     if args.mode == "skew":
         res = run_skew(spark, args.out, args.copies)
-        print(json.dumps({"copies": args.copies, "mode": "skew", **res}))
+        _emit({"copies": args.copies, "mode": "skew", **res}, args.json_out)
         return
     if args.mode == "docs-knobs":
         res = run_docs_knobs(spark, args.out, args.copies)
-        print(json.dumps({"copies": args.copies, "mode": "docs-knobs", **res}))
+        _emit({"copies": args.copies, "mode": "docs-knobs", **res}, args.json_out)
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
@@ -510,16 +522,15 @@ def main() -> None:
     base = measure(spark, BASE_SF, names)
     scaled = measure(spark, args.out, names)
     ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
-    print(
-        json.dumps(
-            {
-                "copies": args.copies,
-                "mode": args.mode,
-                "sf01": base,
-                "scaled": scaled,
-                "ratio": ratio,
-            }
-        )
+    _emit(
+        {
+            "copies": args.copies,
+            "mode": args.mode,
+            "sf01": base,
+            "scaled": scaled,
+            "ratio": ratio,
+        },
+        args.json_out,
     )
 
 
