@@ -181,9 +181,17 @@ def fuzzy_match_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     small window over ≤len(name) rows. Unlike attribute blocking, recall is
     a theorem, not a data assumption."""
     part = prepared(spark, sf_dir).table("part")
-    dirty = _dirty_parts(spark, sf_dir)
+    dirty = _dirty_parts(spark, sf_dir).select("dirty_id", "dirty_name")
+    return match_names_qgram(dirty, part.select("p_partkey", "p_name"))
 
-    clean_qg = _qgram_rel(part, "p_partkey", "p_name")
+
+def match_names_qgram(dirty: DataFrame, catalog: DataFrame) -> DataFrame:
+    """The reusable Ed-Join matcher core: (dirty_id, dirty_name) records vs a
+    (p_partkey, p_name) catalog — prefix blocking + threshold refine + best
+    match. Used by the registered batch query above and by the streaming
+    admission leg (streaming/resolve.py), which probes each micro-batch of
+    arriving records against the same broadcastable catalog prefix index."""
+    clean_qg = _qgram_rel(catalog, "p_partkey", "p_name")
     cnt = clean_qg.groupBy("qg").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("id").orderBy("cnt", "qg")
 
@@ -204,7 +212,7 @@ def fuzzy_match_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lev = F.levenshtein(F.col("dirty_name"), F.col("p_name"), MAX_LEV)
     cand = (
         cand_ids.join(dirty.select("dirty_id", "dirty_name"), "dirty_id")
-        .join(part.select("p_partkey", "p_name"), "p_partkey")
+        .join(catalog.select("p_partkey", "p_name"), "p_partkey")
         .filter(F.abs(F.length("dirty_name") - F.length("p_name")) <= MAX_LEV)
         .select("dirty_id", "p_partkey", lev.alias("lev"))
         .filter(F.col("lev") >= 0)

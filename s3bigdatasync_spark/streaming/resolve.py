@@ -1,0 +1,101 @@
+"""Streaming entity-resolution admission — the operational leg of
+operators/resolve.fuzzy_match_qgram.
+
+Dirty catalog records arrive as files (re-encoded listings, typo'd feeds);
+each micro-batch is matched against the CLEAN catalog with the Ed-Join
+q-gram prefix matcher and the verdicts append to a match log: the ER
+counterpart of streaming/ingest.py's near-dup admission ("report candidates"
+→ "gate what arrives"). The parity oracle (tests/test_stream_resolve.py)
+pins
+
+    accumulated match log  ==  batch match_names_qgram over everything seen
+
+after every round of drops.
+
+Exactly-once: the match log appends with the originating batch_id and a
+replayed batch is skipped when the log already holds its rows — admission
+verdicts are per-record and the catalog is read-only state, so unlike
+drift.py no read-modify-write versioning is needed; the log itself is the
+idempotence record (the streaming/ingest.py seen-log pattern).
+
+Scale: per batch, only the ARRIVING records are q-grammed; the catalog
+prefix index is computed once per batch from the catalog table (in
+production: persisted and broadcast — it is |catalog|×PREFIX_K rows of one
+short string). The candidate join inherits the prefix-filter bound, so
+per-batch cost is proportional to batch size, never to history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.resolve import match_names_qgram
+
+DIRTY_STREAM_SCHEMA = StructType(
+    [
+        StructField("dirty_id", LongType()),
+        StructField("dirty_name", StringType()),
+    ]
+)
+
+_LOG_SCHEMA = (
+    "dirty_id long, n_candidates long, best_lev long, matched_key long,"
+    " self_match boolean, batch_id long"
+)
+
+
+def read_match_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return spark.createDataFrame([], _LOG_SCHEMA)
+
+
+def stream_resolve(
+    spark: SparkSession,
+    dirty_dir: str,
+    catalog_df: DataFrame,
+    log_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Match arriving dirty records against `catalog_df` (a (p_partkey,
+    p_name) relation) and append verdicts to the match log. availableNow
+    trigger: drains the backlog, then stops."""
+    stream = (
+        spark.readStream.schema(DIRTY_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dirty_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        log = read_match_log(sess, log_dir)
+        if log.filter(F.col("batch_id") >= batch_id).limit(1).count() > 0:
+            return  # retry of an applied batch — idempotent skip
+        matched = match_names_qgram(batch_df, catalog_df)
+        matched.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_equivalent(
+    spark: SparkSession, dirty_dir: str, catalog_df: DataFrame
+) -> DataFrame:
+    """What the accumulated log must equal: one batch match over everything
+    that has arrived."""
+    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir)
+    return match_names_qgram(dirty, catalog_df)

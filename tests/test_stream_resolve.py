@@ -1,0 +1,79 @@
+"""Streaming entity-resolution parity: the accumulated match log over
+arriving dirty-record drops must equal the one-shot batch matcher over
+everything seen — per-record verdicts against a read-only catalog compose
+trivially, so any divergence means the incremental path lost or re-matched
+records."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3bigdatasync_spark.streaming.resolve import (
+    DIRTY_STREAM_SCHEMA,
+    batch_equivalent,
+    read_match_log,
+    stream_resolve,
+)
+
+_CATALOG = [
+    (1, "amber bronze copper dim"),
+    (2, "amber bronze copper dime"),
+    (3, "lavender rose mint sky"),
+    (4, "goldenrod plum navy sea"),
+    (5, "turquoise coral jade ash"),
+]
+
+
+def _catalog_df(spark):
+    return spark.createDataFrame(_CATALOG, "p_partkey long, p_name string")
+
+
+def _drop(name: str, i: int) -> tuple:
+    # one-character deletions of catalog names → always matchable at lev 1
+    return (1000 + i, name[:3] + name[4:])
+
+
+def test_stream_resolve_matches_batch(spark, tmp_path):
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    rows = []
+    for rnd, names in enumerate((["amber bronze copper dim", "lavender rose mint sky"],
+                                 ["goldenrod plum navy sea"],
+                                 ["turquoise coral jade ash"])):
+        batch = [_drop(n, rnd * 10 + j) for j, n in enumerate(names)]
+        rows.extend(batch)
+        spark.createDataFrame(batch, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(dirty_dir)
+        q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt, max_files_per_trigger=1)
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r)
+            for r in read_match_log(spark, log_dir).drop("batch_id").collect()
+        )
+        want = sorted(
+            tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect()
+        )
+        assert got == want
+    assert len(got) == len(rows)  # every arriving record got a verdict
+    assert all(r[2] <= 1 for r in got)  # best_lev <= 1: full-recall blocking
+
+
+def test_stream_resolve_replay_is_skipped(spark, tmp_path):
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+    spark.createDataFrame(
+        [_drop("amber bronze copper dim", 0)], DIRTY_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirty_dir)
+    q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
+    q.awaitTermination(120)
+    before = read_match_log(spark, log_dir).count()
+
+    q2 = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
+    q2.awaitTermination(120)
+    assert read_match_log(spark, log_dir).count() == before
