@@ -87,7 +87,8 @@ HEADLINE = [
     "event_type_affinity",   # market-basket lift over (user, day) baskets
     "source_kl_divergence",  # per-source unigram KL drift (cache-pinned counts)
     "fuzzy_match_pairs",     # blocked edit-distance entity resolution
-    "fuzzy_match_qgram",     # Ed-Join q-gram prefix blocking (attribute-free)
+    "fuzzy_match_qgram",     # Ed-Join positional prefix over the name dictionary
+    "fuzzy_match_segments",  # Pass-Join segment blocking (attribute-free)
     "minhash_calibration",   # estimator audit over LSH candidates
 ]
 

@@ -141,6 +141,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "cluster_sizes",
         "fuzzy_match_pairs",
         "fuzzy_match_qgram",
+        "fuzzy_match_segments",
         "minhash_calibration",
         "cross_source_duplication",
     ],
@@ -278,6 +279,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("self_match", "bool"),
     ],
     "fuzzy_match_qgram": [
+        ("dirty_id", "int"),
+        ("n_candidates", "int"),
+        ("best_lev", "int"),
+        ("matched_key", "int"),
+        ("self_match", "bool"),
+    ],
+    "fuzzy_match_segments": [
         ("dirty_id", "int"),
         ("n_candidates", "int"),
         ("best_lev", "int"),

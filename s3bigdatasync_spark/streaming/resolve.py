@@ -1,14 +1,14 @@
 """Streaming entity-resolution admission — the operational leg of
-operators/resolve.fuzzy_match_qgram.
+operators/resolve.fuzzy_match_segments.
 
 Dirty catalog records arrive as files (re-encoded listings, typo'd feeds);
-each micro-batch is matched against the CLEAN catalog with the Ed-Join
-q-gram prefix matcher and the verdicts append to a match log: the ER
+each micro-batch is matched against the CLEAN catalog with the Pass-Join
+segment matcher and the verdicts append to a match log: the ER
 counterpart of streaming/ingest.py's near-dup admission ("report candidates"
 → "gate what arrives"). The parity oracle (tests/test_stream_resolve.py)
 pins
 
-    accumulated match log  ==  batch match_names_qgram over everything seen
+    accumulated match log  ==  batch match_names_segments over everything seen
 
 after every round of drops.
 
@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.utils import AnalysisException
 
-from ..operators.resolve import match_names_qgram
+from ..operators.resolve import match_names_segments
 
 DIRTY_STREAM_SCHEMA = StructType(
     [
@@ -78,7 +78,7 @@ def stream_resolve(
         log = read_match_log(sess, log_dir)
         if log.filter(F.col("batch_id") >= batch_id).limit(1).count() > 0:
             return  # retry of an applied batch — idempotent skip
-        matched = match_names_qgram(batch_df, catalog_df)
+        matched = match_names_segments(batch_df, catalog_df)
         matched.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(log_dir)
@@ -98,4 +98,4 @@ def batch_equivalent(
     """What the accumulated log must equal: one batch match over everything
     that has arrived."""
     dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir)
-    return match_names_qgram(dirty, catalog_df)
+    return match_names_segments(dirty, catalog_df)

@@ -68,3 +68,31 @@ def test_qgram_matches_are_superset_of_attribute_blocking(spark, sf_dir):
     qg = {r["dirty_id"]: r["n_candidates"] for r in fuzzy_match_qgram(spark, sf_dir).collect()}
     assert set(attr) == set(qg)
     assert all(qg[k] >= attr[k] for k in attr)
+
+
+def test_segments_blocking_full_recall(spark, sf_dir):
+    """Pass-Join pigeonhole: d edits cannot touch all d+1 segments, so every
+    dirty record's self pair survives blocking — one row per part, best_lev
+    <= 1 everywhere, on any data (including dense name dictionaries where
+    gram rarity is meaningless)."""
+    from s3bigdatasync_spark.operators.resolve import fuzzy_match_segments
+
+    out = fuzzy_match_segments(spark, sf_dir).cache()
+    n_parts = prepared(spark, sf_dir).table("part").count()
+    assert out.count() == n_parts
+    assert out.filter(F.col("best_lev") > 1).count() == 0
+
+
+def test_qgram_and_segments_agree(spark, sf_dir):
+    """Two independent blocking theorems (Ed-Join positional prefix,
+    Pass-Join segments) feeding the same refine must produce the same
+    verdicts — both have full recall for lev <= MAX_LEV, so any divergence
+    means one of the blocking stages silently lost a true pair."""
+    from s3bigdatasync_spark.operators.resolve import (
+        fuzzy_match_qgram,
+        fuzzy_match_segments,
+    )
+
+    a = sorted(tuple(r) for r in fuzzy_match_qgram(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in fuzzy_match_segments(spark, sf_dir).collect())
+    assert a == b
