@@ -96,3 +96,28 @@ def test_qgram_and_segments_agree(spark, sf_dir):
     a = sorted(tuple(r) for r in fuzzy_match_qgram(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in fuzzy_match_segments(spark, sf_dir).collect())
     assert a == b
+
+
+def test_segment_layout_partitions_the_string(spark):
+    """The closed-form (start, length) arithmetic must tile [1..L] exactly
+    for every length — Pass-Join's recall proof assumes the segments
+    partition the string with no gap or overlap."""
+    from s3bigdatasync_spark.operators.resolve import NSEG, _seg_exprs
+
+    st, ln = _seg_exprs("L", "i")
+    rows = (
+        spark.range(3, 101)
+        .selectExpr("cast(id as int) AS L")
+        .selectExpr("L", f"explode(sequence(0, {NSEG - 1})) AS i")
+        .selectExpr("L", "i", f"{st} AS s", f"{ln} AS n")
+        .collect()
+    )
+    by_l = {}
+    for r in rows:
+        by_l.setdefault(r["L"], []).append((r["i"], r["s"], r["n"]))
+    for L, segs in by_l.items():
+        segs.sort()
+        assert segs[0][1] == 1
+        assert sum(n for _, _, n in segs) == L
+        for (_, s0, n0), (_, s1, _) in zip(segs, segs[1:]):
+            assert s1 == s0 + n0
