@@ -327,6 +327,60 @@ def run_docs_knobs(spark, out_dir: str, copies: int) -> dict:
     return res
 
 
+def run_resolve(spark, out_dir: str, copies: int) -> dict:
+    """Scale the ENTITY-RESOLUTION input the way real catalogs grow: `copies`×
+    the records, SAME name dictionary (more SKUs, not more distinct names —
+    the sf0.1 part table already holds 20k records over 64 names). The claim
+    under test: the dictionary-factorized matchers (qgram/segments) cost is
+    driven by |dictionary|, so 10× records should be near-flat, while the
+    record-level attribute matcher's blocks grow 10× and its pair count
+    ~100×."""
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.operators import _PREPARED, resolve
+
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    part = spark.read.parquet(f"{BASE_SF}/part.parquet")
+    offset = 10_000_000
+    scaled = None
+    for i in range(copies):
+        c = part.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * offset))
+        scaled = c if scaled is None else scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
+    for t in (
+        "region", "nation", "customer", "supplier", "orders", "lineitem",
+        "events", "documents", "embeddings",
+    ):
+        src = Path(f"{BASE_SF}/{t}.parquet")
+        dst = out / f"{t}.parquet"
+        if src.is_dir():
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+
+    def steady(fn, sf) -> float:
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
+    res: dict = {}
+    for name in ("fuzzy_match_pairs", "fuzzy_match_qgram", "fuzzy_match_segments"):
+        fn = getattr(resolve, name)
+        _PREPARED.clear()
+        base = steady(fn, BASE_SF)
+        _PREPARED.clear()
+        sc = steady(fn, out_dir)
+        res[name] = {"base_s": base, "scaled_s": sc, "ratio": round(sc / base, 2)}
+    _PREPARED.clear()
+    return res
+
+
 def _diff(src, dst):
     from pyspark.sql import functions as F
 
@@ -486,7 +540,7 @@ def main() -> None:
     ap.add_argument("--json-out", default=None, help="also write the result JSON line to this file")
     ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew"],
+        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew", "resolve"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
@@ -509,6 +563,10 @@ def main() -> None:
     if args.mode == "docs-knobs":
         res = run_docs_knobs(spark, args.out, args.copies)
         _emit({"copies": args.copies, "mode": "docs-knobs", **res}, args.json_out)
+        return
+    if args.mode == "resolve":
+        res = run_resolve(spark, args.out, args.copies)
+        _emit({"copies": args.copies, "mode": "resolve", **res}, args.json_out)
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
