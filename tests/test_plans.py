@@ -255,3 +255,12 @@ def test_source_kl_broadcasts_totals(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_segments_matcher_no_window_no_cartesian(spark, sf_dir):
+    """Pass-Join blocking + dictionary factorization need no window at all —
+    a regression that reintroduces one (e.g. a row_number best-match) also
+    reintroduces a per-name sort."""
+    plan = plan_of(_Q["fuzzy_match_segments"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
