@@ -152,7 +152,10 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays flat as data grows instead of serializing on one task.
     """
     inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
-    ranked = with_global_order(inv, ["key"], sum_col="size")
+    # (key, size) is a total order here: key collides only at sf0.001
+    # (views.py key-uniqueness note) and the colliding rows differ in size —
+    # the tiebreaker keeps the prefix sum engine-unambiguous at every sf.
+    ranked = with_global_order(inv, ["key", "size"], sum_col="size")
     # integer `div`, not double `/`+cast: a double quotient 1 ulp above an
     # exact multiple would truncate to a different bin than the oracle's //
     binned = ranked.withColumn("bin", F.expr(f"global_cumsum_ex div {TARGET_FILE_BYTES}"))
@@ -166,7 +169,7 @@ _COMPACTION_SQL = oracle_cte("inventory_src") + f"""
 SELECT bin, count(*) AS n_files, cast(sum(size) AS BIGINT) AS bin_bytes
 FROM (
   SELECT key, size,
-         (sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) - size)
+         (sum(size) OVER (ORDER BY key, size ROWS UNBOUNDED PRECEDING) - size)
            // {TARGET_FILE_BYTES} AS bin
   FROM inventory_src
 )

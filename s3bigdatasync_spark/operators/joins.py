@@ -39,8 +39,11 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "etag")
     # Distributed global row numbers (operators.prefix — no single-partition
-    # window anywhere in this engine).
-    ranked = with_global_order(inv, ["key"])
+    # window anywhere in this engine). size tiebreaker: key alone is
+    # non-unique at sf0.001 (views.py note); the colliding rows share etag
+    # (= md5(key)) but differ in size, so (key, size) is a total order and
+    # batch_size sums stay engine-unambiguous.
+    ranked = with_global_order(inv, ["key", "size"])
     batches = (
         ranked.withColumn("batch_id", F.expr(f"global_rn div {BATCH_SIZE}"))
         .groupBy("batch_id")
@@ -61,7 +64,7 @@ SELECT batch_id,
        cast(sum(size) AS BIGINT) AS batch_size,
        md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
 FROM (
-  SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
+  SELECT *, (row_number() OVER (ORDER BY key, size) - 1) // {BATCH_SIZE} AS batch_id
   FROM inventory_src
 )
 GROUP BY batch_id
@@ -94,7 +97,7 @@ _DEDUP_ANTI_SQL = oracle_cte("inventory_src") + f"""
          cast(sum(size) AS BIGINT) AS batch_size,
          md5(string_agg(concat(key, '#', etag), ',' ORDER BY concat(key, '#', etag))) AS msg_id
   FROM (
-    SELECT *, (row_number() OVER (ORDER BY key) - 1) // {BATCH_SIZE} AS batch_id
+    SELECT *, (row_number() OVER (ORDER BY key, size) - 1) // {BATCH_SIZE} AS batch_id
     FROM inventory_src
   )
   GROUP BY batch_id

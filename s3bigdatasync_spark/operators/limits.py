@@ -39,7 +39,8 @@ def size_capped_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.
     """
     inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
-    ranked = with_global_order(inv, ["key"], sum_col="size")
+    # size tiebreaker: key alone is non-unique at sf0.001 (views.py note)
+    ranked = with_global_order(inv, ["key", "size"], sum_col="size")
     return (
         ranked.withColumn("cum_bytes", F.col("global_cumsum_ex") + F.col("size"))
         .filter(
@@ -54,8 +55,8 @@ def size_capped_take(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIZE_CAPPED_SQL = oracle_cte("inventory_src") + f"""
 SELECT key, size, cum_bytes FROM (
   SELECT key, size,
-         cast(sum(size) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes,
-         row_number() OVER (ORDER BY key) AS rn
+         cast(sum(size) OVER (ORDER BY key, size ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes,
+         row_number() OVER (ORDER BY key, size) AS rn
   FROM inventory_src
 )
 WHERE cum_bytes <= {MAX_TOTAL_BYTES} AND rn <= {MAX_TOTAL_NUM}

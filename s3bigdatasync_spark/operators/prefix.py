@@ -6,22 +6,36 @@ Global row numbers / prefix sums / ntile over a total order are the classic
 whole dataset through one task). The scalable equivalent, used by
 task_batches, size_capped_take, size_deciles and compaction_plan:
 
-  1. repartitionByRange on the order columns (cache-pinned: the range
-     partitioner SAMPLES, and a second action would re-sample different
-     boundaries — the correctness trap this module exists to encapsulate);
-  2. per-partition local rank / running sum (parallel windows keyed by pid);
-  3. per-partition counts/totals → exclusive offsets — a ≤#partitions-row
-     driver list, broadcast back.
+  1. ONE sampled range-partition pass discovers ordered range boundaries and
+     per-range (count, sum) stats — collected once (≤ #partitions rows of
+     driver state);
+  2. every row's range id is then RE-DERIVED from the collected boundary
+     literals — a pure function of the row, so any later recomputation of the
+     plan lands every row in the same range. This is what makes the operator
+     deterministic: the sampled partitioner only ever influences load balance,
+     never results. (The previous design cached the sampled partitioning and
+     joined on spark_partition_id(); a cache eviction + recompute could then
+     re-sample different boundaries than the ones the offsets were collected
+     from, silently shifting rows across ranges — the compaction_plan
+     round-2 driver flake.)
+  3. per-range local rank / running sum (parallel windows keyed by range id)
+     plus broadcast exclusive offsets.
+
+No `.cache()` anywhere and nothing left persisted: the only state is the
+boundary/offset literals embedded in the returned plan.
 
 Results are bitwise-identical to the single-partition window (rank and sum
-are associative over the range-ordered concatenation), which every consumer's
-DuckDB oracle pins.
+are associative over the range-ordered concatenation) PROVIDED order_cols is
+a total order (unique keys). Callers pass tiebreaker columns to guarantee
+that; with duplicate keys the assignment is still deterministic per range,
+but rank among tied rows is engine-ambiguous (same as any SQL window).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
+
 
 def _scaled_partitions(df: DataFrame) -> int:
     """Range-partition count that tracks input scale: the max of the input's
@@ -32,6 +46,22 @@ def _scaled_partitions(df: DataFrame) -> int:
     return max(df.rdd.getNumPartitions(), shuffle)
 
 
+def _as_tuple(v):
+    """Driver-side comparable form of a (possibly struct) order-key value."""
+    return tuple(v) if isinstance(v, Row) else (v,)
+
+
+def _key_col(order_cols: list[str]):
+    return F.struct(*order_cols) if len(order_cols) > 1 else F.col(order_cols[0])
+
+
+def _bound_lit(order_cols: list[str], value):
+    """Literal expression for one collected boundary value (scalar or struct)."""
+    if len(order_cols) > 1:
+        return F.struct(*[F.lit(v).alias(c) for c, v in zip(order_cols, tuple(value))])
+    return F.lit(value)
+
+
 def with_global_order(
     df: DataFrame,
     order_cols: list[str],
@@ -39,35 +69,73 @@ def with_global_order(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Return df plus `global_rn` (0-based dense global row number over
-    order_cols, which must form a unique order) and, if sum_col is given,
-    `global_cumsum_ex` (exclusive prefix sum of sum_col in that order).
+    order_cols, which must form a unique total order — pass tiebreakers) and,
+    if sum_col is given, `global_cumsum_ex` (exclusive prefix sum of sum_col
+    in that order).
 
-    The returned DataFrame is cache-backed (boundary pinning); callers that
-    materialize it twice reuse the cache rather than re-sampling ranges.
+    Deterministic by construction: range boundaries are collected once and
+    re-applied as literals, so the returned plan is a pure function of the
+    input rows — safe to materialize any number of times, no cache pinning.
     """
-    parted = (
-        df.repartitionByRange(num_partitions or _scaled_partitions(df), *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
-    aggs = [F.count("*").alias("_c")]
+    spark = df.sparkSession
+    key = _key_col(order_cols)
+    aggs = [F.count("*").alias("_c"), F.min(key).alias("_lo"), F.max(key).alias("_hi")]
     if sum_col is not None:
         # coalesce: a partition whose sum_col values are all NULL must
         # contribute 0 to the running offset, not poison the driver-side sum
         aggs.append(F.coalesce(F.sum(sum_col), F.lit(0)).alias("_t"))
-    stats = {r["_pid"]: r for r in parted.groupBy("_pid").agg(*aggs).collect()}
-    rows, rn_acc, sum_acc = [], 0, 0
-    for pid in sorted(stats):
-        rows.append((pid, rn_acc, sum_acc))
-        rn_acc += stats[pid]["_c"]
-        sum_acc += stats[pid]["_t"] if sum_col is not None else 0
-    off = parted.sparkSession.createDataFrame(
-        rows, "_pid int, _rn_off long, _sum_off long"
+
+    # Job 1 (the only sampled step): discover ordered ranges + their stats.
+    parted = (
+        df.repartitionByRange(num_partitions or _scaled_partitions(df), *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    stats = sorted(
+        (r for r in parted.groupBy("_pid").agg(*aggs).collect() if r["_c"] > 0),
+        key=lambda r: r["_pid"],
+    )
+
+    # Range id as a pure row expression: #collected boundaries strictly below
+    # the row's key. ≤ #partitions string/struct comparisons per row, all
+    # inside whole-stage codegen.
+    bounds = [r["_lo"] for r in stats[1:]]
+    b_expr = F.lit(0)
+    for b in bounds:
+        b_expr = b_expr + F.when(key >= _bound_lit(order_cols, b), 1).otherwise(0)
+
+    # Per-range stats: the sampled per-pid stats are reusable iff no key value
+    # straddles a sampled partition boundary (guaranteed by unique keys);
+    # otherwise recompute them grouped by the derived range id (exact, still
+    # ≤ #partitions rows of driver state).
+    clean = all(
+        _as_tuple(stats[i]["_hi"]) < _as_tuple(stats[i + 1]["_lo"])
+        for i in range(len(stats) - 1)
+    )
+    if clean:
+        ranges = [(i, r["_c"], r["_t"] if sum_col is not None else 0) for i, r in enumerate(stats)]
+    else:
+        aggs2 = [F.count("*").alias("_c")]
+        if sum_col is not None:
+            aggs2.append(F.coalesce(F.sum(sum_col), F.lit(0)).alias("_t"))
+        re = df.withColumn("_b", b_expr).groupBy("_b").agg(*aggs2).collect()
+        ranges = sorted(
+            (r["_b"], r["_c"], r["_t"] if sum_col is not None else 0) for r in re
+        )
+
+    rows, rn_acc, sum_acc = [], 0, 0
+    for b, c, t in ranges:
+        rows.append((b, rn_acc, sum_acc))
+        rn_acc += c
+        sum_acc += t
+    if not rows:  # empty input: a single empty range keeps the plan shape
+        rows = [(0, 0, 0)]
+    off = spark.createDataFrame(rows, "_b int, _rn_off long, _sum_off long")
+
+    w = Window.partitionBy("_b").orderBy(*order_cols)
     out = (
-        parted.withColumn("_lrn", F.row_number().over(w) - 1)
-        .join(F.broadcast(off), "_pid")
+        df.withColumn("_b", b_expr.cast("int"))
+        .withColumn("_lrn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off), "_b")
         .withColumn("global_rn", F.col("_rn_off") + F.col("_lrn"))
     )
     if sum_col is not None:
@@ -76,7 +144,7 @@ def with_global_order(
             "global_cumsum_ex",
             F.col("_sum_off") + F.sum(sum_col).over(w_sum) - F.col(sum_col),
         )
-    return out.drop("_pid", "_lrn", "_rn_off", "_sum_off")
+    return out.drop("_b", "_lrn", "_rn_off", "_sum_off")
 
 
 def with_global_ntile(

@@ -38,8 +38,12 @@ BASE_TABLES = (
 )
 
 # (l_orderkey, l_linenumber) alone is NOT unique in the testdata; the
-# 4-column composite is (verified at sf0.01/sf0.1) — uniqueness matters because
-# ORDER BY key must be deterministic for oracle comparison.
+# 4-column composite is unique at sf0.01/sf0.1 but NOT at sf0.001 (6,000 rows,
+# 5,999 distinct — the colliding pair differs in l_extendedprice, hence in
+# derived size). Every global-order consumer therefore sorts by (key, size),
+# which IS a total order at every sf — pinned by
+# tests/test_determinism.py::test_order_key_tiebreak_unique_at_every_sf.
+# listing_anomalies deliberately exploits the sf0.001 duplicate.
 _KEY = (
     "concat(cast(l_orderkey AS STRING), '/', cast(l_linenumber AS STRING), "
     "'/', cast(l_partkey AS STRING), '-', cast(l_suppkey AS STRING))"
