@@ -154,6 +154,7 @@ def _cmd_validate_manifest(spark: SparkSession, args) -> int:
     n_bad = res.filter(F.col("status") != "ok").count()
     res.show(100, truncate=False)
     print(f"{res.count()} files checked, {n_bad} failed validation")
+    res.unpersist()
     return 0 if n_bad == 0 else 1
 
 

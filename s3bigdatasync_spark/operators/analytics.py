@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from ..views import oracle_cte
 
 SESSION_GAP_SECONDS = 1800
@@ -146,7 +146,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
-    ).cache()
+    ).transform(scoped_cache)
     df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (

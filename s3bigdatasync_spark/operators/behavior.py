@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 
 # The natural ordered funnel in the event stream's vocabulary.
 FUNNEL = ("view", "click", "purchase")
@@ -150,7 +150,7 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = prepared(spark, sf_dir).table("events")
     day = (F.col("ts").cast("long") / 86400).cast("long")
     ud = (
-        ev.select("user_id", day.alias("day"), "event_type").distinct().cache()
+        ev.select("user_id", day.alias("day"), "event_type").distinct().transform(scoped_cache)
     )
     n_baskets = ud.select("user_id", "day").distinct().agg(
         F.count("*").alias("n_baskets")

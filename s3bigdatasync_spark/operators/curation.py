@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from .dedup import JACCARD_THRESHOLD, _SHINGLES_SQL, _shingles
 from ..views import oracle_cte
 
@@ -289,7 +289,7 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-similarity-join scale strategy (verified equal to the exhaustive join
     in tests/test_curation.py)."""
     spark = prepared(spark, sf_dir)
-    sh = _shingles(spark.table("documents")).cache()
+    sh = _shingles(spark.table("documents")).transform(scoped_cache)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -618,7 +618,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
-        .cache()
+        .transform(scoped_cache)
     )
     vocab = dcnt.groupBy("token").agg(F.sum("c").alias("cf"))
     tot = vocab.agg(F.sum("cf").alias("t"))
@@ -744,7 +744,7 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln-terms summed raw, one division, rounded to 6dp at the end (the
     word_entropy/unigram_logprob contract, proven cross-engine)."""
     docs = prepared(spark, sf_dir).table("documents")
-    return kl_report_from_counts(source_token_counts(docs).cache())
+    return kl_report_from_counts(source_token_counts(docs).transform(scoped_cache))
 
 
 _SOURCE_KL_SQL = rf"""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 
 SHINGLE_N = 5
 EMBEDDING_DIM = 64
@@ -100,7 +100,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification stage; standalone it is exact.
     """
     docs = prepared(spark, sf_dir).table("documents")
-    sh = _shingles(docs).cache()
+    sh = _shingles(docs).transform(scoped_cache)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -252,7 +252,7 @@ def incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, vs re-running full-corpus LSH at O(|corpus|) pair generation
     every batch. The band relation is computed once and cache-pinned so
     the new/corpus split reads one materialization."""
-    banded = _banded(minhash_signatures(spark, sf_dir)).cache()
+    banded = _banded(minhash_signatures(spark, sf_dir)).transform(scoped_cache)
     is_new = (F.col("doc_id") % _NEW_BATCH_MOD) == _NEW_BATCH_REM
     new = banded.filter(is_new).withColumnRenamed("doc_id", "new_doc")
     corpus = banded.filter(~is_new).withColumnRenamed("doc_id", "corpus_doc")
@@ -569,13 +569,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("e")
-    ).select("e.doc_a", "e.doc_b").cache()
+    ).select("e.doc_a", "e.doc_b").transform(scoped_cache)
     # symmetric edges: doc_a alone covers every non-isolated node
     labels = (
         edges.select("doc_a")
         .distinct()
         .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
-        .cache()
+        .transform(scoped_cache)
     )
     converged = False
     for _ in range(20):
@@ -590,7 +590,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .cache()
+            .transform(scoped_cache)
         )
         # count() (not take(1)) on purpose: it materializes EVERY partition of
         # the round's cache. A partial probe leaves uncached partitions whose
@@ -906,7 +906,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over a doc_id equi-join. All ratios are exact-integer divisions
     rounded at 6dp — deterministic cross-engine."""
     docs = prepared(spark, sf_dir).table("documents")
-    sh = _shingles(docs).cache()
+    sh = _shingles(docs).transform(scoped_cache)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
         for seed in range(MINHASH_K)
@@ -914,7 +914,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache-pin: the signature relation feeds FOUR subtrees (both sides of
     # the banded self-join, and the sa/sb agreement probes) — without the pin
     # the 12-way min-agg over the shingle set executes four times
-    sigs = sh.groupBy("doc_id").agg(*aggs).cache()
+    sigs = sh.groupBy("doc_id").agg(*aggs).transform(scoped_cache)
     banded = _banded(sigs)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -926,7 +926,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .cache()  # feeds the agreement probe and the candidate-doc semi-join
+        .transform(scoped_cache)  # feeds the agreement probe and the candidate-doc semi-join
     )
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     n_match = sum(
@@ -946,7 +946,7 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache-pin: the candidate-restricted shingle relation feeds the pair
     # intersection (both sides) and the per-doc counts
-    shc = sh.join(cdocs, "doc_id", "left_semi").cache()
+    shc = sh.join(cdocs, "doc_id", "left_semi").transform(scoped_cache)
     x, y = shc.alias("x"), shc.alias("y")
     inter = (
         x.join(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from .prefix import with_global_order
 from ..views import oracle_cte
 
@@ -82,7 +82,7 @@ def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache(): `batches` feeds both join sides; without it the whole
     # window+agg subtree executes twice (visible as 2x Window nodes in the
     # physical plan).
-    batches = task_batches(spark, sf_dir).cache()
+    batches = task_batches(spark, sf_dir).transform(scoped_cache)
     sent_log = batches.filter(F.col("batch_id") % 3 == 0).select("msg_id")
     return (
         batches.join(F.broadcast(sent_log), "msg_id", "left_anti")
@@ -255,7 +255,7 @@ def diff_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = prepared(spark, sf_dir)
     src = p.table("inventory_src").select("key", "size", "etag")
     dst = p.table("inventory_dst").select("key", "size", "etag")
-    diff = _diff_base(spark, sf_dir).select("key", "variance").cache()
+    diff = _diff_base(spark, sf_dir).select("key", "variance").transform(scoped_cache)
     touched = diff.filter(F.col("variance").isin("Update", "Delete")).select("key")
     incoming = diff.filter(F.col("variance").isin("New", "Update")).select("key")
     reconstructed = (

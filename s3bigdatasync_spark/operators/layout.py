@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from ..views import oracle_cte
 
 # --- Z-order clustering ------------------------------------------------------
@@ -144,7 +144,7 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.join(dst, src.key == dst.d_key)
         .filter((F.col("etag") != F.col("d_etag")) | (F.col("size") != F.col("d_size")))
         .select("key")
-        .cache()
+        .transform(scoped_cache)
     )
     bits = None
     for j in range(_BLOOM_K):
@@ -152,7 +152,7 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits = pos_j if bits is None else bits.unionByName(pos_j)
     # second pin: bits itself feeds THREE broadcast exchanges (one per hash);
     # the filter relation is <= m rows of one int
-    bits = bits.distinct().cache()
+    bits = bits.distinct().transform(scoped_cache)
 
     probe = src.select("key")
     for j in range(_BLOOM_K):

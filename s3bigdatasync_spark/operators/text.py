@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 
 _WS_TOKEN = r"\S+"
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
@@ -1080,7 +1080,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
-        .cache()
+        .transform(scoped_cache)
     )
     vocab = (
         dcnt.groupBy("token")

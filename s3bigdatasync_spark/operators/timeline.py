@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from ..views import _KEY, _SIZE, oracle_cte
 
 # --- snapshot_history: SCD2 intervals over three derived snapshots ----------
@@ -367,7 +367,7 @@ def hot_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv.select(F.substring("key", 1, 2).alias("prefix"), "size")
         .groupBy("prefix")
         .agg(F.count("*").alias("n_objects"), F.sum("size").alias("bytes"))
-        .cache()
+        .transform(scoped_cache)
     )
     totals = by_pfx.agg(
         F.sum("bytes").alias("total_bytes"), F.count("*").alias("n_prefixes")

@@ -17,11 +17,13 @@ Two views of the same inventory:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import llm_corpus
+from .operators import release_caches
 from .operators import (
     analytics,
     behavior,
@@ -81,19 +83,37 @@ _EXT_MODULES = [
 _MODULES = _CORE_MODULES + _EXT_MODULES
 
 
+def _scoped(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's scoped caches before building this one.
+
+    Lazy release (at next-query construction, not at completion) because the
+    caller materializes the returned DataFrame after the function returns;
+    unpersisting earlier would recompute the shared subtrees the cache exists
+    for. Inner composition (packs calling member functions, operators calling
+    operators) goes through the unwrapped module functions, so a release
+    happens exactly once per top-level registry query."""
+
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def _merge(modules, attr: str) -> dict:
     out: dict = {}
     for m in modules:
         for name, v in getattr(m, attr, {}).items():
             assert name not in out, f"duplicate query name {name}"
-            out[name] = v
+            out[name] = _scoped(v) if attr == "QUERIES" else v
     return out
 
 
 def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every individual query plus the packs — the pytest surface."""
     out = _merge(_MODULES, "QUERIES")
-    out.update(packs.QUERIES)
+    out.update({n: _scoped(f) for n, f in packs.QUERIES.items()})
     return out
 
 
@@ -109,7 +129,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ext = _merge(_EXT_MODULES, "QUERIES")
     core = _merge(_CORE_MODULES, "QUERIES")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(ext)
-    out.update(packs.QUERIES)
+    out.update({n: _scoped(f) for n, f in packs.QUERIES.items()})
     for name, fn in core.items():
         if name not in packs.PACK_MEMBERS:
             out[name] = fn

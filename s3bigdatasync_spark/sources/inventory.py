@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import scoped_cache
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -125,7 +127,7 @@ def _tolerant_csv(spark: SparkSession, paths: list[str], base_schema: StructType
             columnNameOfCorruptRecord="_corrupt_record",
         )
         .csv(paths)
-    ).cache()
+    ).transform(scoped_cache)
     return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
 
@@ -258,7 +260,7 @@ def discover_files(
             pathGlobFilter=pattern,
         )
         .csv(root)
-    ).cache()
+    ).transform(scoped_cache)
     return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
 
@@ -312,5 +314,5 @@ def read_jsonl_documents(
         spark.read.schema(full)
         .options(mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
         .json(paths)
-    ).cache()
+    ).transform(scoped_cache)
     return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")

@@ -61,17 +61,56 @@ _COUNTS_SCHEMA = "source string, token string, c long"
 _FILES_SCHEMA = "file_path string"
 
 
+def _scan_latest_complete(state_dir: str) -> int:
+    """Meta-loss recovery: the max version N whose counts_vN AND files_vN both
+    committed (_SUCCESS marker present). The meta pointer is rewritten via a
+    parquet dir overwrite, which deletes before it recreates — a crash inside
+    that window leaves no meta, but the versioned state dirs are intact (GC
+    keeps exactly the reachable one, and GC only runs AFTER a successful meta
+    flip, so the newest complete version is always recoverable). Returning the
+    newest complete version is safe either way: if the crashed batch had
+    fully written vN, the applied-files log inside vN makes its replay a
+    no-op; if it hadn't, vN is incomplete (no _SUCCESS) and we return vN-1,
+    replaying the batch exactly once. Local FS only — matching _gc_versions;
+    an object-store deployment recovers via its own listing."""
+    import re
+    from pathlib import Path
+
+    root = Path(state_dir)
+    if not root.is_dir():
+        return -1
+
+    def complete(prefix: str) -> set[int]:
+        out = set()
+        for d in root.iterdir():
+            m = re.fullmatch(rf"{prefix}_v(\d+)", d.name)
+            if m and (d / "_SUCCESS").exists():
+                out.add(int(m.group(1)))
+        return out
+
+    return max(complete("counts") & complete("files"), default=-1)
+
+
 def _read_meta(spark: SparkSession, state_dir: str) -> int:
     try:
-        rows = spark.read.parquet(f"{state_dir}/meta").collect()
+        # explicit schema: a half-rewritten meta dir (exists, no data files)
+        # must read as 0 rows → recovery scan, not an infer-schema error
+        rows = spark.read.schema(_META_SCHEMA).parquet(f"{state_dir}/meta").collect()
     except AnalysisException as e:
-        # Only a missing meta (first batch ever) may start fresh; any other
-        # read error must propagate — treating a transient failure as "no
-        # state" would reset the batch-id guard and double-apply history.
+        # Only a missing meta may fall through to the recovery scan; any
+        # other read error must propagate — treating a transient failure as
+        # "no state" would silently abandon accumulated counts.
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         rows = []
-    return rows[0]["version"] if rows else -1
+    if rows:
+        return rows[0]["version"]
+    # Missing/empty meta: a crash during the pointer overwrite, OR a true
+    # bootstrap. Scan for surviving complete versions before bootstrapping —
+    # bootstrapping over live state would orphan the counts AND the
+    # applied-files log (old files are never re-delivered under an intact
+    # checkpoint), silently losing every accumulated count.
+    return _scan_latest_complete(state_dir)
 
 
 def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:

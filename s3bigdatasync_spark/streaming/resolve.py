@@ -12,11 +12,17 @@ pins
 
 after every round of drops.
 
-Exactly-once: the match log appends with the originating batch_id and a
-replayed batch is skipped when the log already holds its rows — admission
-verdicts are per-record and the catalog is read-only state, so unlike
-drift.py no read-modify-write versioning is needed; the log itself is the
-idempotence record (the streaming/ingest.py seen-log pattern).
+Exactly-once: IDENTITY-based, not batch-id-based — each batch anti-joins its
+arriving dirty_ids against the ids already in the match log and appends
+verdicts only for the fresh ones. Batch ids renumber from 0 when a lost
+checkpoint is replaced, so an id-based skip guard would silently drop
+renumbered batches carrying genuinely-new records and double-append
+re-delivered old files under higher-than-logged ids (the drift.py rationale);
+record identity never renumbers. A partially-appended batch followed by a
+replay self-heals: only the missing dirty_ids append. Admission verdicts are
+per-record and the catalog is read-only state, so unlike drift.py no
+read-modify-write versioning is needed; the log itself is the idempotence
+record (the streaming/ingest.py seen-log pattern).
 
 Scale: per batch, only the ARRIVING records are q-grammed; the catalog
 prefix index is computed once per batch from the catalog table (in
@@ -76,9 +82,19 @@ def stream_resolve(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         log = read_match_log(sess, log_dir)
-        if log.filter(F.col("batch_id") >= batch_id).limit(1).count() > 0:
-            return  # retry of an applied batch — idempotent skip
-        matched = match_names_segments(batch_df, catalog_df)
+        # Identity-based idempotence (NO batch-id comparison — ids renumber
+        # from 0 under a replaced checkpoint; see module docstring): only
+        # records whose dirty_id is not already logged are matched and
+        # appended, so retries, renumbered batches, and partial appends all
+        # converge to exactly one verdict per record. Per-batch cost is one
+        # anti-join probe of the log's id column (in production the log is
+        # an indexed table; here a column-pruned parquet scan).
+        fresh = batch_df.join(
+            log.select("dirty_id").distinct(), "dirty_id", "left_anti"
+        )
+        if not fresh.take(1):
+            return  # fully-applied retry — nothing new
+        matched = match_names_segments(fresh, catalog_df)
         matched.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(log_dir)

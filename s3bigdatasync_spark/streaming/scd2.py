@@ -51,15 +51,57 @@ _RUNS_SCHEMA = (
 _META_SCHEMA = "version long"
 
 
+def _scan_latest_complete(runs_dir: str) -> int:
+    """Meta-loss recovery: max version N whose runs_vN committed (_SUCCESS).
+    The meta pointer is a parquet dir overwrite (delete-then-recreate); a
+    crash in that window leaves versioned run tables but no pointer. The
+    newest complete version is always the right answer: it either already
+    contains the crashed batch's merge (whose replay the v <= max(v_to)
+    watermark then skips) or predates it (replayed exactly once). GC only
+    deletes versions AFTER a successful meta flip, so the reachable one
+    survives every crash window. Local FS only, matching _gc_versions."""
+    import re
+    from pathlib import Path
+
+    root = Path(runs_dir)
+    if not root.is_dir():
+        return -1
+    out = set()
+    for d in root.iterdir():
+        m = re.fullmatch(r"runs_v(\d+)", d.name)
+        if m and (d / "_SUCCESS").exists():
+            out.add(int(m.group(1)))
+    return max(out, default=-1)
+
+
+def _has_flat_layout(runs_dir: str) -> bool:
+    """True when runs_dir holds bare parquet data files (the pre-pointer flat
+    layout) rather than runs_v*/ version dirs."""
+    from pathlib import Path
+
+    root = Path(runs_dir)
+    return root.is_dir() and any(
+        f.suffix == ".parquet" and f.is_file() for f in root.iterdir()
+    )
+
+
 def _read_meta(spark: SparkSession, runs_dir: str) -> int:
     try:
-        rows = spark.read.parquet(f"{runs_dir}/meta").collect()
+        # explicit schema: a half-rewritten meta dir must read as 0 rows →
+        # recovery scan, not an infer-schema error
+        rows = spark.read.schema(_META_SCHEMA).parquet(f"{runs_dir}/meta").collect()
     except AnalysisException as e:
-        # only a missing meta (bootstrap) may start empty; see checksum.py
+        # only a missing meta may fall through to recovery; see drift.py
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         rows = []
-    return rows[0]["version"] if rows else -1
+    if rows:
+        return rows[0]["version"]
+    # Missing/empty meta: crash inside the pointer overwrite, a legacy
+    # flat-layout table, or a true bootstrap — never silently the last one:
+    # treating live state as empty would regress the max(v_to) watermark and
+    # re-apply all history on the next merge.
+    return _scan_latest_complete(runs_dir)
 
 
 def read_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
@@ -69,10 +111,24 @@ def read_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
     mid-commit leaves a corrupt dir whose max(v_to) watermark regresses, and
     the next merge silently re-applies history); writing runs_v{n+1} and
     flipping the 1-row meta last makes every crash window recoverable —
-    the drift.py state contract."""
+    the drift.py state contract. A lost meta is recovered by scanning for the
+    newest committed runs_v* dir, and a legacy FLAT-layout table (bare
+    parquet files written before the pointer-swap change, so no meta and no
+    version dirs) is migrated in place to runs_v0 + meta on first read
+    instead of being silently treated as empty."""
     last = _read_meta(spark, runs_dir)
     if last < 0:
-        return spark.createDataFrame([], _RUNS_SCHEMA)
+        if _has_flat_layout(runs_dir):
+            legacy = spark.read.schema(_RUNS_SCHEMA).parquet(runs_dir)
+            legacy.write.mode("overwrite").parquet(f"{runs_dir}/runs_v0")
+            spark.createDataFrame([(0,)], _META_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(f"{runs_dir}/meta")
+            last = 0  # the flat files stay in place (harmless: reads are
+            # version-dir-scoped from here on) — deleting user data during a
+            # read is not this function's call.
+        else:
+            return spark.createDataFrame([], _RUNS_SCHEMA)
     return spark.read.schema(_RUNS_SCHEMA).parquet(f"{runs_dir}/runs_v{last}")
 
 

@@ -119,3 +119,38 @@ def test_checkpoint_replacement_is_exactly_once(spark, tmp_path):
     got = _report_rows(drift_report(spark, state_dir))
     want = _report_rows(batch_equivalent(spark, docs_dir))
     assert got == want  # old file not double-counted, new file applied once
+
+
+def test_meta_loss_recovery(spark, tmp_path):
+    """The meta pointer is rewritten by a parquet dir overwrite; a crash in
+    that delete-then-recreate window leaves no meta. Recovery must rescan for
+    the newest complete counts/files version instead of bootstrapping to -1 —
+    bootstrapping would orphan all accumulated counts AND the applied-files
+    log (old files never re-deliver under an intact checkpoint), silently
+    losing the state (round-3 ADVICE)."""
+    import shutil
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(_mk_docs("a", 40), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_source_drift(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    shutil.rmtree(f"{state_dir}/meta")  # crash inside the pointer overwrite
+    got = _report_rows(drift_report(spark, state_dir))
+    assert got == _report_rows(batch_equivalent(spark, docs_dir))
+    assert _read_meta(spark, state_dir) >= 0  # recovered, not bootstrapped
+
+    # the next round merges ON TOP of the recovered state under the intact
+    # checkpoint (old files are not re-delivered — state had to survive)
+    spark.createDataFrame(_mk_docs("b", 25), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q2 = stream_source_drift(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    got = _report_rows(drift_report(spark, state_dir))
+    assert got == _report_rows(batch_equivalent(spark, docs_dir))

@@ -77,3 +77,40 @@ def test_stream_resolve_replay_is_skipped(spark, tmp_path):
     q2 = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
     q2.awaitTermination(120)
     assert read_match_log(spark, log_dir).count() == before
+
+
+def test_checkpoint_replacement_no_loss_no_dupes(spark, tmp_path):
+    """Batch ids renumber from 0 when a lost checkpoint is replaced.
+    Identity-based idempotence must neither skip the renumbered batches'
+    genuinely-new records nor double-append the re-delivered old ones —
+    an id-based '>=' skip guard did both (round-3 ADVICE)."""
+    import shutil
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    first = [_drop("amber bronze copper dim", 0), _drop("lavender rose mint sky", 1)]
+    spark.createDataFrame(first, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    # checkpoint lost → replaced: every old file re-delivers under batch ids
+    # restarting at 0, alongside a NEW record
+    shutil.rmtree(ckpt)
+    new = [_drop("goldenrod plum navy sea", 2)]
+    spark.createDataFrame(new, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    q2 = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+
+    log = read_match_log(spark, log_dir)
+    got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+    want = sorted(tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect())
+    assert got == want  # new record admitted, nothing lost
+    ids = [r["dirty_id"] for r in log.select("dirty_id").collect()]
+    assert len(ids) == len(set(ids)) == 3  # re-delivered records not duplicated

@@ -66,3 +66,66 @@ def test_stream_scd2_matches_batch(spark, tmp_path):
     shutil.rmtree(ckpt)
     drain()
     assert _runs_set(read_runs(spark, runs_dir)) == before
+
+
+def test_meta_loss_recovery(spark, tmp_path):
+    """A crash inside the meta pointer overwrite leaves versioned run tables
+    but no pointer; read_runs must recover the newest committed runs_v*
+    instead of regressing to an empty table (whose max(v_to) watermark of -1
+    would re-apply all history on the next merge) — round-3 ADVICE."""
+    snaps = str(tmp_path / "snaps")
+    runs_dir = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [r for r in ROWS if r[1] <= 2]
+    spark.createDataFrame(rows, SNAPSHOT_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(snaps)
+    q = stream_snapshot_history(spark, snaps, runs_dir, ckpt)
+    q.awaitTermination(120)
+    before = _runs_set(read_runs(spark, runs_dir))
+
+    shutil.rmtree(f"{runs_dir}/meta")  # crash inside the pointer overwrite
+    assert _runs_set(read_runs(spark, runs_dir)) == before
+
+    # and the next version still merges on top of the recovered state
+    v3 = [r for r in ROWS if r[1] == 3]
+    spark.createDataFrame(v3, SNAPSHOT_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(snaps)
+    q2 = stream_snapshot_history(spark, snaps, runs_dir, ckpt)
+    q2.awaitTermination(120)
+    versions = spark.createDataFrame(
+        ROWS, "key string, v int, etag string, size long"
+    )
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(collapse_runs(versions))
+
+
+def test_legacy_flat_layout_migrates(spark, tmp_path):
+    """A run table written by the pre-pointer FLAT layout (bare parquet files,
+    no meta, no runs_v* dirs) must migrate to runs_v0 + meta on first read —
+    silently treating it as empty would regress the watermark and re-apply
+    history (round-3 ADVICE)."""
+    snaps = str(tmp_path / "snaps")
+    runs_dir = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+
+    v12 = spark.createDataFrame(
+        [r for r in ROWS if r[1] <= 2], "key string, v int, etag string, size long"
+    )
+    legacy = collapse_runs(v12).select("key", "run_id", "etag", "v_from", "v_to", "size")
+    legacy.coalesce(1).write.mode("overwrite").parquet(runs_dir)  # flat layout
+
+    migrated = read_runs(spark, runs_dir)  # triggers in-place migration
+    assert _runs_set(migrated) == _runs_set(legacy)
+
+    # the migrated state carries its watermark: streaming v3 merges on top,
+    # and the re-delivery of v1/v2 snapshot files is skipped by max(v_to)
+    spark.createDataFrame(ROWS, SNAPSHOT_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(snaps)
+    q = stream_snapshot_history(spark, snaps, runs_dir, ckpt)
+    q.awaitTermination(120)
+    versions = spark.createDataFrame(
+        ROWS, "key string, v int, etag string, size long"
+    )
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(collapse_runs(versions))
