@@ -218,12 +218,13 @@ def test_incremental_neardup_broadcasts_new_batch(spark, sf_dir):
 
 
 def test_training_order_no_global_window(spark, sf_dir):
-    """The seeded corpus shuffle must ride the range-partitioned local-window
-    primitive: a range exchange on the shuffle key, windows only keyed by
-    _pid, never an unpartitioned (single-task) window."""
+    """The seeded corpus shuffle must ride the deterministic local-window
+    primitive (operators.prefix): windows keyed only by the derived range id
+    _b (a pure expression over collected boundary literals, hash-exchanged
+    for bounded parallelism), never an unpartitioned (single-task) window."""
     plan = plan_of(_Q["training_order"](spark, sf_dir))
-    assert "rangepartitioning(shuffle_key" in plan
-    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(_b" in plan
+    assert "hashpartitioning(_b" in plan
     # any global window spec would start with the order column directly
     assert "windowspecdefinition(shuffle_key" not in plan
 
