@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -107,7 +108,12 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings", "part", "supplier", "orders"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
+    # N measured runs per query (median reported): single runs swing ±0.3 s
+    # between rounds on a busy box, which eventually fakes a regression.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Steady-state measurement: the first execution of a plan pays
@@ -115,16 +121,21 @@ def main() -> None:
         # codegen javac/JIT) that are per-PLAN, not per-data — on a real
         # cluster a query template compiles once and runs thousands of times.
         # So: run once to compile, drop every cache the run pinned, then
-        # measure the second, cold-cache execution (engine + I/O only).
+        # measure N cold-cache executions (engine + I/O only) and take the
+        # median.
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries pin caches (range-boundary pinning, reused subtrees); drop
-        # them between measurements so query N's working set doesn't squeeze
-        # query N+1's executors and every number is a cold, independent run.
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            # Queries pin caches (reused subtrees); drop them between
+            # measurements so every number is a cold, independent run and
+            # query N's working set doesn't squeeze query N+1's executors.
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -136,6 +147,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_runs": n_runs,
+                "spread": spreads,
             }
         )
     )
