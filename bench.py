@@ -91,6 +91,13 @@ HEADLINE = [
     "fuzzy_match_qgram",     # Ed-Join positional prefix over the name dictionary
     "fuzzy_match_segments",  # Pass-Join segment blocking (attribute-free)
     "minhash_calibration",   # estimator audit over LSH candidates
+    # round-3 additions
+    "mpu_orphan_sweep",      # incomplete-MPU cost sweep (class x age rollup)
+    "lifecycle_transition_plan",  # one-way-colder class transitions + savings
+    "dedup_canonical",       # quality-weighted survivor per near-dup cluster
+    "containment_pairs",     # asymmetric shingle containment (snippet-in-doc)
+    "ann_recall_audit",      # LSH top-k recall vs exact brute force
+    "temperature_mix_weights",  # T=0.5 tempered source sampling weights
 ]
 
 

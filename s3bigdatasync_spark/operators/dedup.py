@@ -623,7 +623,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_SQL = rf"""
+# Reusable cluster-label CTE (recursive min-label fixpoint) — shared by the
+# dedup_clusters oracle and the canonical-survivor oracle below.
+_CLUSTERS_CTE = rf"""
 WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -642,10 +644,14 @@ lp(n, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
-)
-SELECT n AS doc_id, min(lbl) AS cluster_id, n = min(lbl) AS is_keeper
-FROM lp GROUP BY n
+),
+clusters AS (SELECT n AS doc_id, min(lbl) AS cluster_id FROM lp GROUP BY n)
 """
+
+_DEDUP_CLUSTERS_SQL = (
+    _CLUSTERS_CTE
+    + "SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM clusters"
+)
 
 
 
@@ -1021,8 +1027,140 @@ JOIN cnt cb ON cb.doc_id = e.doc_b
 )
 
 
+# --- round-3 additions: canonical survivor + containment ---------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted SURVIVOR selection per near-dup cluster — the step
+    between clustering and the rewritten corpus. dedup_clusters keeps the
+    min-id doc (arbitrary); a curation pipeline keeps the BEST member: here
+    the most BPE tokens (the cheap content-volume proxy), tie-broken by
+    lowest doc_id. One row per cluster: the canonical doc plus the token
+    volume dropped with the rest of the cluster.
+
+    Scale shape: cluster labels come from the bounded label-propagation loop
+    (see dedup_clusters), then one groupBy(cluster_id) with a max(struct)
+    argmax — map-side combinable, no window, no extra shuffle beyond the
+    label join."""
+    from .text import _BPE_TOKEN
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = spark.table("documents")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0))).cast("long")
+    scored = clusters.join(docs.select("doc_id", n_tok.alias("n_tokens")), "doc_id")
+    best = scored.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_tokens").alias("cluster_tokens"),
+        # argmax(n_tokens, then lowest doc_id): max over (n_tokens, -doc_id)
+        F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))).alias("b"),
+    )
+    return best.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("b.neg_id")).alias("canonical_doc"),
+        F.col("b.n_tokens").alias("canonical_tokens"),
+        (F.col("cluster_tokens") - F.col("b.n_tokens")).alias("tokens_dropped"),
+    )
+
+
+def _canonical_sql() -> str:
+    from .text import _BPE_TOKEN
+
+    return (
+        _CLUSTERS_CTE
+        + f""",
+scored AS (
+  SELECT c.cluster_id, c.doc_id,
+         cast(len(regexp_extract_all(d.text, '{_BPE_TOKEN}')) AS BIGINT) AS n_tokens
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         sum(n_tokens) OVER (PARTITION BY cluster_id) AS cluster_tokens
+  FROM scored
+)
+SELECT cluster_id, n_members, doc_id AS canonical_doc, n_tokens AS canonical_tokens,
+       cast(cluster_tokens - n_tokens AS BIGINT) AS tokens_dropped
+FROM ranked WHERE rn = 1
+"""
+    )
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle-containment pairs: |A∩B| / |A| ≥ τ — catches a
+    short document embedded inside a longer one, which Jaccard structurally
+    misses (the union grows with the container, so a 100%-contained snippet
+    scores a tiny Jaccard). Emits ordered (contained → container) rows; a
+    mutual pair appears in both directions.
+
+    Same scale shape as ngram_jaccard_pairs: candidates only materialize
+    through the shared-shingle equi-join — never all-pairs — and the two
+    directions come from ONE intersection pass (explode of both orientations
+    of each undirected candidate)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).transform(scoped_cache)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ix"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    F.col("ix"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    F.col("ix"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.contained_doc", "d.container_doc", "d.ix")
+    return (
+        directed.join(counts, directed.contained_doc == counts.doc_id)
+        .withColumn("containment", F.round(F.col("ix") / F.col("n"), 6))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("contained_doc", "container_doc", "containment")
+    )
+
+
+_CONTAINMENT_SQL = rf"""
+WITH sh AS ({_SHINGLES_SQL}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT doc_a AS contained_doc, doc_b AS container_doc, ix FROM inter
+  UNION ALL
+  SELECT doc_b, doc_a, ix FROM inter
+)
+SELECT contained_doc, container_doc, round(ix / n, 6) AS containment
+FROM directed JOIN cnt ON cnt.doc_id = contained_doc
+WHERE round(ix / n, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "dedup_canonical": dedup_canonical,
+    "containment_pairs": containment_pairs,
     "simhash_near_pairs": simhash_near_pairs,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1039,6 +1177,8 @@ QUERIES = {
 
 ORACLES = {
     "exact_dedup": _EXACT_SQL,
+    "dedup_canonical": _canonical_sql(),
+    "containment_pairs": _CONTAINMENT_SQL,
     "simhash_near_pairs": _SIMHASH_NEAR_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

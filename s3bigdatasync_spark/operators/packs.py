@@ -42,6 +42,7 @@ from . import (
     layout,
     expressions,
     joins,
+    lifecycle,
     multimodal,
     pq,
     resolve,
@@ -67,6 +68,7 @@ _SOURCE_MODULES = [
     timeline,
     pq,
     resolve,
+    lifecycle,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -77,6 +79,20 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
+    # round-3 additions, FIRST among the packs (new queries precede the
+    # packs in driver insertion order — the forward-ordering discipline):
+    # lifecycle cost planners, quality-weighted dedup survivor, asymmetric
+    # containment pairs, ANN recall audit, temperature source mixing,
+    # plus status_recode (folded from standalone to free its driver slot)
+    "pack_r3": [
+        "mpu_orphan_sweep",
+        "lifecycle_transition_plan",
+        "dedup_canonical",
+        "containment_pairs",
+        "ann_recall_audit",
+        "temperature_mix_weights",
+        "status_recode",
+    ],
     # single-row / few-row operational stats (D1-D3, D7-D9, J4-summary)
     # + the data-layout planners (Z-order buckets, Bloom semi-join reduction)
     "pack_ops_stats": [
@@ -190,6 +206,49 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "mpu_orphan_sweep": [
+        ("storage_class", "str"),
+        ("age_bucket", "str"),
+        ("n_objects", "int"),
+        ("total_bytes", "int"),
+        ("monthly_usd", "num"),
+    ],
+    "lifecycle_transition_plan": [
+        ("current_class", "str"),
+        ("recommended_class", "str"),
+        ("n_objects", "int"),
+        ("total_bytes", "int"),
+        ("monthly_savings_usd", "num"),
+    ],
+    "dedup_canonical": [
+        ("cluster_id", "int"),
+        ("n_members", "int"),
+        ("canonical_doc", "int"),
+        ("canonical_tokens", "int"),
+        ("tokens_dropped", "int"),
+    ],
+    "containment_pairs": [
+        ("contained_doc", "int"),
+        ("container_doc", "int"),
+        ("containment", "num"),
+    ],
+    "ann_recall_audit": [("k", "int"), ("n_overlap", "int"), ("recall", "num")],
+    "temperature_mix_weights": [
+        ("source", "str"),
+        ("n_docs", "int"),
+        ("total_tokens", "int"),
+        ("nat_share", "num"),
+        ("temp_share", "num"),
+        ("boost", "num"),
+        ("epochs_at_budget", "num"),
+    ],
+    "status_recode": [
+        ("key", "str"),
+        ("is_multipart", "bool"),
+        ("replicated", "int"),
+        ("modified_minute", "int"),
+        ("human_size", "str"),
+    ],
     "ann_lsh_topk": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
     "ann_topk_bruteforce": [("vec_id", "int"), ("label", "int"), ("cosine", "num")],
     "decontaminate": [

@@ -542,8 +542,36 @@ FROM ve LEFT JOIN close_lower cl ON ve.vec_id = cl.vec_id
     )
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH multi-probe top-k against the exact brute-force
+    top-k — the audit a bucketed ANN path must pass before replacing the
+    exact scan at scale (the completeness-critic step: approximate indexes
+    need a measured recall number, not a vibe). One-row output: k, overlap
+    count, recall. Both sides are the engine's own queries; the join is a
+    k-row semi-join, so the audit costs one brute-force pass — run it on a
+    sampled query set in production."""
+    brute = ann_topk_bruteforce(spark, sf_dir).select("vec_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select(F.col("vec_id").alias("lid"))
+    overlap = brute.join(lsh, brute.vec_id == lsh.lid, "left_semi").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(TOP_K).alias("k"),
+        "n_overlap",
+        F.round(F.col("n_overlap") / TOP_K, 6).alias("recall"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+SELECT {TOP_K} AS k, count(*) AS n_overlap, round(count(*) / {TOP_K}, 6) AS recall
+FROM ({_ANN_BRUTE_SQL}) b
+WHERE b.vec_id IN (SELECT vec_id FROM ({_ANN_LSH_SQL}))
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_recall_audit": ann_recall_audit,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
     "lsh_buckets": lsh_buckets,
@@ -575,6 +603,7 @@ SELECT vec_id, label, clabel AS assigned FROM r WHERE rn = 1
 
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
+    "ann_recall_audit": _ANN_RECALL_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "ivf_assign": _IVF_ASSIGN_SQL,
     "lsh_buckets": _LSH_BUCKETS_SQL,

@@ -1131,8 +1131,80 @@ FROM per
 """
 
 
+# --- round-3: temperature-flattened source mixing -----------------------------
+
+MIX_BUDGET_TOKENS = 1_000_000_000  # the training-budget knob for epoch math
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source sampling (the standard multilingual /
+    data-mixing recipe): q_s ∝ p_s^T with T = 0.5, so low-resource sources are
+    upsampled toward — but not onto — uniform. source_mix_weights is the
+    T→0 end of this dial (uniform); this is the tempered middle.
+
+    Numeric design for a bitwise-stable oracle: p_s^0.5 reduces to
+    sqrt(tokens_s) (the sqrt(total) normalizer cancels), sqrt is the one
+    power IEEE-754 requires correctly rounded in every engine (pow is not),
+    and the normalizing sum runs in EXACT fixed-point integers
+    (floor(sqrt·1e6) as BIGINT) so float summation order can never perturb
+    the result. Epochs-at-budget shows the over-sampling consequence:
+    tempered weights make small sources repeat.
+
+    Scale: one token-count scan + a ≤|sources|-row broadcast of the totals."""
+    docs = prepared(spark, sf_dir).table("documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0)))
+    per_src = (
+        docs.select("source", bpe.cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("total_tokens"))
+        .withColumn(
+            "sq",
+            F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1e6).cast("long"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("total_tokens").alias("all_tokens"), F.sum("sq").alias("all_sq")
+    )
+    j = per_src.crossJoin(F.broadcast(totals))
+    nat = F.col("total_tokens") / F.col("all_tokens")
+    temp = F.col("sq") / F.col("all_sq")
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(nat, 6).alias("nat_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / nat, 6).alias("boost"),
+        F.round(F.lit(MIX_BUDGET_TOKENS) * temp / F.col("total_tokens"), 6).alias(
+            "epochs_at_budget"
+        ),
+    )
+
+
+_TEMPERATURE_MIX_SQL = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(text, '{_BPE_TOKEN}'))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT *, cast(floor(sqrt(cast(total_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+  FROM per_src
+),
+totals AS (SELECT cast(sum(total_tokens) AS BIGINT) AS all_tokens,
+                  cast(sum(sq) AS BIGINT) AS all_sq FROM sq)
+SELECT source, n_docs, total_tokens,
+       round(total_tokens / all_tokens, 6) AS nat_share,
+       round(sq / all_sq, 6) AS temp_share,
+       round((sq / all_sq) / (total_tokens / all_tokens), 6) AS boost,
+       round({MIX_BUDGET_TOKENS} * (sq / all_sq) / total_tokens, 6) AS epochs_at_budget
+FROM sq, totals
+"""
+
+
 QUERIES = {
     "bpe_merges": bpe_merges,
+    "temperature_mix_weights": temperature_mix_weights,
     "bpe_tokenize": bpe_tokenize,
     "vocab_coverage": vocab_coverage,
     "bigram_pmi": bigram_pmi,
@@ -1154,6 +1226,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_merges": _bpe_sql(),
+    "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
     "bpe_tokenize": _bpe_tokenize_sql(),
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "decontaminate": _DECONTAMINATE_SQL,

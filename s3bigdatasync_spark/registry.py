@@ -33,6 +33,7 @@ from .operators import (
     expressions,
     joins,
     layout,
+    lifecycle,
     limits,
     multimodal,
     packs,
@@ -68,6 +69,7 @@ _CORE_MODULES = [
     timeline,  # all members folded into packs — driver count stays 50
     pq,  # all members folded into pack_ann — driver count stays 50
     resolve,  # folded into pack_dedup_pairs — driver count stays 50
+    lifecycle,  # round-3: all members in pack_r3 — driver count stays 50
 ]
 
 # modules the r01 driver never reached — their queries go FIRST this round

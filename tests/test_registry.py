@@ -32,6 +32,28 @@ def test_extension_queries_lead_the_ordering():
     assert names.index("salted_hot_key_agg") == 0
 
 
+def test_round3_entries_precede_older_packs():
+    """Forward-ordering discipline (VERDICT r2 item 7): each round's NEW
+    driver entries insert ahead of the previous rounds' packs, so a tighter
+    driver cap can never silently drop the newest work. Round 3's additions
+    travel in pack_r3, which must lead the pack block."""
+    names = list(registry.all_queries())
+    r3 = names.index("pack_r3")
+    for older in (
+        "pack_ops_stats",
+        "pack_time_extrema",
+        "pack_ann",
+        "pack_dedup_pairs",
+        "pack_fingerprints",
+        "pack_text_quality",
+        "pack_media",
+    ):
+        assert r3 < names.index(older), older
+    # and the round-3 operators are all driver-checked via pack_r3
+    for member in packs.PACK_SPECS["pack_r3"]:
+        assert member in packs.PACK_MEMBERS
+
+
 def test_pack_specs_consistent():
     for pack, members in packs.PACK_SPECS.items():
         for m in members:
