@@ -98,6 +98,8 @@ HEADLINE = [
     "containment_pairs",     # asymmetric shingle containment (snippet-in-doc)
     "ann_recall_audit",      # LSH top-k recall vs exact brute force
     "temperature_mix_weights",  # T=0.5 tempered source sampling weights
+    "split_leakage_check",   # cross-split shingle-contamination audit
+    "bucket_skew_audit",     # bucketBy(32,key) load-balance evidence
 ]
 
 

@@ -775,8 +775,88 @@ FROM per_src, mean_kl
 """
 
 
+# --- split_leakage_check (round 3) -------------------------------------------
+
+
+def _split_col() -> Column:
+    bucket = _hex_bucket(F.concat(F.lit(SPLIT_SEED), F.col("doc_id").cast("string")), 4)
+    return (
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_hex_bucket_sql(f'''concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))''', 4)}"
+    f" < {_TRAIN_CUT} THEN 'train'"
+    f" WHEN {_hex_bucket_sql(f'''concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))''', 4)}"
+    f" < {_VAL_CUT} THEN 'val' ELSE 'test' END"
+)
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: for each held-out split (val/test),
+    how many docs share at least one shingle with ANY train doc — the
+    leakage number an eval split must publish before its scores mean
+    anything. decontaminate gates train against a fixed eval set; this
+    audits the dataset_split assignment itself (same seeded md5 buckets),
+    closing the loop: split → audit → (if leak_rate is high) dedup before
+    splitting.
+
+    Scale: one shingle pass over the corpus; the train shingle set probes
+    via a semi-join (build side is distinct shingles — at 100 TB, swap in a
+    bloom filter exactly like bloom_semi_prune). No all-pairs anywhere."""
+    docs = prepared(spark, sf_dir).table("documents")
+    labeled = docs.select("doc_id", _split_col().alias("split"))
+    sh = _shingles(docs).join(labeled, "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    leaky = (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    return (
+        labeled.filter(F.col("split") != "train")
+        .join(leaky, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("leak", F.lit(0))).alias("n_leaky"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_leaky",
+            F.round(F.col("n_leaky") / F.col("n_docs"), 6).alias("leak_rate"),
+        )
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+labeled AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents),
+shl AS (SELECT sh.doc_id, sh.shingle, l.split FROM sh JOIN labeled l ON l.doc_id = sh.doc_id),
+train_sh AS (SELECT DISTINCT shingle FROM shl WHERE split = 'train'),
+leaky AS (
+  SELECT DISTINCT doc_id FROM shl
+  WHERE split <> 'train' AND shingle IN (SELECT shingle FROM train_sh)
+)
+SELECT split, count(*) AS n_docs,
+       cast(sum(CASE WHEN doc_id IN (SELECT doc_id FROM leaky) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky,
+       round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM leaky) THEN 1 ELSE 0 END)
+             / count(*), 6) AS leak_rate
+FROM labeled WHERE split <> 'train'
+GROUP BY split
+"""
+
+
 QUERIES = {
     "dataset_split": dataset_split,
+    "split_leakage_check": split_leakage_check,
     "weighted_sample": weighted_sample,
     "word_entropy": word_entropy,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -791,6 +871,7 @@ QUERIES = {
 
 ORACLES = {
     "dataset_split": _SPLIT_SQL,
+    "split_leakage_check": _LEAKAGE_SQL,
     "weighted_sample": _WS_SQL,
     "word_entropy": _ENTROPY_SQL,
     "cms_heavy_hitters": _CMS_SQL,

@@ -203,12 +203,67 @@ SELECT (SELECT count(*) FROM inventory_src) AS n_total,
 """
 
 
+# --- bucket_skew_audit (round 3) ----------------------------------------------
+
+N_BUCKETS = 32  # must match the bucketBy(32, key) layout SCALING.md measures
+
+
+def bucket_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance audit for the key-bucketed layout SCALING.md measures: per
+    md5-derived bucket, object count, bytes, and a hot flag (>1.25× the mean
+    byte load). The zero-shuffle diff/snapshot plans are only as good as
+    their worst bucket — a hot bucket is the straggler task at 100 TB, and
+    this report is the evidence for choosing N_BUCKETS (or a different key)
+    BEFORE rewriting petabytes. Portable md5 bucketing (not Spark's
+    Murmur3) so the oracle checks the exact assignment.
+
+    One scan + one ≤N_BUCKETS-row agg + a 1-row broadcast of the mean."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("key")), 1, 4), 16, 10).cast("long")
+        % N_BUCKETS
+    )
+    per = inv.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_objects"), F.sum("size").alias("bucket_bytes")
+    )
+    mean = per.agg(F.avg("bucket_bytes").alias("mean_bytes"))
+    return per.crossJoin(F.broadcast(mean)).select(
+        "bucket",
+        "n_objects",
+        "bucket_bytes",
+        F.round(F.col("bucket_bytes") / F.col("mean_bytes"), 6).alias("load_ratio"),
+        (F.col("bucket_bytes") > 1.25 * F.col("mean_bytes")).alias("hot"),
+    )
+
+
+_BUCKET_HEX = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(key), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+_BUCKET_SKEW_SQL = oracle_cte("inventory_src") + f"""
+, per AS (
+  SELECT ({_BUCKET_HEX}) % {N_BUCKETS} AS bucket,
+         count(*) AS n_objects,
+         cast(sum(size) AS BIGINT) AS bucket_bytes
+  FROM inventory_src GROUP BY 1
+),
+m AS (SELECT avg(bucket_bytes) AS mean_bytes FROM per)
+SELECT bucket, n_objects, bucket_bytes,
+       round(bucket_bytes / mean_bytes, 6) AS load_ratio,
+       bucket_bytes > 1.25 * mean_bytes AS hot
+FROM per, m
+"""
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
     "bloom_semi_prune": bloom_semi_prune,
+    "bucket_skew_audit": bucket_skew_audit,
 }
 
 ORACLES = {
     "zorder_layout": _ZORDER_SQL,
     "bloom_semi_prune": _BLOOM_SQL,
+    "bucket_skew_audit": _BUCKET_SKEW_SQL,
 }

@@ -91,6 +91,8 @@ PACK_SPECS: dict[str, list[str]] = {
         "containment_pairs",
         "ann_recall_audit",
         "temperature_mix_weights",
+        "split_leakage_check",
+        "bucket_skew_audit",
         "status_recode",
     ],
     # single-row / few-row operational stats (D1-D3, D7-D9, J4-summary)
@@ -233,6 +235,19 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("containment", "num"),
     ],
     "ann_recall_audit": [("k", "int"), ("n_overlap", "int"), ("recall", "num")],
+    "split_leakage_check": [
+        ("split", "str"),
+        ("n_docs", "int"),
+        ("n_leaky", "int"),
+        ("leak_rate", "num"),
+    ],
+    "bucket_skew_audit": [
+        ("bucket", "int"),
+        ("n_objects", "int"),
+        ("bucket_bytes", "int"),
+        ("load_ratio", "num"),
+        ("hot", "bool"),
+    ],
     "temperature_mix_weights": [
         ("source", "str"),
         ("n_docs", "int"),

@@ -1161,6 +1161,9 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sq",
             F.floor(F.sqrt(F.col("total_tokens").cast("double")) * 1e6).cast("long"),
         )
+        # per_src feeds both the totals branch and the final select; without
+        # the cache the full regexp tokenize scan runs twice
+        .transform(scoped_cache)
     )
     totals = per_src.agg(
         F.sum("total_tokens").alias("all_tokens"), F.sum("sq").alias("all_sq")
