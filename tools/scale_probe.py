@@ -55,6 +55,11 @@ DOC_QUERIES = [
     "vocab_coverage",
     "source_kl_divergence",
     "minhash_calibration",
+    # round-3 batch
+    "dedup_canonical",
+    "containment_pairs",
+    "split_leakage_check",
+    "temperature_mix_weights",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
@@ -90,6 +95,10 @@ PROBE_QUERIES = [
     "table_checksum",
     "compaction_plan",
     "transfer_cost_estimate",
+    # round-3 batch
+    "mpu_orphan_sweep",
+    "lifecycle_transition_plan",
+    "bucket_skew_audit",
 ]
 
 
