@@ -62,11 +62,66 @@ def _bound_lit(order_cols: list[str], value):
     return F.lit(value)
 
 
+def collect_range_manifest(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str | None = None,
+    max_ranges: int = 256,
+) -> list[tuple]:
+    """Per-file range manifest of an ALREADY range-clustered table (one
+    written by `repartitionByRange(order_cols).write`, or any table format
+    whose files carry min/max stats): [(lower_bound, count, sum), …] sorted
+    by lower bound. Feeding this to with_global_order(ranges=...) removes its
+    boundary-discovery pass entirely — the at-scale answer for global
+    numbering over a maintained layout, where a Delta/Iceberg manifest
+    supplies exactly these per-file stats without this one listing scan.
+
+    Adjacent ranges are coalesced down to max_ranges (counts/sums add, the
+    first lower bound survives) so the derived-range-id expression stays a
+    bounded comparison chain inside whole-stage codegen even over a
+    thousands-of-files table.
+
+    Raises if the files' key ranges overlap — a non-range-clustered table
+    has no usable manifest (fall back to the self-discovering path)."""
+    key = _key_col(order_cols)
+    aggs = [
+        F.min(key).alias("_lo"),
+        F.max(key).alias("_hi"),
+        F.count("*").alias("_c"),
+    ]
+    if sum_col is not None:
+        aggs.append(F.coalesce(F.sum(sum_col), F.lit(0)).alias("_t"))
+    rows = sorted(
+        df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect(),
+        key=lambda r: _as_tuple(r["_lo"]),
+    )
+    for i in range(len(rows) - 1):
+        if not _as_tuple(rows[i]["_hi"]) < _as_tuple(rows[i + 1]["_lo"]):
+            raise ValueError(
+                "collect_range_manifest: file key ranges overlap — the table "
+                "is not range-clustered on the order columns"
+            )
+    out = [
+        (r["_lo"], r["_c"], r["_t"] if sum_col is not None else 0) for r in rows
+    ]
+    while len(out) > max_ranges:  # pairwise-coalesce adjacent ranges
+        out = [
+            (
+                out[i][0],
+                sum(x[1] for x in out[i : i + 2]),
+                sum(x[2] for x in out[i : i + 2]),
+            )
+            for i in range(0, len(out), 2)
+        ]
+    return out
+
+
 def with_global_order(
     df: DataFrame,
     order_cols: list[str],
     sum_col: str | None = None,
     num_partitions: int | None = None,
+    ranges: list[tuple] | None = None,
 ) -> DataFrame:
     """Return df plus `global_rn` (0-based dense global row number over
     order_cols, which must form a unique total order — pass tiebreakers) and,
@@ -76,9 +131,21 @@ def with_global_order(
     Deterministic by construction: range boundaries are collected once and
     re-applied as literals, so the returned plan is a pure function of the
     input rows — safe to materialize any number of times, no cache pinning.
+
+    `ranges` (from collect_range_manifest, or a table-format manifest)
+    supplies [(lower_bound, count, sum), …] directly and skips the
+    boundary-discovery job — one fewer full pass over the data.
     """
-    spark = df.sparkSession
     key = _key_col(order_cols)
+
+    if ranges is not None:
+        bounds = [r[0] for r in ranges[1:]]
+        b_expr = F.lit(0)
+        for b in bounds:
+            b_expr = b_expr + F.when(key >= _bound_lit(order_cols, b), 1).otherwise(0)
+        return _attach_order(df, order_cols, sum_col, b_expr,
+                             [(i, c, t) for i, (_, c, t) in enumerate(ranges)])
+
     aggs = [F.count("*").alias("_c"), F.min(key).alias("_lo"), F.max(key).alias("_hi")]
     if sum_col is not None:
         # coalesce: a partition whose sum_col values are all NULL must
@@ -122,6 +189,17 @@ def with_global_order(
             (r["_b"], r["_c"], r["_t"] if sum_col is not None else 0) for r in re
         )
 
+    return _attach_order(df, order_cols, sum_col, b_expr, ranges)
+
+
+def _attach_order(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str | None,
+    b_expr,
+    ranges: list[tuple],
+) -> DataFrame:
+    """Shared tail: per-range local window + broadcast exclusive offsets."""
     rows, rn_acc, sum_acc = [], 0, 0
     for b, c, t in ranges:
         rows.append((b, rn_acc, sum_acc))
@@ -129,7 +207,7 @@ def with_global_order(
         sum_acc += t
     if not rows:  # empty input: a single empty range keeps the plan shape
         rows = [(0, 0, 0)]
-    off = spark.createDataFrame(rows, "_b int, _rn_off long, _sum_off long")
+    off = df.sparkSession.createDataFrame(rows, "_b int, _rn_off long, _sum_off long")
 
     w = Window.partitionBy("_b").orderBy(*order_cols)
     out = (

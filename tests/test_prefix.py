@@ -78,3 +78,54 @@ def test_partition_count_tracks_input(spark):
         .count()
     )
     assert n_pids == shuffle * 2
+
+
+def test_manifest_path_matches_self_discovery(spark, tmp_path):
+    """with_global_order(ranges=manifest) over a range-clustered table must
+    equal the self-discovering path bit-for-bit — and skip the boundary job."""
+    from s3bigdatasync_spark.operators.prefix import collect_range_manifest
+
+    df = _mk(spark, 2000, seed=11)
+    path = str(tmp_path / "ranged")
+    df.repartitionByRange(8, "key").write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+
+    manifest = collect_range_manifest(back, ["key"], sum_col="size")
+    assert 1 < len(manifest) <= 8
+    assert sum(c for _, c, _ in manifest) == 2000
+
+    via_manifest = with_global_order(back, ["key"], sum_col="size", ranges=manifest)
+    via_discovery = with_global_order(back, ["key"], sum_col="size")
+    a = sorted(map(tuple, via_manifest.collect()))
+    b = sorted(map(tuple, via_discovery.collect()))
+    assert a == b
+
+
+def test_manifest_coalesces_to_max_ranges(spark, tmp_path):
+    from s3bigdatasync_spark.operators.prefix import collect_range_manifest
+
+    df = _mk(spark, 500, seed=12)
+    path = str(tmp_path / "ranged16")
+    df.repartitionByRange(16, "key").write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    m = collect_range_manifest(back, ["key"], sum_col="size", max_ranges=4)
+    assert len(m) <= 4
+    assert sum(c for _, c, _ in m) == 500
+    got = with_global_order(back, ["key"], sum_col="size", ranges=m)
+    ref = with_global_order(back, ["key"], sum_col="size")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_manifest_rejects_unclustered_table(spark, tmp_path):
+    """A hash- (not range-) written table has overlapping file key ranges —
+    the manifest must refuse rather than emit wrong offsets."""
+    import pytest as _pytest
+
+    from s3bigdatasync_spark.operators.prefix import collect_range_manifest
+
+    df = _mk(spark, 2000, seed=13)
+    path = str(tmp_path / "hashed")
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    with _pytest.raises(ValueError, match="not range-clustered"):
+        collect_range_manifest(back, ["key"], sum_col="size")

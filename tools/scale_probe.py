@@ -614,6 +614,62 @@ def run_skew(spark, out_dir: str, copies: int) -> dict:
 
 
 
+def run_rangelayout(spark, out_dir: str, copies: int) -> dict:
+    """Global-order batching (the dedup_anti_join core) over a RANGE-SORTED
+    layout with a per-file manifest vs the self-discovering path on plain
+    parquet — the measured answer to the bucketed-mode finding that hash
+    buckets can't serve global numbering. The manifest path skips
+    with_global_order's boundary-discovery pass (a full scan + range
+    shuffle); at a table-format table (Delta/Iceberg) those per-file stats
+    are free, so the delta below is pure saved I/O+shuffle."""
+    from pyspark.sql import functions as F
+    from s3bigdatasync_spark.operators import _PREPARED, prepared
+    from s3bigdatasync_spark.operators.prefix import (
+        collect_range_manifest,
+        with_global_order,
+    )
+
+    build_scaled_dir(spark, out_dir, copies)
+    _PREPARED.clear()
+    inv = prepared(spark, out_dir).table("inventory_src").select("key", "size", "etag")
+    inv.write.mode("overwrite").parquet(f"{out_dir}/p_inv")  # plain
+    inv.repartitionByRange(64, "key", "size").write.mode("overwrite").parquet(
+        f"{out_dir}/r_inv"
+    )  # range-clustered
+    plain = spark.read.parquet(f"{out_dir}/p_inv")
+    ranged = spark.read.parquet(f"{out_dir}/r_inv")
+    t0 = time.perf_counter()
+    manifest = collect_range_manifest(ranged, ["key", "size"])
+    manifest_s = round(time.perf_counter() - t0, 3)
+
+    def batches(df, ranges=None):
+        ranked = with_global_order(df, ["key", "size"], ranges=ranges)
+        return (
+            ranked.withColumn("batch_id", F.expr("global_rn div 100"))
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n_objects"), F.sum("size").alias("batch_size"))
+        )
+
+    def steady(mk) -> float:
+        mk().write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return round(samples[1], 3)
+
+    return {
+        "n_manifest_ranges": len(manifest),
+        "manifest_listing_s": manifest_s,  # free under a table format
+        "self_discovery_s": steady(lambda: batches(plain)),
+        "manifest_s": steady(lambda: batches(ranged, ranges=manifest)),
+    }
+
+
 def run_hll(spark, out_dir: str, copies: int) -> dict:
     """approx_distinct_users PORTABLE formulation (oracle-checkable md5 HLL,
     4096-bucket max-rho agg) vs the ENGINE-NATIVE HLL++ sketch
@@ -665,7 +721,7 @@ def main() -> None:
     ap.add_argument("--json-out", default=None, help="also write the result JSON line to this file")
     ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew", "resolve", "hll"],
+        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
@@ -696,6 +752,10 @@ def main() -> None:
     if args.mode == "hll":
         res = run_hll(spark, args.out, args.copies)
         _emit({"copies": args.copies, "mode": "hll", **res}, args.json_out)
+        return
+    if args.mode == "rangelayout":
+        res = run_rangelayout(spark, args.out, args.copies)
+        _emit({"copies": args.copies, "mode": "rangelayout", **res}, args.json_out)
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
