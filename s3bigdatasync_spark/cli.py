@@ -219,6 +219,39 @@ def _cmd_corpus(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_layout_rewrite(spark: SparkSession, args) -> int:
+    """Rewrite a registered table into one of the measured scale layouts
+    (SCALING.md): `bucketed` (bucketBy+sortBy — removes the exchange from
+    every key-partitioned join/window/agg over it) or `range` (range-
+    clustered parquet + a saved per-file manifest that lets
+    with_global_order skip boundary discovery)."""
+    from .operators import prepared
+    from .operators.prefix import collect_range_manifest, save_range_manifest
+
+    df = prepared(spark, args.sf_dir).table(args.table)
+    keys = args.keys.split(",")
+    if args.mode == "bucketed":
+        spark.sql(f"DROP TABLE IF EXISTS {args.name}")
+        (
+            df.write.bucketBy(args.n, keys[0], *keys[1:])
+            .sortBy(keys[0], *keys[1:])
+            .option("path", args.out)
+            .saveAsTable(args.name)
+        )
+        print(f"bucketed table {args.name}: {args.n} buckets on {keys} at {args.out}")
+    else:
+        df.repartitionByRange(args.n, *keys).write.mode("overwrite").parquet(args.out)
+        manifest = collect_range_manifest(
+            spark.read.parquet(args.out), keys, sum_col=args.sum_col
+        )
+        path = save_range_manifest(manifest, args.out)
+        print(
+            f"range layout: {args.n} write-ranges -> {len(manifest)} manifest"
+            f" ranges on {keys} at {args.out}; manifest {path}"
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="s3bigdatasync_spark", description=__doc__.splitlines()[0]
@@ -319,6 +352,22 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--limit", type=int, default=None)
     co.add_argument("--explain", action="store_true")
     co.add_argument("--out", default=None)
+
+    lr = add(
+        "layout-rewrite",
+        _cmd_layout_rewrite,
+        help="rewrite a table into a measured scale layout (SCALING.md):"
+        " bucketed (zero-shuffle keyed ops) or range (+ saved manifest for"
+        " boundary-free global numbering)",
+    )
+    lr.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    lr.add_argument("--table", default="inventory_src")
+    lr.add_argument("--mode", choices=("bucketed", "range"), required=True)
+    lr.add_argument("--keys", default="key", help="comma-separated layout keys")
+    lr.add_argument("--n", type=int, default=32, help="bucket / write-range count")
+    lr.add_argument("--sum-col", default=None, help="range mode: manifest sum column")
+    lr.add_argument("--out", required=True, help="layout output path")
+    lr.add_argument("--name", default="bucketed_layout", help="bucketed: table name")
 
     return p
 

@@ -116,6 +116,37 @@ def collect_range_manifest(
     return out
 
 
+MANIFEST_FILE = "_range_manifest.json"
+
+
+def save_range_manifest(manifest: list[tuple], layout_path: str) -> str:
+    """Persist a collect_range_manifest result as JSON beside the layout
+    (the poor man's table-format manifest). Bounds serialize as scalars or
+    lists (multi-column keys); timestamps/dates via str()."""
+    import json
+    from pathlib import Path
+
+    def enc(v):
+        if isinstance(v, (list, tuple)):
+            return [enc(x) for x in v]
+        return v if isinstance(v, (str, int, float, bool, type(None))) else str(v)
+
+    out = Path(layout_path) / MANIFEST_FILE
+    out.write_text(
+        json.dumps([[enc(lo), c, t] for lo, c, t in manifest]) + "\n"
+    )
+    return str(out)
+
+
+def load_range_manifest(layout_path: str) -> list[tuple]:
+    """Read a saved manifest back into with_global_order's `ranges` form."""
+    import json
+    from pathlib import Path
+
+    raw = json.loads((Path(layout_path) / MANIFEST_FILE).read_text())
+    return [(tuple(lo) if isinstance(lo, list) else lo, c, t) for lo, c, t in raw]
+
+
 def with_global_order(
     df: DataFrame,
     order_cols: list[str],

@@ -229,3 +229,55 @@ def test_drift_subcommand(spark, tmp_path, capsys):
     assert run(spark, *args) == 0
     out = capsys.readouterr().out
     assert "kl_bits" in out and "src0" in out
+
+
+def test_cli_layout_rewrite_range_roundtrip(spark, tmp_path):
+    """layout-rewrite --mode range writes a range-clustered copy + manifest;
+    the loaded manifest drives with_global_order to the same result as
+    self-discovery."""
+    from s3bigdatasync_spark.cli import build_parser
+    from s3bigdatasync_spark.operators.prefix import (
+        load_range_manifest,
+        with_global_order,
+    )
+
+    out = str(tmp_path / "ranged_inv")
+    args = build_parser().parse_args(
+        [
+            "layout-rewrite", "--mode", "range", "--table", "inventory_src",
+            "--keys", "key,size", "--n", "8", "--sum-col", "size",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ]
+    )
+    assert args.fn(spark, args) == 0
+
+    ranged = spark.read.parquet(out).select("key", "size")
+    manifest = load_range_manifest(out)
+    assert sum(c for _, c, _ in manifest) == ranged.count()
+    got = with_global_order(ranged, ["key", "size"], sum_col="size", ranges=manifest)
+    ref = with_global_order(ranged, ["key", "size"], sum_col="size")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_cli_layout_rewrite_bucketed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.cli import build_parser
+
+    out = str(tmp_path / "bucketed_inv")
+    args = build_parser().parse_args(
+        [
+            "layout-rewrite", "--mode", "bucketed", "--table", "inventory_src",
+            "--keys", "key", "--n", "8", "--name", "t_bucketed_cli",
+            "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ]
+    )
+    assert args.fn(spark, args) == 0
+    t = spark.table("t_bucketed_cli")
+    # bucketed scan feeds a keyed agg with NO exchange before the agg
+    plan = (
+        t.groupBy("key").agg(F.count("*"))._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(key" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_bucketed_cli")
