@@ -89,6 +89,15 @@ EMPTY_SAFE = [
     "unigram_logprob",
     "vocab_coverage",
     "event_type_affinity",
+    # round-3 batch
+    "mpu_orphan_sweep",
+    "lifecycle_transition_plan",
+    "bucket_skew_audit",
+    "dedup_canonical",
+    "containment_pairs",
+    "ann_recall_audit",
+    "temperature_mix_weights",
+    "split_leakage_check",
 ]
 
 
