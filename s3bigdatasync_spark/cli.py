@@ -219,6 +219,19 @@ def _cmd_corpus(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_compact(spark: SparkSession, args) -> int:
+    """Execute small-file compaction (the action half of compaction_plan)."""
+    from .plans.compaction import compact_files
+
+    res = compact_files(spark, args.src, args.out, target_bytes=args.target_bytes)
+    print(
+        f"compacted {res.n_input_files} files ({res.input_bytes} B) into "
+        f"{len(res.output_files)} files / {res.n_bins} bins; "
+        f"rows {res.rows_in} -> {res.rows_out}"
+    )
+    return 0 if res.rows_in == res.rows_out else 1
+
+
 def _cmd_layout_rewrite(spark: SparkSession, args) -> int:
     """Rewrite a registered table into one of the measured scale layouts
     (SCALING.md): `bucketed` (bucketBy+sortBy — removes the exchange from
@@ -352,6 +365,16 @@ def build_parser() -> argparse.ArgumentParser:
     co.add_argument("--limit", type=int, default=None)
     co.add_argument("--explain", action="store_true")
     co.add_argument("--out", default=None)
+
+    cp = add(
+        "compact",
+        _cmd_compact,
+        help="rewrite a many-small-files parquet table into ~target-size"
+        " files (the execution of compaction_plan; exit 1 on row mismatch)",
+    )
+    cp.add_argument("--src", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-bytes", type=int, default=512 * 1024 * 1024)
 
     lr = add(
         "layout-rewrite",
