@@ -80,7 +80,11 @@ def compact_files(
     if not files:
         raise ValueError(f"compact_files: no parquet data files under {src_dir}")
     bins = plan_bins(files, target_bytes)
-    n_bins = max(bins.values()) + 1
+    # DISTINCT bins, not max+1: a file larger than target advances the
+    # running sum past whole bin ids (ids are gapped by construction of the
+    # div rule — hypothesis found this); partitioning by max+1 would create
+    # empty partitions and zero-row output files for the gaps.
+    n_bins = len(set(bins.values()))
 
     df = spark.read.parquet(src_dir)
     rows_in = df.count()

@@ -29,7 +29,7 @@ def test_compact_files_bins_and_row_parity(spark, tmp_path):
     res = compact_files(spark, src, out, target_bytes=target)
 
     assert res.rows_in == res.rows_out == n_rows  # zero loss
-    planned = max(plan_bins(files, target).values()) + 1
+    planned = len(set(plan_bins(files, target).values()))
     assert res.n_bins == planned
     # one file per bin: the rewrite achieved the planned layout
     assert len(res.output_files) == res.n_bins
@@ -62,3 +62,38 @@ def test_cli_compact(spark, tmp_path):
     )
     assert args.fn(spark, args) == 0
     assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
+
+
+def test_plan_bins_property():
+    """plan_bins invariants under random file lists (hypothesis): ids follow
+    the div rule over the running sum, are non-decreasing in path order, and
+    start at 0. Contiguity is deliberately NOT claimed — an oversized file
+    skips whole ids (the case this test originally caught)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.text("abcdef", min_size=1, max_size=8), st.integers(0, 10**9)),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 10**9),
+    )
+    def check(files, target):
+        bins = plan_bins(files, target)
+        # ids are exactly the div rule over the running sum: non-decreasing
+        # in path order, starting at 0, GAPPED when a file exceeds target
+        # (which is why compact_files partitions by distinct-bin count)
+        acc = 0
+        prev = 0
+        for path, size in sorted(files):
+            assert bins[path] == acc // target
+            assert bins[path] >= prev
+            prev = bins[path]
+            acc += size
+        assert min(bins.values()) == 0
+
+    check()
