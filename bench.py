@@ -100,6 +100,7 @@ HEADLINE = [
     "temperature_mix_weights",  # T=0.5 tempered source sampling weights
     "split_leakage_check",   # cross-split shingle-contamination audit
     "bucket_skew_audit",     # bucketBy(32,key) load-balance evidence
+    "boilerplate_report",    # high-df shingle boilerplate fraction per doc
 ]
 
 

@@ -854,9 +854,84 @@ GROUP BY split
 """
 
 
+# --- boilerplate_report (round 3) --------------------------------------------
+
+BOILERPLATE_DF_FRAC = 0.05  # a shingle present in >=5% of docs is boilerplate
+
+
+def boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction: the share of a document's shingles that
+    occur in ≥ BOILERPLATE_DF_FRAC of ALL documents — headers, footers,
+    navigation chrome, license blurbs. The standard corpus-cleaning signal
+    that neither near-dup (whole-doc) nor span_dedup (exact intra-corpus
+    spans with low df) captures: boilerplate is HIGH-df, SMALL-span repetition.
+
+    Scale shape: one shingle pass; the document-frequency relation is
+    |distinct shingles| (vocabulary-bounded, shrinking under Zipf at the df
+    cutoff); the hot-shingle set broadcasts back as a semi-join probe (bloom
+    filter at corpus scale — bloom_semi_prune pattern). Docs too short to
+    shingle report 0/0 via the left join, not absence."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs)  # distinct (doc_id, shingle)
+    totals = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("df") >= F.ceil(F.lit(BOILERPLATE_DF_FRAC) * F.col("n_docs")))
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    boiler = (
+        sh.join(hot, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+totals AS (SELECT count(*) AS n_docs FROM documents),
+hot AS (
+  SELECT shingle FROM sh, totals
+  GROUP BY shingle, n_docs
+  HAVING count(*) >= ceil({BOILERPLATE_DF_FRAC} * n_docs)
+),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+boiler AS (
+  SELECT doc_id, count(*) AS n_boiler FROM sh
+  WHERE shingle IN (SELECT shingle FROM hot) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(b.n_boiler, 0) AS n_boiler,
+       round(coalesce(b.n_boiler, 0) / greatest(coalesce(p.n_shingles, 0), 1), 6)
+         AS boiler_frac
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN boiler b ON b.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "split_leakage_check": split_leakage_check,
+    "boilerplate_report": boilerplate_report,
     "weighted_sample": weighted_sample,
     "word_entropy": word_entropy,
     "cms_heavy_hitters": cms_heavy_hitters,
@@ -872,6 +947,7 @@ QUERIES = {
 ORACLES = {
     "dataset_split": _SPLIT_SQL,
     "split_leakage_check": _LEAKAGE_SQL,
+    "boilerplate_report": _BOILERPLATE_SQL,
     "weighted_sample": _WS_SQL,
     "word_entropy": _ENTROPY_SQL,
     "cms_heavy_hitters": _CMS_SQL,

@@ -93,6 +93,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "temperature_mix_weights",
         "split_leakage_check",
         "bucket_skew_audit",
+        "boilerplate_report",
         "status_recode",
     ],
     # single-row / few-row operational stats (D1-D3, D7-D9, J4-summary)
@@ -247,6 +248,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("bucket_bytes", "int"),
         ("load_ratio", "num"),
         ("hot", "bool"),
+    ],
+    "boilerplate_report": [
+        ("doc_id", "int"),
+        ("n_shingles", "int"),
+        ("n_boiler", "int"),
+        ("boiler_frac", "num"),
     ],
     "temperature_mix_weights": [
         ("source", "str"),

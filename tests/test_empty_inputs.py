@@ -98,6 +98,7 @@ EMPTY_SAFE = [
     "ann_recall_audit",
     "temperature_mix_weights",
     "split_leakage_check",
+    "boilerplate_report",
 ]
 
 

@@ -60,6 +60,7 @@ DOC_QUERIES = [
     "containment_pairs",
     "split_leakage_check",
     "temperature_mix_weights",
+    "boilerplate_report",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
