@@ -126,7 +126,7 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_null,
+       cast(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        min(k) AS min_k, max(k) AS max_k, cast(sum(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)

@@ -169,8 +169,11 @@ _COMPACTION_SQL = oracle_cte("inventory_src") + f"""
 SELECT bin, count(*) AS n_files, cast(sum(size) AS BIGINT) AS bin_bytes
 FROM (
   SELECT key, size,
-         (sum(size) OVER (ORDER BY key, size ROWS UNBOUNDED PRECEDING) - size)
-           // {TARGET_FILE_BYTES} AS bin
+         -- CAST: DuckDB's windowed sum(BIGINT) is HUGEINT and // preserves it;
+         -- without the cast the oracle's bin is decimal128 vs Spark's int64
+         -- (the r2/r3 driver hash-mismatch — value-equal, type-unequal)
+         cast((sum(size) OVER (ORDER BY key, size ROWS UNBOUNDED PRECEDING) - size)
+           // {TARGET_FILE_BYTES} AS BIGINT) AS bin
   FROM inventory_src
 )
 GROUP BY bin

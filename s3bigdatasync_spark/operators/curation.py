@@ -80,7 +80,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPLIT_SQL = f"""
-SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, split, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT source, n_chars,
          CASE WHEN {_hex_bucket_sql(f"concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))", 4)} < {_TRAIN_CUT}
@@ -181,7 +181,7 @@ agg AS (
          sum(c * ln(c)) AS slc
   FROM cnts GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, n_unique,
+SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens, n_unique,
        round((ln(n_tokens) - slc / n_tokens) / {LN2}, 6) AS entropy,
        round(n_unique / CAST(n_tokens AS DOUBLE), 6) AS ttr
 FROM agg
@@ -660,7 +660,7 @@ agg AS (
   FROM dcnt d JOIN vocab v USING (token), tot
   GROUP BY d.doc_id
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
        round(sll / n_tokens, 6) AS mean_logprob,
        round(-(sll / n_tokens) / {LN2}, 6) AS bits_per_token,
        round(-(sll / n_tokens) / {LN2}, 6) <= {BITS_KEEP_MAX} AS keep

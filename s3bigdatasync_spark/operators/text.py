@@ -1125,7 +1125,7 @@ per AS (
   FROM dcnt d LEFT JOIN vocab v USING (token)
   GROUP BY d.doc_id
 )
-SELECT doc_id, n_tokens, n_oov,
+SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens, cast(n_oov AS BIGINT) AS n_oov,
        round(n_oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
 FROM per
 """

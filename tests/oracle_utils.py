@@ -11,6 +11,7 @@ import math
 from typing import Any
 
 import duckdb
+import pyarrow as pa
 
 from s3bigdatasync_spark.views import BASE_TABLES
 
@@ -46,15 +47,32 @@ def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     )
 
 
+def oracle_type_violations(schema: "pa.Schema") -> list[tuple[str, str]]:
+    """Columns whose Arrow type a type-sensitive hasher would see differently
+    from Spark's int64/float64/etc. — DuckDB silently widens sums of BIGINT
+    to HUGEINT (decimal128 over Arrow), which `fetchall()` coerces back to
+    Python int and hides. The driver's hasher is type-sensitive: decimal128
+    vs int64 reads as a wrong answer even when every value is equal (the
+    r2/r3 `compaction_plan.bin` mismatch). Flag any decimal or >64-bit
+    integer output column so the class is caught in-repo."""
+    bad = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_decimal(t) or (pa.types.is_integer(t) and t.bit_width > 64):
+            bad.append((field.name, str(t)))
+    return bad
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str = SF_DIR_DEFAULT) -> dict:
     """Return a dict with match booleans and diagnostics."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     con = duck_connect(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = con.execute(oracle_sql).fetch_arrow_table()
     con.close()
+    d_cols = list(tbl.schema.names)
+    d_rows = list(zip(*(tbl.column(i).to_pylist() for i in range(tbl.num_columns)))) if tbl.num_columns else []
+    type_violations = oracle_type_violations(tbl.schema)
 
     out: dict[str, Any] = {
         "rows_spark": len(s_rows),
@@ -64,6 +82,8 @@ def compare(spark_df, oracle_sql: str, sf_dir: str = SF_DIR_DEFAULT) -> dict:
     }
     out["count_match"] = len(s_rows) == len(d_rows)
     out["schema_match"] = sorted(s_cols) == sorted(d_cols)
+    out["type_violations"] = type_violations
+    out["type_ok"] = not type_violations
     if out["count_match"] and out["schema_match"]:
         cs, cd = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
         out["value_match"] = cs == cd
@@ -72,7 +92,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str = SF_DIR_DEFAULT) -> dict:
             out["first_diffs"] = diffs[:5]
     else:
         out["value_match"] = False
-    out["ok"] = out["count_match"] and out["schema_match"] and out["value_match"]
+    out["ok"] = (
+        out["count_match"] and out["schema_match"] and out["value_match"] and out["type_ok"]
+    )
     return out
 
 
