@@ -91,16 +91,35 @@ _SHINGLES_SQL = rf"""
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs (exact, via shared-shingle join).
+DF_CAP = 64  # shingles in more documents than this never enter an exact pair join
 
+
+def _df_capped(sh: DataFrame) -> DataFrame:
+    """Drop shingles with document frequency > DF_CAP from a (doc_id, shingle)
+    relation. The exact pair joins below are quadratic PER SHINGLE in its df
+    (a df-d shingle emits d·(d−1)/2 candidate rows), so one boilerplate
+    shingle — a license header, navigation chrome — present in 30% of a
+    100 TB corpus would alone emit ~0.045·N² rows and dominate the job. An
+    ABSOLUTE cap bounds every shingle's contribution at DF_CAP²/2 candidates
+    regardless of corpus size (a fractional cutoff like boilerplate_report's
+    5% does not: 0.05N still grows with N). The hot set is the df relation
+    boilerplate_report already computes, reused here as an anti-join probe
+    (bloom/semi prune at corpus scale); under Zipf it is a tiny fraction of
+    the vocabulary, so the anti-join is cheap and reuses the shingle shuffle
+    the df count just performed."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def _jaccard_pairs_from(sh: DataFrame) -> DataFrame:
+    """Jaccard pair core over any distinct (doc_id, shingle) relation:
     |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|. No cross
-    join anywhere: pairs sharing zero shingles never materialize. At 100 TB
-    this runs after LSH candidate generation (minhash_lsh_pairs) as the
-    verification stage; standalone it is exact.
-    """
-    docs = prepared(spark, sf_dir).table("documents")
-    sh = _shingles(docs).transform(scoped_cache)
+    join anywhere: pairs sharing zero shingles never materialize."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -123,8 +142,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_SQL = rf"""
-WITH sh AS ({_SHINGLES_SQL}),
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (exact, via shared-shingle join).
+
+    At 100 TB this runs after LSH candidate generation (minhash_lsh_pairs)
+    as the verification stage; standalone it is exact — and therefore
+    df-UNCAPPED: a corpus with shared boilerplate should run
+    ngram_jaccard_pairs_capped instead (this form's equi-join is quadratic
+    in the hottest shingle's df).
+    """
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).transform(scoped_cache)
+    return _jaccard_pairs_from(sh)
+
+
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard over INFORMATIVE shingles only: both the intersection
+    and the per-doc sizes count shingles with df ≤ DF_CAP, so similarity is
+    driven by content, not boilerplate (the CCNet/Gopher rationale: strip
+    boilerplate BEFORE measuring duplication). Exact for any pair whose
+    shingles are all under the cap — on corpora with no boilerplate this
+    equals ngram_jaccard_pairs; under df skew it is the scale-safe form
+    (per-shingle candidate fan-out bounded by DF_CAP²/2). Docs whose
+    shingles are all capped drop out: every candidate join they could enter
+    is boilerplate-only."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    return _jaccard_pairs_from(sh)
+
+
+# the oracle shingle relations mirror the two engine-side forms exactly:
+# `sh` is the relation the pair math runs over — raw, or df-capped first
+_UNCAPPED_SH_CTE = f"sh AS ({_SHINGLES_SQL})"
+_CAPPED_SH_CTE = f"""sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM hot))"""
+
+
+def _jaccard_sql(sh_cte: str) -> str:
+    return rf"""
+WITH {sh_cte},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
@@ -137,6 +195,10 @@ JOIN cnt ca ON ca.doc_id = doc_a
 JOIN cnt cb ON cb.doc_id = doc_b
 WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
 """
+
+
+_NGRAM_JACCARD_SQL = _jaccard_sql(_UNCAPPED_SH_CTE)
+_NGRAM_JACCARD_CAPPED_SQL = _jaccard_sql(_CAPPED_SH_CTE)
 
 
 def signatures_for(docs: DataFrame) -> DataFrame:
@@ -1103,6 +1165,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each undirected candidate)."""
     docs = prepared(spark, sf_dir).table("documents")
     sh = _shingles(docs).transform(scoped_cache)
+    return _containment_from(sh)
+
+
+def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment over df ≤ DF_CAP shingles only — the scale-safe form of
+    containment_pairs for corpora with shared boilerplate (see
+    ngram_jaccard_pairs_capped for the semantics and the fan-out bound).
+    Identical to containment_pairs when no shingle exceeds the cap; under
+    skew, containment measures how much of a doc's INFORMATIVE content is
+    embedded elsewhere — a page sharing only its site chrome no longer
+    reads as 100% contained."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    return _containment_from(sh)
+
+
+def _containment_from(sh: DataFrame) -> DataFrame:
+    """Containment pair core over any distinct (doc_id, shingle) relation."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1138,8 +1218,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTAINMENT_SQL = rf"""
-WITH sh AS ({_SHINGLES_SQL}),
+def _containment_sql(sh_cte: str) -> str:
+    return rf"""
+WITH {sh_cte},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
@@ -1157,6 +1238,103 @@ WHERE round(ix / n, 6) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+_CONTAINMENT_SQL = _containment_sql(_UNCAPPED_SH_CTE)
+_CONTAINMENT_CAPPED_SQL = _containment_sql(_CAPPED_SH_CTE)
+
+
+def df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum: how many distinct shingles (and
+    how many postings — (doc,shingle) rows) live in each power-of-two df
+    bucket. THE observability behind DF_CAP: the capped pair joins' work is
+    Σ df²/2 over kept shingles, and this one scan shows where that mass sits
+    and what a given cap excludes. bucket = floor(log2(df)) computed as
+    length(bin(df))−1 — integer bit-length, not float log2, so the bucket
+    boundary can never flip on a 1-ulp log difference cross-engine.
+
+    Scale shape: one shuffle on shingle (the df count), then a vocabulary-
+    bounded agg on ~40 buckets — map-side combinable, no joins."""
+    docs = prepared(spark, sf_dir).table("documents")
+    df = _shingles(docs).groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        df.withColumn("bucket", (F.length(F.bin(F.col("df"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.max("df").alias("max_df"),
+        )
+    )
+
+
+_DF_SPECTRUM_SQL = f"""
+WITH {_UNCAPPED_SH_CTE},
+df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT cast(length(bin(df)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_shingles,
+       cast(sum(df) AS BIGINT) AS n_postings,
+       max(df) AS max_df
+FROM df GROUP BY 1
+"""
+
+
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content novelty under the corpus's canonical order: the
+    fraction of a doc's shingles whose FIRST occurrence (min doc_id) is this
+    doc. The training-curriculum signal behind "keep the first copy, drop
+    the rest": a doc with novelty ≈ 0 contributes nothing the corpus hasn't
+    already seen, without needing any pairwise join to say so.
+
+    Scale shape: one shuffle on shingle for the min(doc_id) relation, a
+    shingle-colocated join back (same partitioning — AQE plans it without a
+    second exchange), one groupBy doc_id. Linear in postings, no pair
+    blow-up — this is the O(n) triage that runs BEFORE pairwise dedup."""
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).transform(scoped_cache)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+_SHINGLE_NOVELTY_SQL = f"""
+WITH {_UNCAPPED_SH_CTE},
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         cast(sum(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN first USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       round(coalesce(p.n_novel, 0) / greatest(coalesce(p.n_shingles, 0), 1), 6) AS novelty
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "dedup_canonical": dedup_canonical,
@@ -1164,6 +1342,10 @@ QUERIES = {
     "simhash_near_pairs": simhash_near_pairs,
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
+    "containment_pairs_capped": containment_pairs_capped,
+    "df_spectrum": df_spectrum,
+    "shingle_novelty": shingle_novelty,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "incremental_neardup": incremental_neardup,
@@ -1182,6 +1364,10 @@ ORACLES = {
     "simhash_near_pairs": _SIMHASH_NEAR_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "ngram_jaccard_pairs_capped": _NGRAM_JACCARD_CAPPED_SQL,
+    "containment_pairs_capped": _CONTAINMENT_CAPPED_SQL,
+    "df_spectrum": _DF_SPECTRUM_SQL,
+    "shingle_novelty": _SHINGLE_NOVELTY_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "incremental_neardup": _INCR_NEARDUP_SQL,

@@ -79,6 +79,18 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
+    # round-4 additions, FIRST among the packs (forward-ordering: each
+    # round's new work precedes all older packs): the DF_CAP'd shingle pair
+    # joins (scale-safe under boilerplate df skew), the df spectrum that
+    # justifies the cap, first-occurrence novelty triage, plus top_tokens
+    # (folded from standalone to keep the driver registry at 50)
+    "pack_r4": [
+        "ngram_jaccard_pairs_capped",
+        "containment_pairs_capped",
+        "df_spectrum",
+        "shingle_novelty",
+        "top_tokens",
+    ],
     # round-3 additions, FIRST among the packs (new queries precede the
     # packs in driver insertion order — the forward-ordering discipline):
     # lifecycle cost planners, quality-weighted dedup survivor, asymmetric
@@ -209,6 +221,29 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "ngram_jaccard_pairs_capped": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("jaccard", "num"),
+    ],
+    "containment_pairs_capped": [
+        ("contained_doc", "int"),
+        ("container_doc", "int"),
+        ("containment", "num"),
+    ],
+    "df_spectrum": [
+        ("bucket", "int"),
+        ("n_shingles", "int"),
+        ("n_postings", "int"),
+        ("max_df", "int"),
+    ],
+    "shingle_novelty": [
+        ("doc_id", "int"),
+        ("n_shingles", "int"),
+        ("n_novel", "int"),
+        ("novelty", "num"),
+    ],
+    "top_tokens": [("token", "str"), ("freq", "int")],
     "mpu_orphan_sweep": [
         ("storage_class", "str"),
         ("age_bucket", "str"),

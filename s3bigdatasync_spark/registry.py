@@ -5,13 +5,13 @@ Two views of the same inventory:
   all_queries()/all_oracles()   — the DRIVER-facing registry, exactly 50
       entries (the external correctness driver records at most 50 per round —
       round 1 recorded precisely the first 50 of 68, insertion-ordered).
-      89 small, individually-proven queries are folded into 8 packs
+      94 small, individually-proven queries are folded into 9 packs
       (operators/packs.py) so every operator's semantics is driver-checked;
       the 18 queries the r01 driver never reached lead the ordering as
       insurance against any tighter cap.
 
   full_queries()/full_oracles() — every individual query PLUS the packs
-      (139 entries). pytest parametrizes over this, so each pack member is
+      (144 entries). pytest parametrizes over this, so each pack member is
       still compared one-by-one against its own oracle in-repo.
 """
 
@@ -126,8 +126,9 @@ def full_oracles() -> dict[str, str]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Driver-facing registry: 18 extension queries, then 8 packs (pack_r3
-    first), then the 24 core queries that aren't pack members — 50 entries."""
+    """Driver-facing registry: 18 extension queries, then 9 packs (pack_r4
+    first, then pack_r3, then older), then the core queries that aren't pack
+    members — 50 entries."""
     ext = _merge(_EXT_MODULES, "QUERIES")
     core = _merge(_CORE_MODULES, "QUERIES")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(ext)

@@ -54,6 +54,29 @@ def test_round3_entries_precede_older_packs():
         assert member in packs.PACK_MEMBERS
 
 
+def test_round4_entries_precede_older_packs():
+    """Round 4's additions travel in pack_r4, which must lead the pack block
+    (ahead of pack_r3 and everything older)."""
+    names = list(registry.all_queries())
+    r4 = names.index("pack_r4")
+    for older in (
+        "pack_r3",
+        "pack_ops_stats",
+        "pack_time_extrema",
+        "pack_ann",
+        "pack_dedup_pairs",
+        "pack_fingerprints",
+        "pack_text_quality",
+        "pack_media",
+    ):
+        assert r4 < names.index(older), older
+    for member in packs.PACK_SPECS["pack_r4"]:
+        assert member in packs.PACK_MEMBERS
+    # compaction_plan must stay individually visible this round to prove the
+    # oracle-type fix (VERDICT r3 item 7) — do not fold it into a pack yet
+    assert "compaction_plan" in names
+
+
 def test_pack_specs_consistent():
     for pack, members in packs.PACK_SPECS.items():
         for m in members:

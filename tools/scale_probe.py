@@ -139,7 +139,12 @@ def build_scaled_dir(spark, out_dir: str, copies: int) -> None:
             shutil.copy(src, dst)
 
 
-def build_scaled_docs_dir(spark, out_dir: str, copies: int) -> None:
+BOILER_BLOCK = " ".join(f"boilertok{i}" for i in range(8))  # 8 tokens → 4 shingles
+
+
+def build_scaled_docs_dir(
+    spark, out_dir: str, copies: int, boiler_frac: float = 0.0
+) -> None:
     """Replicate documents + embeddings x copies WITHOUT creating cross-copy
     near-duplicate cliques (naive replication makes every doc a `copies`-
     clique, which measures the data's pathology, not the plans):
@@ -150,7 +155,14 @@ def build_scaled_docs_dir(spark, out_dir: str, copies: int) -> None:
       * embeddings: dimensions rotate by i per copy — a rotation of a
         cluster-structured vector is uncorrelated with the original, so the
         copy's cluster structure replicates without cross-copy neighbors.
-    Other tables link unchanged (view registration reads all of them)."""
+    Other tables link unchanged (view registration reads all of them).
+
+    boiler_frac > 0 appends the SAME UNTAGGED boilerplate block to that
+    fraction of docs in EVERY copy — the one shingle family whose df grows
+    linearly with corpus size (site chrome / license headers). This breaks
+    the disjointness-by-construction that made the round-3 probes blind to
+    df skew: the boiler shingles' candidate fan-out is quadratic in copies
+    for the uncapped pair joins, bounded for the DF_CAP'd ones."""
     import re
 
     import pyarrow as pa
@@ -177,12 +189,15 @@ def build_scaled_docs_dir(spark, out_dir: str, copies: int) -> None:
                 outk.append(tag)
         return " ".join(outk)
 
+    boiler_mod = int(round(boiler_frac * 100))
     drows = []
     for i in range(copies):
-        for r in docs:
+        for j, r in enumerate(docs):
             rr = dict(r)
             rr["doc_id"] = r["doc_id"] + i * id_off
             rr["text"] = tag_text(r["text"], i)
+            if boiler_mod and j % 100 < boiler_mod:
+                rr["text"] = rr["text"] + " " + BOILER_BLOCK
             drows.append(rr)
     pq.write_table(
         pa.Table.from_pylist(drows, schema=pq.read_schema(f"{BASE_SF}/documents.parquet")),
@@ -335,6 +350,32 @@ def run_docs_knobs(spark, out_dir: str, copies: int) -> dict:
     }
     _PREPARED.clear()
     return res
+
+
+BOILER_QUERIES = [
+    "containment_pairs",  # uncapped — expected superlinear under df skew
+    "ngram_jaccard_pairs",  # uncapped — same join, same exposure
+    "containment_pairs_capped",  # DF_CAP'd — the claim: slope stays ~linear
+    "ngram_jaccard_pairs_capped",
+    "split_leakage_check",
+    "boilerplate_report",
+]
+
+
+def run_docs_boiler(spark, out_dir: str, copies: int, boiler_frac: float) -> dict:
+    """Measure the shingle-join family under REALISTIC df skew: both the 1×
+    and the copies× corpus carry the same untagged boilerplate block in
+    boiler_frac of their docs, so the only thing that changes between the
+    two measurements is corpus size — and the boiler shingles' df grows with
+    it (250 → 250·copies at sf0.1/5%). The r3 probes kept shingle sets
+    disjoint by construction and therefore could not see this axis."""
+    base_dir = out_dir + "_b1"
+    build_scaled_docs_dir(spark, base_dir, 1, boiler_frac=boiler_frac)
+    build_scaled_docs_dir(spark, out_dir, copies, boiler_frac=boiler_frac)
+    base = measure(spark, base_dir, BOILER_QUERIES)
+    scaled = measure(spark, out_dir, BOILER_QUERIES)
+    ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
+    return {"boiler_frac": boiler_frac, "base1x": base, "scaled": scaled, "ratio": ratio}
 
 
 def run_resolve(spark, out_dir: str, copies: int) -> dict:
@@ -721,8 +762,14 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--json-out", default=None, help="also write the result JSON line to this file")
     ap.add_argument(
+        "--boiler-frac",
+        type=float,
+        default=0.05,
+        help="docs-boilerplate mode: fraction of docs carrying the shared untagged boilerplate block",
+    )
+    ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "docs-knobs", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
+        choices=["inventory", "docs", "docs-knobs", "docs-boilerplate", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
@@ -745,6 +792,10 @@ def main() -> None:
     if args.mode == "docs-knobs":
         res = run_docs_knobs(spark, args.out, args.copies)
         _emit({"copies": args.copies, "mode": "docs-knobs", **res}, args.json_out)
+        return
+    if args.mode == "docs-boilerplate":
+        res = run_docs_boiler(spark, args.out, args.copies, args.boiler_frac)
+        _emit({"copies": args.copies, "mode": "docs-boilerplate", **res}, args.json_out)
         return
     if args.mode == "resolve":
         res = run_resolve(spark, args.out, args.copies)
