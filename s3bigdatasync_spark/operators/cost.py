@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import prepared
 from .joins import _diff_base
-from .prefix import with_global_order
+from .prefix import load_table_layout, with_global_order
 from ..views import oracle_cte
 
 # Simple public-rate-shaped constants (illustrative, not a price sheet).
@@ -151,11 +151,19 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative), which the unsorted-GROUP-BY-free oracle pins; wall-clock
     stays flat as data grows instead of serializing on one task.
     """
-    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
-    # (key, size) is a total order here: key collides only at sf0.001
-    # (views.py key-uniqueness note) and the colliding rows differ in size —
-    # the tiebreaker keeps the prefix sum engine-unambiguous at every sf.
-    ranked = with_global_order(inv, ["key", "size"], sum_col="size")
+    # a maintained range layout (sf_dir/_layouts/inventory_src + manifest)
+    # supplies the boundaries and per-range sums — boundary-discovery job gone
+    layout = load_table_layout(spark, sf_dir, "inventory_src", ["key", "size"], sum_col="size")
+    if layout is not None:
+        ranked = with_global_order(
+            layout[0].select("key", "size"), ["key", "size"], sum_col="size", ranges=layout[1]
+        )
+    else:
+        inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size")
+        # (key, size) is a total order here: key collides only at sf0.001
+        # (views.py key-uniqueness note) and the colliding rows differ in size —
+        # the tiebreaker keeps the prefix sum engine-unambiguous at every sf.
+        ranked = with_global_order(inv, ["key", "size"], sum_col="size")
     # integer `div`, not double `/`+cast: a double quotient 1 ulp above an
     # exact multiple would truncate to a different bin than the oracle's //
     binned = ranked.withColumn("bin", F.expr(f"global_cumsum_ex div {TARGET_FILE_BYTES}"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared, scoped_cache
-from .prefix import with_global_order
+from .prefix import load_table_layout, with_global_order
 from ..views import oracle_cte
 
 # --- B1 + J1: task batching and idempotent dispatch -------------------------
@@ -37,13 +37,21 @@ def task_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inventory_lib.py:74 analogue, hardened with etag per SURVEY §7.4
     risk 4).
     """
-    inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "etag")
-    # Distributed global row numbers (operators.prefix — no single-partition
-    # window anywhere in this engine). size tiebreaker: key alone is
-    # non-unique at sf0.001 (views.py note); the colliding rows share etag
-    # (= md5(key)) but differ in size, so (key, size) is a total order and
-    # batch_size sums stay engine-unambiguous.
-    ranked = with_global_order(inv, ["key", "size"])
+    # A maintained range layout of inventory_src (sf_dir/_layouts/…, written
+    # by `layout-rewrite --mode range`) supplies boundaries from its manifest
+    # and skips the boundary-discovery job entirely; otherwise self-discover.
+    layout = load_table_layout(spark, sf_dir, "inventory_src", ["key", "size"])
+    if layout is not None:
+        inv = layout[0].select("key", "size", "etag")
+        ranked = with_global_order(inv, ["key", "size"], ranges=layout[1])
+    else:
+        inv = prepared(spark, sf_dir).table("inventory_src").select("key", "size", "etag")
+        # Distributed global row numbers (operators.prefix — no single-partition
+        # window anywhere in this engine). size tiebreaker: key alone is
+        # non-unique at sf0.001 (views.py note); the colliding rows share etag
+        # (= md5(key)) but differ in size, so (key, size) is a total order and
+        # batch_size sums stay engine-unambiguous.
+        ranked = with_global_order(inv, ["key", "size"])
     batches = (
         ranked.withColumn("batch_id", F.expr(f"global_rn div {BATCH_SIZE}"))
         .groupBy("batch_id")

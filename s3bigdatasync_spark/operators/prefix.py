@@ -117,12 +117,20 @@ def collect_range_manifest(
 
 
 MANIFEST_FILE = "_range_manifest.json"
+LAYOUTS_DIR = "_layouts"  # sf_dir/_layouts/<table> — the auto-consult convention
 
 
-def save_range_manifest(manifest: list[tuple], layout_path: str) -> str:
+def save_range_manifest(
+    manifest: list[tuple],
+    layout_path: str,
+    keys: list[str] | None = None,
+    sum_col: str | None = None,
+) -> str:
     """Persist a collect_range_manifest result as JSON beside the layout
     (the poor man's table-format manifest). Bounds serialize as scalars or
-    lists (multi-column keys); timestamps/dates via str()."""
+    lists (multi-column keys); timestamps/dates via str(). `keys`/`sum_col`
+    record what the manifest was collected over, so auto-consult can refuse
+    a manifest that doesn't match a query's order columns."""
     import json
     from pathlib import Path
 
@@ -132,10 +140,16 @@ def save_range_manifest(manifest: list[tuple], layout_path: str) -> str:
         return v if isinstance(v, (str, int, float, bool, type(None))) else str(v)
 
     out = Path(layout_path) / MANIFEST_FILE
+    ranges = [[enc(lo), c, t] for lo, c, t in manifest]
     out.write_text(
-        json.dumps([[enc(lo), c, t] for lo, c, t in manifest]) + "\n"
+        json.dumps({"keys": keys, "sum_col": sum_col, "ranges": ranges}) + "\n"
     )
     return str(out)
+
+
+def _decode_manifest(raw) -> list[tuple]:
+    ranges = raw["ranges"] if isinstance(raw, dict) else raw  # pre-metadata files
+    return [(tuple(lo) if isinstance(lo, list) else lo, c, t) for lo, c, t in ranges]
 
 
 def load_range_manifest(layout_path: str) -> list[tuple]:
@@ -143,8 +157,37 @@ def load_range_manifest(layout_path: str) -> list[tuple]:
     import json
     from pathlib import Path
 
-    raw = json.loads((Path(layout_path) / MANIFEST_FILE).read_text())
-    return [(tuple(lo) if isinstance(lo, list) else lo, c, t) for lo, c, t in raw]
+    return _decode_manifest(
+        json.loads((Path(layout_path) / MANIFEST_FILE).read_text())
+    )
+
+
+def load_table_layout(
+    spark, sf_dir: str, table: str, order_cols: list[str], sum_col: str | None = None
+):
+    """(df, ranges) when sf_dir carries a materialized range layout of
+    `table` whose manifest matches the requested order columns — else None.
+
+    The convention (written by the CLI's `layout-rewrite --mode range`):
+    `{sf_dir}/_layouts/{table}/` holds the range-clustered parquet plus its
+    `_range_manifest.json`. Queries that global-order this table consult it
+    automatically, which drops with_global_order's boundary-discovery pass —
+    one fewer job per query, exactly what a Delta/Iceberg manifest would
+    supply for free. A manifest collected over different keys (or missing
+    the needed sum column) is ignored, not misused; sf_dirs without layouts
+    (the driver's read-only testdata) fall back to self-discovery."""
+    import json
+    from pathlib import Path
+
+    mf = Path(sf_dir) / LAYOUTS_DIR / table / MANIFEST_FILE
+    if not mf.exists():
+        return None
+    raw = json.loads(mf.read_text())
+    if not isinstance(raw, dict) or raw.get("keys") != list(order_cols):
+        return None
+    if sum_col is not None and raw.get("sum_col") != sum_col:
+        return None
+    return spark.read.parquet(str(mf.parent)), _decode_manifest(raw)
 
 
 def with_global_order(

@@ -1,0 +1,94 @@
+"""Auto-consult of a maintained range layout (VERDICT r3 item 5).
+
+`layout-rewrite --mode range` writes `{out}/` as range-clustered parquet plus
+`_range_manifest.json`. When that layout lives at the convention path
+`{sf_dir}/_layouts/inventory_src`, task_batches / dedup_anti_join /
+compaction_plan must consult the manifest automatically: the boundary-
+discovery job disappears (one fewer Spark job) and results stay
+byte-for-byte identical to the self-discovering path on the raw sf_dir.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from s3bigdatasync_spark.operators import _PREPARED, joins, cost, prepared
+from s3bigdatasync_spark.operators.prefix import (
+    LAYOUTS_DIR,
+    collect_range_manifest,
+    load_table_layout,
+    save_range_manifest,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def layout_sf(spark, tmp_path_factory):
+    """A writable clone of sf0.001 (symlinked tables) carrying a range
+    layout of inventory_src at the auto-consult convention path."""
+    root = tmp_path_factory.mktemp("layout_sf")
+    for f in Path(SF_SMALL).glob("*.parquet"):
+        os.symlink(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+    inv = prepared(spark, SF_SMALL).table("inventory_src")
+    inv.repartitionByRange(8, "key", "size").write.mode("overwrite").parquet(str(out))
+    manifest = collect_range_manifest(
+        spark.read.parquet(str(out)), ["key", "size"], sum_col="size"
+    )
+    save_range_manifest(manifest, str(out), keys=["key", "size"], sum_col="size")
+    _PREPARED.clear()
+    return str(root)
+
+
+_GROUP_SEQ = iter(range(10**6))
+
+
+def _jobs_run(spark, fn) -> int:
+    sc = spark.sparkContext
+    # NOT id(fn): lambdas are gc'd between calls and CPython reuses the
+    # address, silently merging two counts into one job group
+    group = f"jobcount-{next(_GROUP_SEQ)}"
+    sc.setJobGroup(group, "layout autoconsult probe")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+@pytest.mark.parametrize(
+    "query", [joins.task_batches, joins.dedup_anti_join, cost.compaction_plan]
+)
+def test_layout_consult_skips_boundary_job_same_bytes(spark, layout_sf, query):
+    spark.catalog.clearCache()
+    _PREPARED.clear()
+    plain_rows = sorted(map(tuple, query(spark, SF_SMALL).collect()))
+    _PREPARED.clear()
+    n_plain = _jobs_run(spark, lambda: query(spark, SF_SMALL).collect())
+    _PREPARED.clear()
+    n_layout = _jobs_run(spark, lambda: query(spark, layout_sf).collect())
+    layout_rows = sorted(map(tuple, query(spark, layout_sf).collect()))
+    _PREPARED.clear()
+    assert layout_rows == plain_rows  # byte-for-byte same result
+    assert n_layout < n_plain  # the boundary-discovery job is gone
+
+
+def test_mismatched_manifest_is_refused(spark, layout_sf):
+    # different order columns -> None (never misused)
+    assert load_table_layout(spark, layout_sf, "inventory_src", ["key"]) is None
+    # missing sum column -> None
+    assert (
+        load_table_layout(
+            spark, layout_sf, "inventory_src", ["key", "size"], sum_col="etag"
+        )
+        is None
+    )
+    # matching request -> (df, ranges)
+    got = load_table_layout(spark, layout_sf, "inventory_src", ["key", "size"])
+    assert got is not None and len(got[1]) > 1
+    # absent layout -> None
+    assert load_table_layout(spark, SF_SMALL, "inventory_src", ["key", "size"]) is None
