@@ -22,22 +22,34 @@ _PREPARED: set[tuple[int, str]] = set()
 # query's caches when the next query begins. A 50-query driver session then
 # holds at most one query's caches at a time instead of accumulating dozens
 # (round-2 eviction-pressure hazard, VERDICT "What's wrong" #2).
+#
+# CONTRACT (one live query): construct registry query B only after
+# materializing query A's DataFrame — constructing B releases A's caches, so
+# A would still be correct (recompute is deterministic) but lose the
+# shared-subtree dedup the caches exist for. The driver and pytest both
+# construct-then-materialize serially; the lock below only makes the list
+# mutation safe under concurrent construction, it does not lift the contract.
+import threading
+
 _SCOPED_CACHES: list = []
+_SCOPED_LOCK = threading.Lock()
 
 
 def scoped_cache(df):
     """cache() whose lifetime is one registry query (released by the wrapper
     in registry.py when the next query is constructed)."""
     df = df.cache()
-    _SCOPED_CACHES.append(df)
+    with _SCOPED_LOCK:
+        _SCOPED_CACHES.append(df)
     return df
 
 
 def release_caches() -> int:
     """Unpersist every scoped cache from the previous query. Returns count."""
+    with _SCOPED_LOCK:
+        drained, _SCOPED_CACHES[:] = _SCOPED_CACHES[:], []
     n = 0
-    while _SCOPED_CACHES:
-        df = _SCOPED_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

@@ -209,6 +209,13 @@ def with_global_order(
     `ranges` (from collect_range_manifest, or a table-format manifest)
     supplies [(lower_bound, count, sum), …] directly and skips the
     boundary-discovery job — one fewer full pass over the data.
+
+    Order columns must be NON-NULL: a NULL has no defined slot in the
+    derived-range expression (comparisons against a NULL bound are NULL) and
+    would make the driver-side boundary comparison ill-typed. The discovery
+    path checks this inside its existing stats job (no extra pass) and raises;
+    the manifest path inherits the check from collect_range_manifest's
+    clustered-write provenance.
     """
     key = _key_col(order_cols)
 
@@ -220,7 +227,13 @@ def with_global_order(
         return _attach_order(df, order_cols, sum_col, b_expr,
                              [(i, c, t) for i, (_, c, t) in enumerate(ranges)])
 
-    aggs = [F.count("*").alias("_c"), F.min(key).alias("_lo"), F.max(key).alias("_hi")]
+    any_null = F.greatest(*[F.col(c).isNull() for c in order_cols]) if len(order_cols) > 1 else F.col(order_cols[0]).isNull()
+    aggs = [
+        F.count("*").alias("_c"),
+        F.min(key).alias("_lo"),
+        F.max(key).alias("_hi"),
+        F.count_if(any_null).alias("_nulls"),
+    ]
     if sum_col is not None:
         # coalesce: a partition whose sum_col values are all NULL must
         # contribute 0 to the running offset, not poison the driver-side sum
@@ -235,6 +248,13 @@ def with_global_order(
         (r for r in parted.groupBy("_pid").agg(*aggs).collect() if r["_c"] > 0),
         key=lambda r: r["_pid"],
     )
+    n_null = sum(r["_nulls"] for r in stats)
+    if n_null:
+        raise ValueError(
+            f"with_global_order: order columns {order_cols} must be non-null; "
+            f"found {n_null} row(s) with a NULL order key — filter or coalesce "
+            "them first (NULL has no defined position in the derived ranges)"
+        )
 
     # Range id as a pure row expression: #collected boundaries strictly below
     # the row's key. ≤ #partitions string/struct comparisons per row, all

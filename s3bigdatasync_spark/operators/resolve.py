@@ -356,7 +356,9 @@ def _seg_exprs(L: str, i: str) -> tuple[str, str]:
     return st, ln
 
 
-def match_names_segments(dirty: DataFrame, catalog: DataFrame) -> DataFrame:
+def match_names_segments(
+    dirty: DataFrame, catalog: DataFrame, keep_name: bool = False
+) -> DataFrame:
     """Pass-Join matcher core (Li/Deng/Wang/Feng '11): split every catalog
     name into NSEG = d+1 segments; d edits cannot touch all of them, so a
     true match CONTAINS one segment exactly, shifted by at most d. The
@@ -452,13 +454,18 @@ def match_names_segments(dirty: DataFrame, catalog: DataFrame) -> DataFrame:
     per_name = scored.groupBy("dirty_name").agg(
         F.sum("n_recs").alias("n_candidates"), F.min(enc).alias("best")
     )
-    return dirty.join(per_name, "dirty_name").select(
+    out = dirty.join(per_name, "dirty_name").select(
+        "dirty_name",
         "dirty_id",
         "n_candidates",
         F.expr(f"best div {_ENC}").alias("best_lev"),
         (F.col("best") % F.lit(_ENC)).alias("matched_key"),
         (F.col("best") % F.lit(_ENC) == F.col("dirty_id")).alias("self_match"),
     )
+    # keep_name: callers that key verdicts on the (dirty_id, dirty_name)
+    # identity pair (streaming/resolve.py) need the name to fan back by; the
+    # default drops it, preserving the registered query's oracle schema.
+    return out if keep_name else out.drop("dirty_name")
 
 
 def fuzzy_match_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,7 +113,12 @@ def _merge(modules, attr: str) -> dict:
 
 
 def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every individual query plus the packs — the pytest surface."""
+    """Every individual query plus the packs — the pytest surface.
+
+    One-live-query contract: materialize each returned DataFrame before
+    constructing the next query — construction releases the previous query's
+    scoped caches (see operators._SCOPED_CACHES). Violating it is safe but
+    slow: results stay deterministic, the shared-subtree caching is lost."""
     out = _merge(_MODULES, "QUERIES")
     out.update({n: _scoped(f) for n, f in packs.QUERIES.items()})
     return out
@@ -128,7 +133,7 @@ def full_oracles() -> dict[str, str]:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing registry: 18 extension queries, then 9 packs (pack_r4
     first, then pack_r3, then older), then the core queries that aren't pack
-    members — 50 entries."""
+    members — 50 entries. Same one-live-query contract as full_queries()."""
     ext = _merge(_EXT_MODULES, "QUERIES")
     core = _merge(_CORE_MODULES, "QUERIES")
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(ext)

@@ -13,16 +13,22 @@ pins
 after every round of drops.
 
 Exactly-once: IDENTITY-based, not batch-id-based — each batch anti-joins its
-arriving dirty_ids against the ids already in the match log and appends
-verdicts only for the fresh ones. Batch ids renumber from 0 when a lost
-checkpoint is replaced, so an id-based skip guard would silently drop
-renumbered batches carrying genuinely-new records and double-append
-re-delivered old files under higher-than-logged ids (the drift.py rationale);
-record identity never renumbers. A partially-appended batch followed by a
-replay self-heals: only the missing dirty_ids append. Admission verdicts are
-per-record and the catalog is read-only state, so unlike drift.py no
-read-modify-write versioning is needed; the log itself is the idempotence
-record (the streaming/ingest.py seen-log pattern).
+arriving records against the log and appends verdicts only for the fresh
+ones. Batch ids renumber from 0 when a lost checkpoint is replaced, so an
+id-based skip guard would silently drop renumbered batches carrying
+genuinely-new records and double-append re-delivered old files under
+higher-than-logged ids (the drift.py rationale); record identity never
+renumbers. The identity is the PAIR (dirty_id, dirty_name), not dirty_id
+alone: a feed that re-delivers an id with an UPDATED name is a new record
+version and gets a fresh verdict (keying on id alone would keep the stale
+verdict forever — round-3 ADVICE). And EVERY fresh record logs exactly one
+row: records with zero candidates get an n_candidates=0 verdict (null
+match columns) instead of no row, so they are never re-matched on
+redelivery. A partially-appended batch followed by a replay self-heals:
+only the missing identities append. Admission verdicts are per-record and
+the catalog is read-only state, so unlike drift.py no read-modify-write
+versioning is needed; the log itself is the idempotence record (the
+streaming/ingest.py seen-log pattern).
 
 Scale: per batch, only the ARRIVING records are q-grammed; the catalog
 prefix index is computed once per batch from the catalog table (in
@@ -48,8 +54,8 @@ DIRTY_STREAM_SCHEMA = StructType(
 )
 
 _LOG_SCHEMA = (
-    "dirty_id long, n_candidates long, best_lev long, matched_key long,"
-    " self_match boolean, batch_id long"
+    "dirty_id long, dirty_name string, n_candidates long, best_lev long,"
+    " matched_key long, self_match boolean, batch_id long"
 )
 
 
@@ -60,6 +66,23 @@ def read_match_log(spark: SparkSession, log_dir: str) -> DataFrame:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         return spark.createDataFrame([], _LOG_SCHEMA)
+
+
+def _complete_verdicts(dirty: DataFrame, catalog_df: DataFrame) -> DataFrame:
+    """One verdict row per distinct (dirty_id, dirty_name): the matcher's
+    verdict where candidates exist, an n_candidates=0 row (null match
+    columns) where none do — the matcher's inner fan-back drops
+    zero-candidate records, which would leave their identity unlogged and
+    re-match them on every redelivery (round-3 ADVICE)."""
+    matched = match_names_segments(dirty, catalog_df, keep_name=True)
+    return dirty.join(matched, ["dirty_id", "dirty_name"], "left").select(
+        "dirty_id",
+        "dirty_name",
+        F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+        "best_lev",
+        "matched_key",
+        "self_match",
+    )
 
 
 def stream_resolve(
@@ -84,18 +107,21 @@ def stream_resolve(
         log = read_match_log(sess, log_dir)
         # Identity-based idempotence (NO batch-id comparison — ids renumber
         # from 0 under a replaced checkpoint; see module docstring): only
-        # records whose dirty_id is not already logged are matched and
-        # appended, so retries, renumbered batches, and partial appends all
-        # converge to exactly one verdict per record. Per-batch cost is one
-        # anti-join probe of the log's id column (in production the log is
-        # an indexed table; here a column-pruned parquet scan).
-        fresh = batch_df.join(
-            log.select("dirty_id").distinct(), "dirty_id", "left_anti"
+        # record VERSIONS — (dirty_id, dirty_name) pairs — not already
+        # logged are matched and appended, so retries, renumbered batches,
+        # partial appends, and updated feed rows all converge to exactly one
+        # verdict per record version. Per-batch cost is one anti-join probe
+        # of the log's identity columns (in production the log is an indexed
+        # table; here a column-pruned parquet scan).
+        fresh = batch_df.distinct().join(
+            log.select("dirty_id", "dirty_name").distinct(),
+            ["dirty_id", "dirty_name"],
+            "left_anti",
         )
         if not fresh.take(1):
             return  # fully-applied retry — nothing new
-        matched = match_names_segments(fresh, catalog_df)
-        matched.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        verdicts = _complete_verdicts(fresh, catalog_df)
+        verdicts.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(log_dir)
 
@@ -111,7 +137,8 @@ def stream_resolve(
 def batch_equivalent(
     spark: SparkSession, dirty_dir: str, catalog_df: DataFrame
 ) -> DataFrame:
-    """What the accumulated log must equal: one batch match over everything
-    that has arrived."""
-    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir)
-    return match_names_segments(dirty, catalog_df)
+    """What the accumulated log must equal: one batch match over every
+    distinct record version that has arrived, zero-candidate verdicts
+    included."""
+    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir).distinct()
+    return _complete_verdicts(dirty, catalog_df)

@@ -74,15 +74,24 @@ def _scan_latest_complete(runs_dir: str) -> int:
     return max(out, default=-1)
 
 
-def _has_flat_layout(runs_dir: str) -> bool:
-    """True when runs_dir holds bare parquet data files (the pre-pointer flat
-    layout) rather than runs_v*/ version dirs."""
+def _flat_layout_files(runs_dir: str) -> list[str]:
+    """The bare parquet data files of a pre-pointer FLAT-layout table (empty
+    list when runs_dir is versioned or absent). Listed file-by-file so a
+    flat read can never sweep in runs_v*/meta subdirs — a crash between the
+    runs_v0 write and the meta flip leaves such a subdir, and Spark's
+    partition discovery over the parent dir would double-read it."""
     from pathlib import Path
 
     root = Path(runs_dir)
-    return root.is_dir() and any(
-        f.suffix == ".parquet" and f.is_file() for f in root.iterdir()
+    if not root.is_dir():
+        return []
+    return sorted(
+        str(f) for f in root.iterdir() if f.suffix == ".parquet" and f.is_file()
     )
+
+
+def _has_flat_layout(runs_dir: str) -> bool:
+    return bool(_flat_layout_files(runs_dir))
 
 
 def _read_meta(spark: SparkSession, runs_dir: str) -> int:
@@ -106,30 +115,47 @@ def _read_meta(spark: SparkSession, runs_dir: str) -> int:
 
 def read_runs(spark: SparkSession, runs_dir: str) -> DataFrame:
     """Current run table — the version the meta pointer names (empty before
-    the first snapshot). The state is pointer-swapped, never overwritten in
-    place: a plain `overwrite` of the run table is not atomic (a crash
-    mid-commit leaves a corrupt dir whose max(v_to) watermark regresses, and
-    the next merge silently re-applies history); writing runs_v{n+1} and
-    flipping the 1-row meta last makes every crash window recoverable —
-    the drift.py state contract. A lost meta is recovered by scanning for the
-    newest committed runs_v* dir, and a legacy FLAT-layout table (bare
-    parquet files written before the pointer-swap change, so no meta and no
-    version dirs) is migrated in place to runs_v0 + meta on first read
-    instead of being silently treated as empty."""
+    the first snapshot). STRICTLY READ-ONLY (round-3 ADVICE: a read that
+    writes lets two concurrent readers race the runs_v0/meta overwrites).
+    The state is pointer-swapped, never overwritten in place: a plain
+    `overwrite` of the run table is not atomic (a crash mid-commit leaves a
+    corrupt dir whose max(v_to) watermark regresses, and the next merge
+    silently re-applies history); writing runs_v{n+1} and flipping the 1-row
+    meta last makes every crash window recoverable — the drift.py state
+    contract. A lost meta is recovered by scanning for the newest committed
+    runs_v* dir, and a legacy FLAT-layout table (bare parquet files written
+    before the pointer-swap change, so no meta and no version dirs) is read
+    in place — never silently treated as empty, which would regress the
+    watermark. Migration to the versioned layout happens on the next WRITE
+    (the sink's pointer flip lands the merged state at runs_v0) or via the
+    explicit migrate_flat_layout() step."""
     last = _read_meta(spark, runs_dir)
     if last < 0:
-        if _has_flat_layout(runs_dir):
-            legacy = spark.read.schema(_RUNS_SCHEMA).parquet(runs_dir)
-            legacy.write.mode("overwrite").parquet(f"{runs_dir}/runs_v0")
-            spark.createDataFrame([(0,)], _META_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(f"{runs_dir}/meta")
-            last = 0  # the flat files stay in place (harmless: reads are
-            # version-dir-scoped from here on) — deleting user data during a
-            # read is not this function's call.
-        else:
-            return spark.createDataFrame([], _RUNS_SCHEMA)
+        flat = _flat_layout_files(runs_dir)
+        if flat:
+            # the bare data files only, never the parent dir: a crashed
+            # migration's half-written runs_v0 subdir must not be swept in
+            return spark.read.schema(_RUNS_SCHEMA).parquet(*flat)
+        return spark.createDataFrame([], _RUNS_SCHEMA)
     return spark.read.schema(_RUNS_SCHEMA).parquet(f"{runs_dir}/runs_v{last}")
+
+
+def migrate_flat_layout(spark: SparkSession, runs_dir: str) -> bool:
+    """Explicit one-time migration of a legacy flat-layout run table to the
+    pointer-swapped versioned layout (runs_v0 + meta). Single-writer admin
+    step — run it while no stream is writing, like any table migration.
+    Returns True if a migration happened. The flat files stay in place
+    (reads are version-dir-scoped once meta exists); deleting user data is
+    the operator's call, not this function's."""
+    flat = _flat_layout_files(runs_dir)
+    if _read_meta(spark, runs_dir) >= 0 or not flat:
+        return False
+    legacy = spark.read.schema(_RUNS_SCHEMA).parquet(*flat)
+    legacy.write.mode("overwrite").parquet(f"{runs_dir}/runs_v0")
+    spark.createDataFrame([(0,)], _META_SCHEMA).write.mode("overwrite").parquet(
+        f"{runs_dir}/meta"
+    )
+    return True
 
 
 def _gc_versions(runs_dir: str, keep: set[int]) -> None:

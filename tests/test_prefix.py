@@ -129,3 +129,20 @@ def test_manifest_rejects_unclustered_table(spark, tmp_path):
     back = spark.read.parquet(path)
     with _pytest.raises(ValueError, match="not range-clustered"):
         collect_range_manifest(back, ["key"], sum_col="size")
+
+
+def test_null_order_key_raises(spark):
+    """ADVICE r3: a NULL order key used to TypeError in the driver-side
+    boundary comparison (or silently land in range 0). Must fail loudly,
+    from the existing stats job — no extra pass."""
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), ("c", 3)], "key string, size long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        with_global_order(df, ["key"], sum_col="size")
+    # multi-column keys: NULL in ANY order column is rejected
+    df2 = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 3)], "key string, size long"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        with_global_order(df2, ["key", "size"])

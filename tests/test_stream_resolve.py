@@ -59,7 +59,7 @@ def test_stream_resolve_matches_batch(spark, tmp_path):
         )
         assert got == want
     assert len(got) == len(rows)  # every arriving record got a verdict
-    assert all(r[2] <= 1 for r in got)  # best_lev <= 1: full-recall blocking
+    assert all(r[3] <= 1 for r in got)  # best_lev <= 1: full-recall blocking
 
 
 def test_stream_resolve_replay_is_skipped(spark, tmp_path):
@@ -114,3 +114,66 @@ def test_checkpoint_replacement_no_loss_no_dupes(spark, tmp_path):
     assert got == want  # new record admitted, nothing lost
     ids = [r["dirty_id"] for r in log.select("dirty_id").collect()]
     assert len(ids) == len(set(ids)) == 3  # re-delivered records not duplicated
+
+
+def test_updated_name_gets_fresh_verdict(spark, tmp_path):
+    """Identity is the (dirty_id, dirty_name) PAIR: re-delivering an id with
+    an UPDATED name is a new record version and must be re-matched — keying
+    on dirty_id alone kept the stale verdict forever (round-3 ADVICE)."""
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    v1 = [(1000, "amber bronze copper di")]  # matches key 1 at lev 1... and 2
+    spark.createDataFrame(v1, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
+
+    # the feed corrects the record: same id, new name (now nearest key 3)
+    v2 = [(1000, "lavender rose mint sk")]
+    spark.createDataFrame(v2, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
+
+    log = read_match_log(spark, log_dir)
+    got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+    want = sorted(tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect())
+    assert got == want
+    assert len(got) == 2  # one verdict per record VERSION
+    by_name = {r[1]: r[4] for r in got}  # dirty_name -> matched_key
+    assert by_name["lavender rose mint sk"] == 3  # the update was re-matched
+
+
+def test_zero_candidate_record_logged_once(spark, tmp_path):
+    """A record no catalog name comes near must still log exactly one
+    n_candidates=0 verdict row — the matcher's inner fan-back drops it, and
+    an unlogged identity was re-matched on every redelivery (round-3
+    ADVICE)."""
+    import shutil
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    rows = [(2000, "zzzzzzzzzzzzzzzzzzzzzz"), _drop("amber bronze copper dim", 0)]
+    spark.createDataFrame(rows, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
+
+    log = read_match_log(spark, log_dir)
+    zero = {tuple(r) for r in log.filter(F.col("dirty_id") == 2000).drop("batch_id").collect()}
+    assert zero == {(2000, "zzzzzzzzzzzzzzzzzzzzzz", 0, None, None, None)}
+    got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+    want = sorted(tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect())
+    assert got == want
+
+    # replay under a REPLACED checkpoint: the zero-candidate identity is in
+    # the log, so redelivery appends nothing — no per-redelivery re-match
+    shutil.rmtree(ckpt)
+    stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
+    assert read_match_log(spark, log_dir).count() == 2

@@ -9,6 +9,7 @@ import shutil
 from s3bigdatasync_spark.operators.timeline import collapse_runs
 from s3bigdatasync_spark.streaming.scd2 import (
     SNAPSHOT_STREAM_SCHEMA,
+    migrate_flat_layout,
     read_runs,
     stream_snapshot_history,
 )
@@ -100,26 +101,52 @@ def test_meta_loss_recovery(spark, tmp_path):
     assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(collapse_runs(versions))
 
 
-def test_legacy_flat_layout_migrates(spark, tmp_path):
-    """A run table written by the pre-pointer FLAT layout (bare parquet files,
-    no meta, no runs_v* dirs) must migrate to runs_v0 + meta on first read —
-    silently treating it as empty would regress the watermark and re-apply
-    history (round-3 ADVICE)."""
-    snaps = str(tmp_path / "snaps")
+def _mk_flat_legacy(spark, tmp_path):
     runs_dir = str(tmp_path / "runs")
-    ckpt = str(tmp_path / "ckpt")
-
     v12 = spark.createDataFrame(
         [r for r in ROWS if r[1] <= 2], "key string, v int, etag string, size long"
     )
     legacy = collapse_runs(v12).select("key", "run_id", "etag", "v_from", "v_to", "size")
     legacy.coalesce(1).write.mode("overwrite").parquet(runs_dir)  # flat layout
+    return runs_dir, legacy
 
-    migrated = read_runs(spark, runs_dir)  # triggers in-place migration
-    assert _runs_set(migrated) == _runs_set(legacy)
 
-    # the migrated state carries its watermark: streaming v3 merges on top,
-    # and the re-delivery of v1/v2 snapshot files is skipped by max(v_to)
+def test_legacy_flat_layout_reads_in_place(spark, tmp_path):
+    """A run table written by the pre-pointer FLAT layout (bare parquet files,
+    no meta, no runs_v* dirs) must read in place — silently treating it as
+    empty would regress the watermark and re-apply history (round-3 ADVICE).
+    And read_runs must stay READ-ONLY: no meta/runs_v0 side effects (round-3
+    ADVICE follow-up — a read that writes races concurrent readers)."""
+    from pathlib import Path
+
+    runs_dir, legacy = _mk_flat_legacy(spark, tmp_path)
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(legacy)
+    # two concurrent-reader-safe reads, zero writes
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(legacy)
+    assert not (Path(runs_dir) / "meta").exists()
+    assert not (Path(runs_dir) / "runs_v0").exists()
+
+
+def test_explicit_flat_migration(spark, tmp_path):
+    """migrate_flat_layout is the explicit admin step: flat -> runs_v0+meta,
+    idempotent, and a no-op on already-versioned tables."""
+    from pathlib import Path
+
+    runs_dir, legacy = _mk_flat_legacy(spark, tmp_path)
+    assert migrate_flat_layout(spark, runs_dir) is True
+    assert (Path(runs_dir) / "meta").exists()
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(legacy)
+    assert migrate_flat_layout(spark, runs_dir) is False  # second call: no-op
+
+
+def test_flat_layout_migrates_on_write(spark, tmp_path):
+    """Without the explicit step, the WRITE path lands the migration: the
+    sink merges on top of the flat state and its pointer flip creates
+    runs_v0 — the flat table's watermark still skips re-delivered v1/v2."""
+    snaps = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    runs_dir, _ = _mk_flat_legacy(spark, tmp_path)
+
     spark.createDataFrame(ROWS, SNAPSHOT_STREAM_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(snaps)
