@@ -104,6 +104,48 @@ HEADLINE = [
 ]
 
 
+def _load_reference(sf_label: str):
+    """Previous committed snapshot to gate regressions against: explicit
+    $SPARK_GRAFT_BENCH_REF path, else the highest-round
+    BENCH_LOCAL_sf{sf}_r*.json in the repo root. (ref_name, data) or None."""
+    import re
+
+    ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
+    if ref_path:
+        p = Path(ref_path)
+        return (p.name, json.loads(p.read_text())) if p.exists() else None
+    cands = [
+        (int(m.group(1)), p)
+        for p in _REPO.glob(f"BENCH_LOCAL_sf{sf_label}_r*.json")
+        if (m := re.search(r"_r(\d+)\.json$", p.name))
+    ]
+    if not cands:
+        return None
+    p = max(cands)[1]
+    return (p.name, json.loads(p.read_text()))
+
+
+def _regressions(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    ref: dict,
+    floor: float = 0.15,
+) -> dict[str, dict]:
+    """Queries whose median worsened beyond noise: now > ref + 2×spread
+    (the larger of the recorded and current run-to-run spread, floored so a
+    5 ms query's zero spread can't flag a 20 ms wobble). Mechanical
+    noise-vs-regression separation for the per-round verdict (r3 item 8)."""
+    ref_t, ref_s = ref.get("queries", {}), ref.get("spread", {})
+    out = {}
+    for name, now in timings.items():
+        if name not in ref_t:
+            continue  # new this round — nothing to regress against
+        tol = 2 * max(ref_s.get(name, 0.0), spreads.get(name, 0.0), floor)
+        if now > ref_t[name] + tol:
+            out[name] = {"ref": ref_t[name], "now": now, "tol": round(tol, 3)}
+    return out
+
+
 def main() -> None:
     from s3bigdatasync_spark.session import get_spark
     from s3bigdatasync_spark import registry
@@ -149,6 +191,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    ref = _load_reference(sf)
     print(
         json.dumps(
             {
@@ -159,6 +202,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_runs": n_runs,
                 "spread": spreads,
+                "ref_snapshot": ref[0] if ref else None,
+                "regressions": _regressions(timings, spreads, ref[1]) if ref else {},
             }
         )
     )
