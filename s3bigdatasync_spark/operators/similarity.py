@@ -236,6 +236,85 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", "embedding").mapInPandas(kernel, schema)
 
 
+OUTLIER_K = 50
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the OUTLIER_K vectors FARTHEST from
+    their assigned IVF centroid — the standard embedding-quality triage
+    before clustering-based curation (SemDeDup §3 discards per-cluster
+    outliers; mislabeled/garbage embeddings surface here first).
+
+    Same broadcast-centroid + Arrow kernel as ivf_assign (distances never
+    shuffle — each Arrow batch scores locally), then one global
+    TakeOrderedAndProject on (d2 DESC, vec_id) — top-k over n vectors, no
+    full sort, no window. Oracle-checkable because distances round to 6dp
+    BEFORE ranking and vec_id breaks ties (the ivf_assign float contract),
+    so both engines select the identical row set at any K."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    cents = label_centroids(spark, sf_dir).toPandas()
+    out_schema = "vec_id long, label int, assigned int, d2 double"
+    if not len(cents):
+        return spark.createDataFrame([], out_schema)
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    C = np.zeros((len(labels), dim))
+    for li, lab in enumerate(labels):
+        sub = cents[cents["label"] == lab].sort_values("dim")
+        C[li] = sub["centroid_v"].to_numpy()
+    bc = spark.sparkContext.broadcast((np.array(labels), C))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        labs, cmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+            d2 = _np.round(((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
+            idx = d2.argmin(axis=1)  # labs sorted asc → ties break by label
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "assigned": labs[idx],
+                    "d2": d2[_np.arange(len(idx)), idx],
+                }
+            )
+
+    scored = emb.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, out_schema
+    )
+    return scored.orderBy(F.desc("d2"), "vec_id").limit(OUTLIER_K)
+
+
+_EMBEDDING_OUTLIERS_SQL = f"""
+WITH cent AS ({_CENTROIDS_SQL}),
+vecs AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+d AS (
+  SELECT v.vec_id, v.label, c.label AS clabel,
+         round(sum((v.v - c.centroid_v) * (v.v - c.centroid_v)), 6) AS d2
+  FROM vecs v JOIN cent c ON c.dim = v.dim
+  GROUP BY v.vec_id, v.label, c.label
+),
+r AS (
+  SELECT vec_id, label, clabel,  d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM d
+)
+SELECT vec_id, label, clabel AS assigned, d2
+FROM r WHERE rn = 1
+ORDER BY d2 DESC, vec_id LIMIT {OUTLIER_K}
+"""
+
+
 # --- Johnson-Lindenstrauss random projection --------------------------------
 
 RP_DIMS = 16
@@ -574,6 +653,7 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
+    "embedding_outliers": embedding_outliers,
     "lsh_buckets": lsh_buckets,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_project": embedding_project,
@@ -606,6 +686,7 @@ ORACLES = {
     "ann_recall_audit": _ANN_RECALL_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "ivf_assign": _IVF_ASSIGN_SQL,
+    "embedding_outliers": _EMBEDDING_OUTLIERS_SQL,
     "lsh_buckets": _LSH_BUCKETS_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "embedding_project": _rp_sql(),

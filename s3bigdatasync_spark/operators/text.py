@@ -1057,6 +1057,65 @@ FROM syms"""
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY under the learned BPE merges — BPE
+    symbols emitted per whitespace word, the standard cross-source tokenizer
+    health metric (a source whose fertility is 2× the corpus mean is paying
+    2× its share of the context window; the signal that drives vocab
+    re-training or per-source mixing adjustments).
+
+    Cost over bpe_tokenize is ONE extra groupBy(source) — map-side
+    combinable to ≤|sources| rows; the merge table itself is the bpe_merges
+    driver loop (1 row per round, the legitimate model state). Fertility is
+    a ratio of exact integer sums (symbol and word counts), so the 6dp
+    rounding is engine-exact by construction."""
+    docs = prepared(spark, sf_dir).table("documents")
+    per_doc = bpe_tokenize(spark, sf_dir).select("doc_id", "n_symbols")
+    words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    base = docs.select("doc_id", "source", words.cast("long").alias("n_words"))
+    agg = (
+        base.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6).alias("fertility"),
+    )
+
+
+def _fertility_sql() -> str:
+    ctes, _selects = _bpe_ctes(final_apply=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+syms AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(s), ' '), x -> x <> '')) AS n_symbols
+  FROM s{BPE_ROUNDS}
+),
+base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT b.source, count(*) AS n_docs,
+       cast(sum(b.n_words) AS BIGINT) AS n_words,
+       cast(sum(sy.n_symbols) AS BIGINT) AS n_bpe_tokens,
+       round(sum(sy.n_symbols) / CAST(sum(b.n_words) AS DOUBLE), 6) AS fertility
+FROM base b JOIN syms sy USING (doc_id)
+GROUP BY b.source"""
+    )
+
+
 # --- vocab_coverage: tokenizer-coverage analysis -----------------------------
 
 VOCAB_V = 256  # top-V corpus tokens form the "tokenizer vocabulary"
@@ -1209,6 +1268,7 @@ QUERIES = {
     "bpe_merges": bpe_merges,
     "temperature_mix_weights": temperature_mix_weights,
     "bpe_tokenize": bpe_tokenize,
+    "tokenizer_fertility": tokenizer_fertility,
     "vocab_coverage": vocab_coverage,
     "bigram_pmi": bigram_pmi,
     "token_stats": token_stats,
@@ -1231,6 +1291,7 @@ ORACLES = {
     "bpe_merges": _bpe_sql(),
     "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
     "bpe_tokenize": _bpe_tokenize_sql(),
+    "tokenizer_fertility": _fertility_sql(),
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "decontaminate": _DECONTAMINATE_SQL,
     "repetition_stats": _REPETITION_SQL,
