@@ -82,14 +82,18 @@ PACK_SPECS: dict[str, list[str]] = {
     # round-4 additions, FIRST among the packs (forward-ordering: each
     # round's new work precedes all older packs): the DF_CAP'd shingle pair
     # joins (scale-safe under boilerplate df skew), the df spectrum that
-    # justifies the cap, first-occurrence novelty triage, plus top_tokens
-    # (folded from standalone to keep the driver registry at 50)
+    # justifies the cap, first-occurrence novelty triage, plus top_tokens,
+    # embedding_outliers and tokenizer_fertility (folded from standalone to
+    # keep the driver registry at 50 — r6 fix restoring etag_props /
+    # multipart_etag to the driver window)
     "pack_r4": [
         "ngram_jaccard_pairs_capped",
         "containment_pairs_capped",
         "df_spectrum",
         "shingle_novelty",
         "top_tokens",
+        "embedding_outliers",
+        "tokenizer_fertility",
     ],
     # round-3 additions, FIRST among the packs (new queries precede the
     # packs in driver insertion order — the forward-ordering discipline):
@@ -244,6 +248,19 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("novelty", "num"),
     ],
     "top_tokens": [("token", "str"), ("freq", "int")],
+    "embedding_outliers": [
+        ("vec_id", "int"),
+        ("label", "int"),
+        ("assigned", "int"),
+        ("d2", "num"),
+    ],
+    "tokenizer_fertility": [
+        ("source", "str"),
+        ("n_docs", "int"),
+        ("n_words", "int"),
+        ("n_bpe_tokens", "int"),
+        ("fertility", "num"),
+    ],
     "mpu_orphan_sweep": [
         ("storage_class", "str"),
         ("age_bucket", "str"),

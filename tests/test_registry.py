@@ -5,7 +5,7 @@ driver's 50-entry budget while covering every individual query's semantics
 from s3bigdatasync_spark import registry
 from s3bigdatasync_spark.operators import packs
 
-DRIVER_CAP = 50
+DRIVER_CAP = registry.DRIVER_CAP
 
 
 def test_driver_registry_within_cap():
@@ -15,6 +15,24 @@ def test_driver_registry_within_cap():
     o = registry.all_oracles()
     assert set(o) <= set(q)
     assert {n for n in q if n not in o} == set()
+
+
+def test_etag_queries_in_driver_window():
+    """The multipart-ETag family (the §2 surface's one custom UDF) must carry
+    a driver row — it was silently capped out in r04/r05."""
+    q = registry.all_queries()
+    assert "etag_props" in q
+    assert "multipart_etag" in q
+
+
+def test_oversized_registry_raises(monkeypatch):
+    """An overflow past the driver cap must fail loudly at the entry point,
+    naming the entries the driver would drop — never ship silently again."""
+    import pytest
+
+    monkeypatch.setattr(registry, "DRIVER_CAP", 10)
+    with pytest.raises(AssertionError, match="cap 10"):
+        registry.all_queries()
 
 
 def test_every_query_driver_checked():
