@@ -113,7 +113,14 @@ def _load_reference(sf_label: str):
     ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
     if ref_path:
         p = Path(ref_path)
-        return (p.name, json.loads(p.read_text())) if p.exists() else None
+        if not p.exists():
+            # an explicitly-requested reference that's missing must not
+            # silently disable the regression gate (ADVICE r4, low)
+            raise FileNotFoundError(
+                f"SPARK_GRAFT_BENCH_REF={ref_path} does not exist — unset it "
+                "to fall back to the latest committed BENCH_LOCAL snapshot"
+            )
+        return (p.name, json.loads(p.read_text()))
     cands = [
         (int(m.group(1)), p)
         for p in _REPO.glob(f"BENCH_LOCAL_sf{sf_label}_r*.json")

@@ -260,7 +260,13 @@ def _cmd_layout_rewrite(spark: SparkSession, args) -> int:
         # keys/sum_col metadata lets queries auto-consult this layout: write
         # to {sf_dir}/_layouts/{table} and task_batches / dedup_anti_join /
         # compaction_plan skip their boundary-discovery job automatically
-        path = save_range_manifest(manifest, args.out, keys=keys, sum_col=args.sum_col)
+        path = save_range_manifest(
+            manifest,
+            args.out,
+            keys=keys,
+            sum_col=args.sum_col,
+            source_dir=args.sf_dir,
+        )
         print(
             f"range layout: {args.n} write-ranges -> {len(manifest)} manifest"
             f" ranges on {keys} at {args.out}; manifest {path}"

@@ -120,17 +120,43 @@ MANIFEST_FILE = "_range_manifest.json"
 LAYOUTS_DIR = "_layouts"  # sf_dir/_layouts/<table> — the auto-consult convention
 
 
+def _source_fingerprint(sf_dir: str) -> list:
+    """(relative path, size, mtime_ns) of every base-table parquet file in
+    sf_dir — the freshness witness a saved layout records, so a stale layout
+    copy is never consulted after the live tables change (round-4 ADVICE:
+    without it, task_batches/dedup_anti_join/compaction_plan would silently
+    compute over the old layout while an oracle reads the new data). Listing
+    only — no file contents are read; O(#files) stat calls."""
+    from pathlib import Path
+
+    root = Path(sf_dir)
+    out: list[list] = []
+    for table in sorted(root.glob("*.parquet")):
+        files = [table] if table.is_file() else sorted(
+            f
+            for f in table.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        for f in files:
+            st = f.stat()
+            out.append([str(f.relative_to(root)), st.st_size, st.st_mtime_ns])
+    return out
+
+
 def save_range_manifest(
     manifest: list[tuple],
     layout_path: str,
     keys: list[str] | None = None,
     sum_col: str | None = None,
+    source_dir: str | None = None,
 ) -> str:
     """Persist a collect_range_manifest result as JSON beside the layout
     (the poor man's table-format manifest). Bounds serialize as scalars or
     lists (multi-column keys); timestamps/dates via str(). `keys`/`sum_col`
     record what the manifest was collected over, so auto-consult can refuse
-    a manifest that doesn't match a query's order columns."""
+    a manifest that doesn't match a query's order columns; `source_dir`
+    (the sf_dir the layout was derived from) records a source fingerprint so
+    auto-consult can refuse a layout whose live tables have since changed."""
     import json
     from pathlib import Path
 
@@ -142,7 +168,15 @@ def save_range_manifest(
     out = Path(layout_path) / MANIFEST_FILE
     ranges = [[enc(lo), c, t] for lo, c, t in manifest]
     out.write_text(
-        json.dumps({"keys": keys, "sum_col": sum_col, "ranges": ranges}) + "\n"
+        json.dumps(
+            {
+                "keys": keys,
+                "sum_col": sum_col,
+                "source_fp": _source_fingerprint(source_dir) if source_dir else None,
+                "ranges": ranges,
+            }
+        )
+        + "\n"
     )
     return str(out)
 
@@ -174,8 +208,12 @@ def load_table_layout(
     automatically, which drops with_global_order's boundary-discovery pass —
     one fewer job per query, exactly what a Delta/Iceberg manifest would
     supply for free. A manifest collected over different keys (or missing
-    the needed sum column) is ignored, not misused; sf_dirs without layouts
-    (the driver's read-only testdata) fall back to self-discovery."""
+    the needed sum column) is ignored, not misused; so is one whose recorded
+    source fingerprint no longer matches the live sf_dir tables (or that
+    predates fingerprinting) — a stale layout silently serving old data is a
+    correctness landmine, falling back to self-discovery is merely slower
+    (round-4 ADVICE). sf_dirs without layouts (the driver's read-only
+    testdata) fall back to self-discovery."""
     import json
     from pathlib import Path
 
@@ -186,6 +224,9 @@ def load_table_layout(
     if not isinstance(raw, dict) or raw.get("keys") != list(order_cols):
         return None
     if sum_col is not None and raw.get("sum_col") != sum_col:
+        return None
+    fp = raw.get("source_fp")
+    if fp is None or fp != _source_fingerprint(sf_dir):
         return None
     return spark.read.parquet(str(mf.parent)), _decode_manifest(raw)
 

@@ -68,6 +68,56 @@ def read_match_log(spark: SparkSession, log_dir: str) -> DataFrame:
         return spark.createDataFrame([], _LOG_SCHEMA)
 
 
+def migrate_legacy_log(
+    spark: SparkSession, log_dir: str, dirty_dir: str, catalog_df: DataFrame
+) -> bool:
+    """One-time migration of a PRE-pair-identity match log to the
+    (dirty_id, dirty_name) identity scheme — the scd2.migrate_flat_layout
+    counterpart for this module's state.
+
+    A log written before `dirty_name` joined _LOG_SCHEMA reads back with
+    dirty_name=NULL (schema-on-read fills the missing column). The sink's
+    idempotence anti-join uses null-UNSAFE equality on the pair, so a NULL
+    legacy row never matches its redelivered record: every previously-logged
+    record would be re-matched on the next redelivery and the log would
+    permanently diverge from batch_equivalent (round-4 ADVICE, medium).
+
+    Migration recomputes verdicts for the legacy ids from the dirty source
+    (the catalog is read-only state, so verdicts are deterministic) and
+    rewrites the log without the NULL-name rows, tagged batch_id=-1. A
+    pair-identity row already present for a legacy id's record version is
+    kept, not recomputed. Single-writer admin step (run while no stream
+    writes), like any table migration; the rewrite stages through
+    `{log_dir}_migrating` — required anyway (Spark cannot overwrite a path
+    it is reading) and it doubles as the recovery copy if the final
+    overwrite crashes mid-write (re-read the staged dir). Returns True if a
+    migration happened."""
+    log = read_match_log(spark, log_dir)
+    legacy_ids = (
+        log.where(F.col("dirty_name").isNull()).select("dirty_id").distinct()
+    )
+    if not legacy_ids.take(1):
+        return False
+    keep = log.where(F.col("dirty_name").isNotNull())
+    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir).distinct()
+    todo = dirty.join(legacy_ids, "dirty_id", "semi").join(
+        keep.select("dirty_id", "dirty_name").distinct(),
+        ["dirty_id", "dirty_name"],
+        "left_anti",
+    )
+    migrated = keep.unionByName(
+        _complete_verdicts(todo, catalog_df).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        )
+    )
+    staged = log_dir.rstrip("/") + "_migrating"
+    migrated.write.mode("overwrite").parquet(staged)
+    spark.read.schema(_LOG_SCHEMA).parquet(staged).write.mode("overwrite").parquet(
+        log_dir
+    )
+    return True
+
+
 def _complete_verdicts(dirty: DataFrame, catalog_df: DataFrame) -> DataFrame:
     """One verdict row per distinct (dirty_id, dirty_name): the matcher's
     verdict where candidates exist, an n_candidates=0 row (null match
@@ -105,6 +155,18 @@ def stream_resolve(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         log = read_match_log(sess, log_dir)
+        # A pre-pair-identity log reads back with dirty_name=NULL; the
+        # null-unsafe pair anti-join below would never match those rows, so
+        # every legacy record would silently re-match on redelivery and the
+        # log would diverge from batch_equivalent forever. Fail loudly and
+        # name the admin step instead (round-4 ADVICE, medium).
+        if log.where(F.col("dirty_name").isNull()).take(1):
+            raise RuntimeError(
+                f"match log at {log_dir} contains legacy rows with "
+                "dirty_name=NULL (written before pair identity); run "
+                "streaming.resolve.migrate_legacy_log(spark, log_dir, "
+                "dirty_dir, catalog_df) once before streaming"
+            )
         # Identity-based idempotence (NO batch-id comparison — ids renumber
         # from 0 under a replaced checkpoint; see module docstring): only
         # record VERSIONS — (dirty_id, dirty_name) pairs — not already

@@ -39,7 +39,10 @@ def layout_sf(spark, tmp_path_factory):
     manifest = collect_range_manifest(
         spark.read.parquet(str(out)), ["key", "size"], sum_col="size"
     )
-    save_range_manifest(manifest, str(out), keys=["key", "size"], sum_col="size")
+    save_range_manifest(
+        manifest, str(out), keys=["key", "size"], sum_col="size",
+        source_dir=str(root),
+    )
     _PREPARED.clear()
     return str(root)
 
@@ -92,3 +95,79 @@ def test_mismatched_manifest_is_refused(spark, layout_sf):
     assert got is not None and len(got[1]) > 1
     # absent layout -> None
     assert load_table_layout(spark, SF_SMALL, "inventory_src", ["key", "size"]) is None
+
+
+def test_stale_layout_is_refused(spark, tmp_path):
+    """A layout whose source tables changed after `layout-rewrite` must be
+    ignored — consulting the stale copy would silently serve old data while
+    the oracle reads the live table (round-4 ADVICE, medium). The saved
+    manifest records a source fingerprint (file sizes/mtimes); on mismatch
+    load_table_layout returns None and queries fall back to self-discovery,
+    matching the oracle on the NEW data."""
+    import shutil
+
+    root = tmp_path / "sf_clone"
+    root.mkdir()
+    for f in Path(SF_SMALL).glob("*.parquet"):
+        shutil.copy(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+    _PREPARED.clear()
+    inv = prepared(spark, str(root)).table("inventory_src")
+    inv.repartitionByRange(8, "key", "size").write.mode("overwrite").parquet(str(out))
+    manifest = collect_range_manifest(
+        spark.read.parquet(str(out)), ["key", "size"], sum_col="size"
+    )
+    save_range_manifest(
+        manifest, str(out), keys=["key", "size"], sum_col="size",
+        source_dir=str(root),
+    )
+    _PREPARED.clear()
+    assert (
+        load_table_layout(spark, str(root), "inventory_src", ["key", "size"])
+        is not None
+    )
+
+    # the live table changes after the layout was written: lineitem (the
+    # inventory_src source) shrinks to half its rows
+    li = spark.read.parquet(str(root / "lineitem.parquet"))
+    half = li.limit(li.count() // 2)
+    tmp_li = tmp_path / "li_new.parquet"
+    half.coalesce(1).write.mode("overwrite").parquet(str(tmp_li))
+    (root / "lineitem.parquet").unlink()
+    shutil.copy(next(tmp_li.glob("part-*.parquet")), root / "lineitem.parquet")
+    _PREPARED.clear()
+
+    # the stale layout is refused...
+    assert (
+        load_table_layout(spark, str(root), "inventory_src", ["key", "size"]) is None
+    )
+    # ...and the consulting query self-discovers over the NEW data: its
+    # object count reflects the shrunken table, not the stale layout copy
+    n_new = prepared(spark, str(root)).table("inventory_src").count()
+    _PREPARED.clear()
+    got = joins.task_batches(spark, str(root))
+    assert got.agg({"n_objects": "sum"}).collect()[0][0] == n_new
+    _PREPARED.clear()
+
+
+def test_unfingerprinted_legacy_manifest_is_refused(spark, tmp_path):
+    """A manifest saved before fingerprinting (no source_fp key) cannot
+    prove freshness — refuse it rather than risk stale data."""
+    import json
+
+    root = tmp_path / "sf_legacy"
+    root.mkdir()
+    for f in Path(SF_SMALL).glob("*.parquet"):
+        os.symlink(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+    _PREPARED.clear()
+    inv = prepared(spark, str(root)).table("inventory_src")
+    inv.repartitionByRange(8, "key", "size").write.mode("overwrite").parquet(str(out))
+    manifest = collect_range_manifest(spark.read.parquet(str(out)), ["key", "size"])
+    save_range_manifest(manifest, str(out), keys=["key", "size"])  # no source_dir
+    _PREPARED.clear()
+    raw = json.loads((out / "_range_manifest.json").read_text())
+    assert raw["source_fp"] is None
+    assert (
+        load_table_layout(spark, str(root), "inventory_src", ["key", "size"]) is None
+    )

@@ -177,3 +177,76 @@ def test_zero_candidate_record_logged_once(spark, tmp_path):
     shutil.rmtree(ckpt)
     stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
     assert read_match_log(spark, log_dir).count() == 2
+
+
+def test_legacy_log_migration(spark, tmp_path):
+    """A log written BEFORE dirty_name joined _LOG_SCHEMA reads back with
+    dirty_name=NULL; the null-unsafe pair anti-join would re-match every
+    legacy record on redelivery and the log would diverge from
+    batch_equivalent forever (round-4 ADVICE). migrate_legacy_log recomputes
+    the legacy ids' verdicts from the dirty source; after a full-feed
+    redelivery the log must still equal the batch matcher."""
+    import shutil
+
+    from s3bigdatasync_spark.streaming.resolve import migrate_legacy_log
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    feed = [
+        _drop("amber bronze copper dim", 0),
+        _drop("lavender rose mint sky", 1),
+        (2000, "zzzzzzzzzzzzzzzzzzzzzz"),  # zero-candidate record
+    ]
+    spark.createDataFrame(feed, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+
+    # fabricate the legacy on-disk state: the verdicts WITHOUT dirty_name
+    # (the pre-pair-identity schema), one row per dirty_id
+    batch_equivalent(spark, dirty_dir, cat).drop("dirty_name").withColumn(
+        "batch_id", F.lit(0).cast("long")
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+    assert read_match_log(spark, log_dir).where(
+        F.col("dirty_name").isNull()
+    ).count() == len(feed)
+
+    assert migrate_legacy_log(spark, log_dir, dirty_dir, cat) is True
+    assert migrate_legacy_log(spark, log_dir, dirty_dir, cat) is False  # idempotent
+
+    # redeliver the whole feed (fresh checkpoint = every file re-delivers)
+    q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
+    q.awaitTermination(120)
+
+    log = read_match_log(spark, log_dir)
+    got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+    want = sorted(tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect())
+    assert got == want  # nothing re-matched, nothing lost
+    assert log.where(F.col("dirty_name").isNull()).count() == 0
+
+
+def test_unmigrated_legacy_log_fails_loudly(spark, tmp_path):
+    """Streaming over an unmigrated legacy log must refuse to run (naming
+    the migration step), never silently double-append."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    feed = [_drop("amber bronze copper dim", 0)]
+    spark.createDataFrame(feed, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    batch_equivalent(spark, dirty_dir, cat).drop("dirty_name").withColumn(
+        "batch_id", F.lit(0).cast("long")
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+
+    q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
+    with pytest.raises(StreamingQueryException, match="migrate_legacy_log"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
