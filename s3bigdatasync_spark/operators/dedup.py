@@ -91,26 +91,72 @@ _SHINGLES_SQL = rf"""
 """
 
 
-DF_CAP = 64  # shingles in more documents than this never enter an exact pair join
+# Evidence-driven df cap (round-6, replacing the hard-coded DF_CAP=64): the
+# capped pair joins' candidate volume is exactly Σ df·(df−1)/2 over kept
+# shingles, so the cap is DERIVED from the corpus's own df spectrum — the
+# largest df whose cumulative pair mass fits a budget LINEAR in corpus size.
+PAIR_BUDGET_PER_POSTING = 2  # allowed candidate pairs per (doc,shingle) posting
+# Never cap below this floor: shingles at df ≤ F contribute at most
+# (F−1)/2 × postings pairs in total (pairs_d = postings_d·(d−1)/2), so the
+# floor keeps the guarantee linear while protecting the most informative
+# low-df shingles on heavily-duplicated corpora (where even df=2 mass could
+# exceed the budget and an unfloored derivation would cap everything away).
+DF_CAP_FLOOR = 8
+
+
+def derive_df_cap(sh: DataFrame) -> int:
+    """The evidence-driven df cap for a (doc_id, shingle) relation:
+    max(DF_CAP_FLOOR, largest df d with Σ_{df≤d} df·(df−1)/2 ≤
+    PAIR_BUDGET_PER_POSTING × total postings). Total candidate pairs under
+    the derived cap are ≤ max(budget, (FLOOR−1)/2 × postings) — linear in
+    corpus size by construction, which is a stronger guarantee than any
+    fixed absolute cap (whose pair volume still depends on how much mass
+    sits under it). All-integer arithmetic, so the derivation is
+    engine-exact; df_cap_recommendation is the same computation as an
+    oracle-checked relation.
+
+    The collect is bounded model state (the per-df level histogram: ≤
+    #distinct df values ≤ O(√postings) tiny rows — the df_spectrum shape,
+    same class as the K centroids / BPE merge collects)."""
+    levels = sorted(
+        (r["df"], r["n_sh"])
+        for r in sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .groupBy("df")
+        .agg(F.count("*").alias("n_sh"))
+        .collect()
+    )
+    budget = PAIR_BUDGET_PER_POSTING * sum(d * n for d, n in levels)
+    cum, best = 0, 0
+    for d, n in levels:
+        cum += n * (d * (d - 1) // 2)
+        if cum > budget:
+            break
+        best = d
+    return max(DF_CAP_FLOOR, best)
 
 
 def _df_capped(sh: DataFrame) -> DataFrame:
-    """Drop shingles with document frequency > DF_CAP from a (doc_id, shingle)
-    relation. The exact pair joins below are quadratic PER SHINGLE in its df
-    (a df-d shingle emits d·(d−1)/2 candidate rows), so one boilerplate
-    shingle — a license header, navigation chrome — present in 30% of a
-    100 TB corpus would alone emit ~0.045·N² rows and dominate the job. An
-    ABSOLUTE cap bounds every shingle's contribution at DF_CAP²/2 candidates
-    regardless of corpus size (a fractional cutoff like boilerplate_report's
-    5% does not: 0.05N still grows with N). The hot set is the df relation
+    """Drop shingles with document frequency above the DERIVED cap from a
+    (doc_id, shingle) relation. The exact pair joins below are quadratic PER
+    SHINGLE in its df (a df-d shingle emits d·(d−1)/2 candidate rows), so
+    one boilerplate shingle — a license header, navigation chrome — present
+    in 30% of a 100 TB corpus would alone emit ~0.045·N² rows and dominate
+    the job. The cap is derived from the df spectrum (derive_df_cap): total
+    candidate volume is budgeted LINEAR in postings regardless of corpus
+    size (a fractional cutoff like boilerplate_report's 5% is not: 0.05N
+    still grows with N, and a fixed absolute cap bounds per-shingle fan-out
+    but not how much mass sits under it). The hot set is the df relation
     boilerplate_report already computes, reused here as an anti-join probe
     (bloom/semi prune at corpus scale); under Zipf it is a tiny fraction of
     the vocabulary, so the anti-join is cheap and reuses the shingle shuffle
     the df count just performed."""
+    sh = scoped_cache(sh)  # three readers: the derivation, the hot probe, the join
+    cap = derive_df_cap(sh)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > DF_CAP)
+        .filter(F.col("df") > cap)
         .select("shingle")
     )
     return sh.join(hot, "shingle", "left_anti")
@@ -158,12 +204,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard over INFORMATIVE shingles only: both the intersection
-    and the per-doc sizes count shingles with df ≤ DF_CAP, so similarity is
+    and the per-doc sizes count shingles under the derived df cap, so similarity is
     driven by content, not boilerplate (the CCNet/Gopher rationale: strip
     boilerplate BEFORE measuring duplication). Exact for any pair whose
     shingles are all under the cap — on corpora with no boilerplate this
     equals ngram_jaccard_pairs; under df skew it is the scale-safe form
-    (per-shingle candidate fan-out bounded by DF_CAP²/2). Docs whose
+    (total candidate fan-out budgeted linear in postings, derive_df_cap). Docs whose
     shingles are all capped drop out: every candidate join they could enter
     is boilerplate-only."""
     docs = prepared(spark, sf_dir).table("documents")
@@ -172,12 +218,20 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the oracle shingle relations mirror the two engine-side forms exactly:
-# `sh` is the relation the pair math runs over — raw, or df-capped first
+# `sh` is the relation the pair math runs over — raw, or df-capped first.
+# The capped form derives its cap IN SQL with the same all-integer
+# computation as derive_df_cap, so both engines cap identically on any data.
 _UNCAPPED_SH_CTE = f"sh AS ({_SHINGLES_SQL})"
 _CAPPED_SH_CTE = f"""sh0 AS ({_SHINGLES_SQL}),
-hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {DF_CAP}),
-sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
-       WHERE shingle NOT IN (SELECT shingle FROM hot))"""
+dfr AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle),
+bydf AS (SELECT df, count(*) AS n_sh FROM dfr GROUP BY df),
+cum AS (SELECT df, sum(n_sh * (df * (df - 1) // 2)) OVER (ORDER BY df) AS cum_pairs
+        FROM bydf),
+capv AS (SELECT greatest({DF_CAP_FLOOR}, coalesce(max(df), {DF_CAP_FLOOR})) AS cap
+         FROM cum
+         WHERE cum_pairs <= {PAIR_BUDGET_PER_POSTING} * (SELECT coalesce(sum(df), 0) FROM dfr)),
+sh AS (SELECT doc_id, shingle FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM dfr, capv WHERE df > cap))"""
 
 
 def _jaccard_sql(sh_cte: str) -> str:
@@ -1169,7 +1223,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment over df ≤ DF_CAP shingles only — the scale-safe form of
+    """Containment over shingles under the derived df cap only — the scale-safe form of
     containment_pairs for corpora with shared boilerplate (see
     ngram_jaccard_pairs_capped for the semantics and the fan-out bound).
     Identical to containment_pairs when no shingle exceeds the cap; under
@@ -1245,7 +1299,7 @@ _CONTAINMENT_CAPPED_SQL = _containment_sql(_CAPPED_SH_CTE)
 def df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle document-frequency spectrum: how many distinct shingles (and
     how many postings — (doc,shingle) rows) live in each power-of-two df
-    bucket. THE observability behind DF_CAP: the capped pair joins' work is
+    bucket. THE observability behind the derived df cap: the capped pair joins' work is
     Σ df²/2 over kept shingles, and this one scan shows where that mass sits
     and what a given cap excludes. bucket = floor(log2(df)) computed as
     length(bin(df))−1 — integer bit-length, not float log2, so the bucket
@@ -1274,6 +1328,83 @@ SELECT cast(length(bin(df)) - 1 AS BIGINT) AS bucket,
        cast(sum(df) AS BIGINT) AS n_postings,
        max(df) AS max_df
 FROM df GROUP BY 1
+"""
+
+
+def df_cap_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evidence behind the df cap in use, as an oracle-checked relation:
+    one row per distinct df LEVEL with its shingle count, the cumulative
+    candidate-pair mass Σ df·(df−1)/2 through that level, the pair budget
+    (PAIR_BUDGET_PER_POSTING × total postings), whether the level fits, and
+    the resulting cap — max(DF_CAP_FLOOR, largest within-budget df). The
+    `cap` column is definitionally what derive_df_cap returns on the same
+    corpus (tests/test_df_cap.py pins the equality), so the driver record
+    proves the cap the capped pair joins actually ran under.
+
+    Scale shape: one shuffle on shingle (the df count), then an agg to the
+    per-df level histogram — ≤ #distinct df values ≤ O(√postings) rows, the
+    df_spectrum shape — and windows over that tiny relation (the same
+    bounded-relation window precedent as throughput_timeline's ma5). All
+    integer arithmetic; engine-exact by construction."""
+    from pyspark.sql import Window
+
+    docs = prepared(spark, sf_dir).table("documents")
+    bydf = (
+        _shingles(docs)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .groupBy("df")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    cum_w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    return (
+        bydf.withColumn(
+            "cum_pairs",
+            F.sum(F.expr("n_shingles * (df * (df - 1) div 2)")).over(cum_w),
+        )
+        .withColumn(
+            "budget_pairs",
+            F.lit(PAIR_BUDGET_PER_POSTING)
+            * F.sum(F.expr("n_shingles * df")).over(all_w),
+        )
+        .withColumn("within_budget", F.col("cum_pairs") <= F.col("budget_pairs"))
+        .withColumn(
+            "cap",
+            F.greatest(
+                F.lit(DF_CAP_FLOOR).cast("long"),
+                F.coalesce(
+                    F.max(F.when(F.col("within_budget"), F.col("df"))).over(all_w),
+                    F.lit(DF_CAP_FLOOR).cast("long"),
+                ),
+            ),
+        )
+        .select(
+            "df", "n_shingles", "cum_pairs", "budget_pairs", "within_budget", "cap"
+        )
+    )
+
+
+_DF_CAP_RECO_SQL = f"""
+WITH {_UNCAPPED_SH_CTE},
+dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+bydf AS (SELECT df, count(*) AS n_shingles FROM dfr GROUP BY df),
+cum AS (
+  SELECT df, n_shingles,
+         cast(sum(n_shingles * (df * (df - 1) // 2)) OVER (ORDER BY df) AS BIGINT)
+           AS cum_pairs,
+         cast({PAIR_BUDGET_PER_POSTING}
+              * (SELECT coalesce(sum(df), 0) FROM dfr) AS BIGINT) AS budget_pairs
+  FROM bydf
+)
+SELECT df, n_shingles, cum_pairs, budget_pairs,
+       cum_pairs <= budget_pairs AS within_budget,
+       greatest(
+         {DF_CAP_FLOOR},
+         coalesce(
+           max(CASE WHEN cum_pairs <= budget_pairs THEN df END) OVER (),
+           {DF_CAP_FLOOR})) AS cap
+FROM cum
 """
 
 
@@ -1345,6 +1476,7 @@ QUERIES = {
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
     "containment_pairs_capped": containment_pairs_capped,
     "df_spectrum": df_spectrum,
+    "df_cap_recommendation": df_cap_recommendation,
     "shingle_novelty": shingle_novelty,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1367,6 +1499,7 @@ ORACLES = {
     "ngram_jaccard_pairs_capped": _NGRAM_JACCARD_CAPPED_SQL,
     "containment_pairs_capped": _CONTAINMENT_CAPPED_SQL,
     "df_spectrum": _DF_SPECTRUM_SQL,
+    "df_cap_recommendation": _DF_CAP_RECO_SQL,
     "shingle_novelty": _SHINGLE_NOVELTY_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -43,6 +43,7 @@ from . import (
     expressions,
     joins,
     lifecycle,
+    limits,
     multimodal,
     pq,
     resolve,
@@ -54,6 +55,7 @@ from . import (
 )
 
 _SOURCE_MODULES = [
+    limits,
     stats,
     windows,
     joins,
@@ -79,6 +81,15 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
+    # round-6 additions, FIRST among the packs (forward-ordering): the
+    # evidence-driven df-cap derivation (the relation derive_df_cap is
+    # definitionally equal to), plus order_limit (folded from standalone to
+    # keep the driver registry at 50 — the status_recode/top_tokens
+    # precedent)
+    "pack_r6": [
+        "df_cap_recommendation",
+        "order_limit",
+    ],
     # round-4 additions, FIRST among the packs (forward-ordering: each
     # round's new work precedes all older packs): the DF_CAP'd shingle pair
     # joins (scale-safe under boilerplate df skew), the df spectrum that
@@ -248,6 +259,15 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("novelty", "num"),
     ],
     "top_tokens": [("token", "str"), ("freq", "int")],
+    "df_cap_recommendation": [
+        ("df", "int"),
+        ("n_shingles", "int"),
+        ("cum_pairs", "int"),
+        ("budget_pairs", "int"),
+        ("within_budget", "bool"),
+        ("cap", "int"),
+    ],
+    "order_limit": [("key", "str"), ("size", "int"), ("etag", "str")],
     "embedding_outliers": [
         ("vec_id", "int"),
         ("label", "int"),

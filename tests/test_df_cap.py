@@ -6,7 +6,7 @@ corpus size. tools/scale_probe.py --mode docs-boilerplate measures the slope;
 THIS test pins the semantics on an injected corpus:
 
   * a boilerplate block is appended to 30% of sf0.001 docs (df ≈ 170 per
-    boiler shingle, far over DF_CAP=64), plus 20 synthetic docs that are
+    boiler shingle, far over the evidence-derived cap), plus 20 synthetic docs that are
     boilerplate + one unique token — the "pure chrome page" pathology;
   * UNCAPPED containment/jaccard report every synthetic-pair as a near-dup
     (they share only boilerplate) — the false-positive explosion;
@@ -93,4 +93,34 @@ def test_capped_jaccard_ignores_boilerplate_pairs(spark, skewed_dir):
 @pytest.mark.parametrize("name", ["ngram_jaccard_pairs_capped", "containment_pairs_capped"])
 def test_capped_oracle_green_under_skew(spark, skewed_dir, name):
     r = compare(dedup.QUERIES[name](spark, skewed_dir), dedup.ORACLES[name], skewed_dir)
+    assert r["ok"], {k: v for k, v in r.items() if k != "first_diffs"}
+
+
+@pytest.mark.parametrize("sf_fixture", ["clean", "skewed"])
+def test_cap_in_use_equals_recommendation(spark, skewed_dir, sf_fixture):
+    """The cap the capped pair joins actually run under (derive_df_cap) must
+    equal the `cap` column of the oracle-checked df_cap_recommendation
+    relation, on a clean corpus AND under boilerplate skew — the evidence IS
+    the configuration (round-4 item 5 / round-5 carry)."""
+    sf_dir = str(SRC) if sf_fixture == "clean" else skewed_dir
+    from s3bigdatasync_spark.operators import prepared
+
+    docs = prepared(spark, sf_dir).table("documents")
+    in_use = dedup.derive_df_cap(dedup._shingles(docs))
+    reco = dedup.df_cap_recommendation(spark, sf_dir).select("cap").distinct().collect()
+    assert len(reco) == 1
+    assert in_use == reco[0]["cap"]
+    if sf_fixture == "skewed":
+        # the boiler shingles (df ≈ 170) must sit ABOVE the derived cap —
+        # the derivation, not a hard-coded constant, is what excludes them
+        assert in_use < 170
+        assert in_use >= dedup.DF_CAP_FLOOR
+
+
+def test_cap_recommendation_oracle_green_under_skew(spark, skewed_dir):
+    r = compare(
+        dedup.QUERIES["df_cap_recommendation"](spark, skewed_dir),
+        dedup.ORACLES["df_cap_recommendation"],
+        skewed_dir,
+    )
     assert r["ok"], {k: v for k, v in r.items() if k != "first_diffs"}

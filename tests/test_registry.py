@@ -95,6 +95,26 @@ def test_round4_entries_precede_older_packs():
     assert "compaction_plan" in names
 
 
+def test_round6_entries_precede_older_packs():
+    """Round 6's additions travel in pack_r6, which must lead the pack block."""
+    names = list(registry.all_queries())
+    r6 = names.index("pack_r6")
+    for older in (
+        "pack_r4",
+        "pack_r3",
+        "pack_ops_stats",
+        "pack_time_extrema",
+        "pack_ann",
+        "pack_dedup_pairs",
+        "pack_fingerprints",
+        "pack_text_quality",
+        "pack_media",
+    ):
+        assert r6 < names.index(older), older
+    for member in packs.PACK_SPECS["pack_r6"]:
+        assert member in packs.PACK_MEMBERS
+
+
 def test_pack_specs_consistent():
     for pack, members in packs.PACK_SPECS.items():
         for m in members:

@@ -154,3 +154,65 @@ def test_meta_loss_recovery(spark, tmp_path):
     q2.awaitTermination(120)
     got = _report_rows(drift_report(spark, state_dir))
     assert got == _report_rows(batch_equivalent(spark, docs_dir))
+
+
+def test_crash_between_counts_commit_and_meta_flip(spark, tmp_path):
+    """The sink's crash window the versioning exists for: counts_v{N+1} and
+    files_v{N+1} fully committed, killed BEFORE the meta flip. The
+    half-committed version must be unreachable (reads stay on the old
+    consistent state), and the redelivered batch must overwrite it and land
+    exactly once — no double count, no lost drop (round-4 item 9)."""
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.operators.curation import source_token_counts
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    drop_a = _mk_docs("a", 30)
+    spark.createDataFrame(drop_a, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q = stream_source_drift(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+    assert _read_meta(spark, state_dir) == 0
+    report_v0 = _report_rows(drift_report(spark, state_dir))
+
+    # drop B lands; its batch CRASHES after writing counts_v1/files_v1
+    # (complete, _SUCCESS present) but before the meta flip — simulated by
+    # performing exactly the sink's first two writes by hand. The stream
+    # never ran, so the checkpoint doesn't know B: a restart redelivers it,
+    # exactly like a real mid-sink kill.
+    drop_b = _mk_docs("b", 20)
+    spark.createDataFrame(drop_b, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    b_docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir).withColumn(
+        "file_path", F.input_file_name()
+    )
+    applied = spark.read.parquet(f"{state_dir}/files_v0")
+    fresh = b_docs.join(applied, "file_path", "left_anti")
+    merged = (
+        read_counts(spark, state_dir)
+        .unionByName(source_token_counts(fresh))
+        .groupBy("source", "token")
+        .agg(F.sum("c").alias("c"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v1")
+    applied.unionByName(fresh.select("file_path").distinct()).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/files_v1")
+    # CRASH here: no meta flip
+
+    # the half-committed v1 is unreachable — reads stay on v0
+    assert _read_meta(spark, state_dir) == 0
+    assert _report_rows(drift_report(spark, state_dir)) == report_v0
+
+    # restart: the checkpoint redelivers B; the sink overwrites the orphaned
+    # v1 and flips meta. Exactly once, end to end.
+    q2 = stream_source_drift(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    assert _read_meta(spark, state_dir) == 1
+    got = _report_rows(drift_report(spark, state_dir))
+    assert got == _report_rows(batch_equivalent(spark, docs_dir))

@@ -250,3 +250,47 @@ def test_unmigrated_legacy_log_fails_loudly(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="migrate_legacy_log"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_checkpoint_replacement_with_updated_name(spark, tmp_path):
+    """Checkpoint replacement × pair identity: after the checkpoint is lost,
+    every old file redelivers under renumbered batch ids ALONGSIDE a new
+    drop that re-delivers a known dirty_id with an UPDATED name. The old
+    version's verdict must survive untouched, the new version must get a
+    fresh verdict, and nothing double-appends (round-4 item 9, the
+    newly-interesting window after the pair-identity rework)."""
+    import shutil
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    cat = _catalog_df(spark)
+
+    v1 = [(1000, "amber bronze copper di"), _drop("lavender rose mint sky", 1)]
+    spark.createDataFrame(v1, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    stream_resolve(spark, dirty_dir, cat, log_dir, ckpt).awaitTermination(120)
+
+    # checkpoint lost; the corrected record (same id, new name) lands and
+    # EVERYTHING redelivers as batches renumbered from 0
+    shutil.rmtree(ckpt)
+    v2 = [(1000, "goldenrod plum navy se")]
+    spark.createDataFrame(v2, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    q = stream_resolve(
+        spark, dirty_dir, cat, log_dir, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    log = read_match_log(spark, log_dir)
+    got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+    want = sorted(tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect())
+    assert got == want
+    verdicts_1000 = {r[1]: r[4] for r in got if r[0] == 1000}
+    assert verdicts_1000 == {
+        "amber bronze copper di": 1,   # original version's verdict kept
+        "goldenrod plum navy se": 4,   # updated version freshly matched
+    }
+    assert len(got) == 3  # two versions of id 1000 + one other record
