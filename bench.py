@@ -101,6 +101,9 @@ HEADLINE = [
     "split_leakage_check",   # cross-split shingle-contamination audit
     "bucket_skew_audit",     # bucketBy(32,key) load-balance evidence
     "boilerplate_report",    # high-df shingle boilerplate fraction per doc
+    # round-6 additions
+    "df_cap_recommendation",  # evidence-driven df-cap derivation relation
+    "coreset_kcenter",       # k-center greedy coreset (K GEMM rounds)
 ]
 
 

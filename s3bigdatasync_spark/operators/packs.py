@@ -83,11 +83,12 @@ for _m in _SOURCE_MODULES:
 PACK_SPECS: dict[str, list[str]] = {
     # round-6 additions, FIRST among the packs (forward-ordering): the
     # evidence-driven df-cap derivation (the relation derive_df_cap is
-    # definitionally equal to), plus order_limit (folded from standalone to
-    # keep the driver registry at 50 — the status_recode/top_tokens
-    # precedent)
+    # definitionally equal to) and the k-center greedy coreset, plus
+    # order_limit (folded from standalone to keep the driver registry at 50
+    # — the status_recode/top_tokens precedent)
     "pack_r6": [
         "df_cap_recommendation",
+        "coreset_kcenter",
         "order_limit",
     ],
     # round-4 additions, FIRST among the packs (forward-ordering: each
@@ -268,6 +269,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("cap", "int"),
     ],
     "order_limit": [("key", "str"), ("size", "int"), ("etag", "str")],
+    "coreset_kcenter": [
+        ("rank", "int"),
+        ("vec_id", "int"),
+        ("label", "int"),
+        ("radius", "num"),
+    ],
     "embedding_outliers": [
         ("vec_id", "int"),
         ("label", "int"),

@@ -648,6 +648,155 @@ WHERE b.vec_id IN (SELECT vec_id FROM ({_ANN_LSH_SQL}))
 """
 
 
+# --- k-center greedy coreset (diversity-maximizing subset selection) --------
+
+CORESET_K = 8  # selected coreset size (= unrolled rounds in the oracle)
+
+
+def coreset_kcenter(spark: SparkSession, sf_dir: str, k: int = CORESET_K) -> DataFrame:
+    """k-Center greedy coreset selection over the embedding table: pick the
+    CORESET_K vectors that maximally COVER the embedding space — seed with
+    the lowest vec_id, then repeatedly select the vector FARTHEST from every
+    center chosen so far (its min-distance is the coverage radius at
+    selection time). The classical 2-approximation to the k-center facility
+    problem and the standard diversity-sampling / active-learning coreset
+    primitive (Sener & Savarese, ICLR 2018): where SemDeDup removes the
+    redundant tail, this selects the maximally-spread head — the seed set
+    for labeling budgets, eval-set construction, or curriculum anchors.
+
+    Spark-first iterative shape (the kmeans_lloyd contract): per-round state
+    is the grown center matrix (≤ K×64, broadcast); each round is ONE Arrow
+    GEMM pass computing min-d2 per vector (distances never shuffle) plus a
+    top-1 TakeOrderedAndProject — K bounded rounds total, the same
+    model-state driver loop as Lloyd iterations / BPE merges. Engine-exact
+    because center values and squared distances round to 6dp before the
+    argmax and vec_id breaks ties (the ivf_assign float contract); the
+    DuckDB oracle replays all K−1 rounds as unrolled CTEs."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    out_schema = "rank int, vec_id long, label int, radius double"
+    seed = emb.orderBy("vec_id").limit(1).select("vec_id", "label").collect()
+    if not seed:
+        return spark.createDataFrame([], out_schema)
+
+    def center_vec(vid: int) -> "np.ndarray":
+        rows = (
+            emb.filter(F.col("vec_id") == vid)
+            .select(F.posexplode("embedding").alias("dim", "val"))
+            .select("dim", F.round(F.col("val").cast("double"), 6).alias("cv"))
+            .collect()
+        )
+        v = np.zeros(max(r["dim"] for r in rows) + 1)
+        for r in rows:
+            v[r["dim"]] = r["cv"]
+        return v
+
+    picked = [(0, int(seed[0]["vec_id"]), int(seed[0]["label"]), 0.0)]
+    centers = [center_vec(picked[0][1])]
+    for rank in range(1, k):
+        bc = spark.sparkContext.broadcast(np.vstack(centers))
+
+        def kernel(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            cmat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = _np.array(
+                    [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]]
+                )
+                d2 = _np.round(
+                    ((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6
+                )
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "label": pdf["label"],
+                        "mind2": d2.min(axis=1),
+                    }
+                )
+
+        top = (
+            emb.select("vec_id", "label", "embedding")
+            .mapInPandas(kernel, "vec_id long, label int, mind2 double")
+            .orderBy(F.desc("mind2"), "vec_id")
+            .limit(1)
+            .collect()
+        )[0]
+        picked.append((rank, int(top["vec_id"]), int(top["label"]), float(top["mind2"])))
+        centers.append(center_vec(int(top["vec_id"])))
+    return spark.createDataFrame(picked, out_schema)
+
+
+def _coreset_sql(k: int = CORESET_K) -> str:
+    """Unrolled k-center greedy: cen_r accumulates the selected centers'
+    6dp-rounded coordinates; each round joins v against cen_{r-1}, takes the
+    per-vector min distance, and picks the (mind2 DESC, vec_id) argmax."""
+    ctes = [
+        """v AS (
+  SELECT vec_id, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+)""",
+        """p0 AS (
+  SELECT 0 AS rank, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM embeddings
+  ORDER BY vec_id LIMIT 1
+)""",
+        """cen0 AS (
+  SELECT dim, round(val, 6) AS cv FROM v JOIN p0 USING (vec_id)
+)""",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT v.vec_id, round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+  FROM v JOIN cen{r - 1} c ON v.dim = c.dim GROUP BY v.vec_id
+)"""
+            if r == 1
+            else f"""d{r} AS (
+  SELECT vec_id, min(d2) AS d2 FROM (
+    SELECT v.vec_id, c.rank,
+           round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
+    FROM v JOIN cenall{r - 1} c ON v.dim = c.dim
+    GROUP BY v.vec_id, c.rank
+  ) GROUP BY vec_id
+)"""
+        )
+        ctes.append(
+            f"""p{r} AS (
+  SELECT {r} AS rank, vec_id, d2 AS radius FROM d{r}
+  ORDER BY d2 DESC, vec_id LIMIT 1
+)"""
+        )
+        if r < k - 1:
+            prev = (
+                "SELECT 0 AS rank, dim, cv FROM cen0"
+                if r == 1
+                else f"SELECT rank, dim, cv FROM cenall{r - 1}"
+            )
+            ctes.append(
+                f"""cenall{r} AS (
+  {prev}
+  UNION ALL
+  SELECT {r} AS rank, dim, round(val, 6) AS cv FROM v JOIN p{r} USING (vec_id)
+)"""
+            )
+    picks = " UNION ALL ".join(
+        ["SELECT rank, vec_id, radius FROM p0"]
+        + [f"SELECT rank, vec_id, radius FROM p{r}" for r in range(1, k)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+picks AS ({picks})
+SELECT p.rank, p.vec_id, e.label, p.radius
+FROM picks p JOIN embeddings e USING (vec_id)"""
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_recall_audit": ann_recall_audit,
@@ -659,6 +808,7 @@ QUERIES = {
     "embedding_project": embedding_project,
     "kmeans_lloyd": kmeans_lloyd,
     "semantic_dedup": semantic_dedup,
+    "coreset_kcenter": coreset_kcenter,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -692,4 +842,5 @@ ORACLES = {
     "embedding_project": _rp_sql(),
     "kmeans_lloyd": _KMEANS_SQL,
     "semantic_dedup": _semantic_dedup_sql(),
+    "coreset_kcenter": _coreset_sql(),
 }

@@ -321,3 +321,18 @@ def test_snapshot_history_merge_incremental_cost(spark):
     step4 = snapshot_history_merge(step3, snap(4), 4)
     direct = {tuple(r) for r in collapse_runs(all_v).collect()}
     assert {tuple(r) for r in step4.collect()} == direct
+
+
+def test_coreset_radii_non_increasing(spark):
+    """k-center greedy invariant: each selection's coverage radius is the
+    global max of min-distances, so radii must be non-increasing in rank
+    (the property the 2-approximation proof rests on), all selected ids
+    distinct, and the seed is the lowest vec_id."""
+    rows = sorted(similarity.coreset_kcenter(spark, SF).collect(), key=lambda r: r["rank"])
+    assert len(rows) == similarity.CORESET_K
+    assert len({r["vec_id"] for r in rows}) == similarity.CORESET_K
+    min_id = spark.read.parquet(f"{SF}/embeddings.parquet").agg({"vec_id": "min"}).collect()[0][0]
+    assert rows[0]["vec_id"] == min_id and rows[0]["radius"] == 0.0
+    radii = [r["radius"] for r in rows[1:]]
+    assert all(r > 0 for r in radii)
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))

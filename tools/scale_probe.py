@@ -362,18 +362,32 @@ BOILER_QUERIES = [
 ]
 
 
-def run_docs_boiler(spark, out_dir: str, copies: int, boiler_frac: float) -> dict:
+def run_docs_boiler(
+    spark, out_dir: str, copies: int, boiler_frac: float, capped_only: bool = False
+) -> dict:
     """Measure the shingle-join family under REALISTIC df skew: both the 1×
     and the copies× corpus carry the same untagged boilerplate block in
     boiler_frac of their docs, so the only thing that changes between the
     two measurements is corpus size — and the boiler shingles' df grows with
     it (250 → 250·copies at sf0.1/5%). The r3 probes kept shingle sets
-    disjoint by construction and therefore could not see this axis."""
+    disjoint by construction and therefore could not see this axis.
+
+    capped_only drops the two UNCAPPED joins from the run: at 100×/5% each
+    boiler shingle's df is 25k, so the uncapped equi-join materializes
+    ~625M candidate rows PER boiler shingle (~22B total) — the measured
+    12–15.4× superlinear 30× slope extrapolates to hours, which is the
+    pathology the capped family exists to avoid, not a number worth
+    waiting for."""
+    names = (
+        [q for q in BOILER_QUERIES if q not in ("containment_pairs", "ngram_jaccard_pairs")]
+        if capped_only
+        else BOILER_QUERIES
+    )
     base_dir = out_dir + "_b1"
     build_scaled_docs_dir(spark, base_dir, 1, boiler_frac=boiler_frac)
     build_scaled_docs_dir(spark, out_dir, copies, boiler_frac=boiler_frac)
-    base = measure(spark, base_dir, BOILER_QUERIES)
-    scaled = measure(spark, out_dir, BOILER_QUERIES)
+    base = measure(spark, base_dir, names)
+    scaled = measure(spark, out_dir, names)
     ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
     return {"boiler_frac": boiler_frac, "base1x": base, "scaled": scaled, "ratio": ratio}
 
@@ -768,6 +782,12 @@ def main() -> None:
         help="docs-boilerplate mode: fraction of docs carrying the shared untagged boilerplate block",
     )
     ap.add_argument(
+        "--capped-only",
+        action="store_true",
+        help="docs-boilerplate mode: skip the uncapped pair joins (quadratic"
+        " in boiler df — hours at 100x; the capped family is the claim under test)",
+    )
+    ap.add_argument(
         "--mode",
         choices=["inventory", "docs", "docs-knobs", "docs-boilerplate", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
         default="inventory",
@@ -794,7 +814,9 @@ def main() -> None:
         _emit({"copies": args.copies, "mode": "docs-knobs", **res}, args.json_out)
         return
     if args.mode == "docs-boilerplate":
-        res = run_docs_boiler(spark, args.out, args.copies, args.boiler_frac)
+        res = run_docs_boiler(
+            spark, args.out, args.copies, args.boiler_frac, capped_only=args.capped_only
+        )
         _emit({"copies": args.copies, "mode": "docs-boilerplate", **res}, args.json_out)
         return
     if args.mode == "resolve":
