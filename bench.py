@@ -104,6 +104,7 @@ HEADLINE = [
     # round-6 additions
     "df_cap_recommendation",  # evidence-driven df-cap derivation relation
     "coreset_kcenter",       # k-center greedy coreset (K GEMM rounds)
+    "lsh_band_plan",         # exact banding candidate-volume/recall evidence
 ]
 
 

@@ -1143,6 +1143,174 @@ JOIN cnt cb ON cb.doc_id = e.doc_b
 )
 
 
+# --- evidence-driven LSH banding (round 6) -----------------------------------
+
+LSH_RECALL_TARGET = 0.99  # required mean P(candidate) over observed near-dups
+# every (bands, rows_per_band) factorization of the k=12 signature
+_LSH_CONFIGS = [(b, MINHASH_K // b) for b in (12, 6, 4, 3, 2, 1)]
+
+
+def _lsh_p_expr(j: Column, r: int, b: int) -> Column:
+    """P(candidate | jaccard=j) under (b bands × r rows) = 1 − (1 − j^r)^b,
+    built from LEFT-ASSOCIATED repeated multiplication (never pow() — the
+    proven cross-engine float contract: identical operation order both
+    engines, then round(6))."""
+    jr = j
+    for _ in range(r - 1):
+        jr = jr * j
+    q = F.lit(1.0) - jr
+    qb = q
+    for _ in range(b - 1):
+        qb = qb * q
+    return F.round(F.lit(1.0) - qb, 6)
+
+
+def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-driven LSH banding: for every (bands × rows) factorization
+    of the k=12 MinHash signature, the EXACT candidate volume the corpus's
+    own signatures would produce (Σ c·(c−1)/2 over actual band buckets —
+    integer, no model) next to the expected recall on the near-dup pairs
+    the pipeline actually observes (mean 1−(1−j^r)^b over
+    minhash_calibration's verified exact-jaccard values ≥ threshold).
+    Recommended = the cheapest config meeting LSH_RECALL_TARGET (falling
+    back to max recall if none does) — the df_cap_recommendation companion:
+    banding keyed from measured evidence, not folklore. On the fixture it
+    recommends 3×4 (recall 0.9957, 66 candidate slots) over the shipped
+    4×3 (0.9995, 92) — the code's config buys +0.4% recall for +39%
+    candidates, a defensible conservative default that this relation lets a
+    deployment revisit per corpus.
+
+    Scale shape: one signature computation (cache-pinned, reused by all 6
+    configs), per config one groupBy over ≤12·n band rows to bucket counts
+    (map-side combinable) + a 1-row agg; recall is a ≤|candidate|-row scan.
+    The 6-row result ranks with a window over 6 rows. All volume math is
+    integer; recall rounds at 6dp element-wise then 6dp after the mean."""
+    from pyspark.sql import Window
+
+    docs = prepared(spark, sf_dir).table("documents")
+    sh = _shingles(docs).transform(scoped_cache)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
+        for seed in range(MINHASH_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs).transform(scoped_cache)
+    dups = (
+        minhash_calibration(spark, sf_dir)
+        .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)
+        .select("exact_jaccard")
+        .transform(scoped_cache)
+    )
+
+    per_config = []
+    for b, r in _LSH_CONFIGS:
+        band_cols = [
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"mh{i * r + j}") for j in range(r)])
+                ).alias("sig"),
+            )
+            for i in range(b)
+        ]
+        banded = sigs.select(F.explode(F.array(*band_cols)).alias("x")).select(
+            "x.band", "x.sig"
+        )
+        vol = (
+            banded.groupBy("band", "sig")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
+                ).cast("long").alias("n_cand_pairs")
+            )
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_cand_pairs",
+            )
+        )
+        rec = dups.agg(
+            F.coalesce(
+                F.round(F.avg(_lsh_p_expr(F.col("exact_jaccard"), r, b)), 6),
+                F.lit(0.0),
+            ).alias("recall")
+        )
+        per_config.append(vol.crossJoin(rec))  # two 1-row sides — deliberate
+    out = per_config[0]
+    for p in per_config[1:]:
+        out = out.unionByName(p)
+    out = out.withColumn(
+        "meets_target", F.col("recall") >= F.lit(LSH_RECALL_TARGET)
+    )
+    w = Window.orderBy(
+        F.desc("meets_target"),
+        F.when(F.col("meets_target"), F.col("n_cand_pairs")).otherwise(F.lit(0)),
+        F.desc("recall"),
+        F.asc("bands"),
+    )
+    return out.withColumn("recommended", F.row_number().over(w) == 1).select(
+        "bands", "rows_per_band", "n_cand_pairs", "recall", "meets_target", "recommended"
+    )
+
+
+def _lsh_band_plan_sql() -> str:
+    sig_cols = ",\n".join(
+        f"  min(md5(concat('{seed}:', shingle))) AS mh{seed}"
+        for seed in range(MINHASH_K)
+    )
+    # dups AS MATERIALIZED: the calibration subquery (shingles → signatures →
+    # exact jaccard) is referenced once per config (6×); without the hint
+    # DuckDB inlines it and re-runs the whole pipeline per reference —
+    # measured 18.2 s → 1.4 s at sf0.001. (Materializing sigs as well trips
+    # a DuckDB 1.0.0 internal error, "Recursive CTE scan found without
+    # recursive CTE node", so only dups carries the hint; the inlined sigs
+    # cost is minor.) DuckDB-only syntax is fine — oracle SQL never runs on
+    # Spark.
+    ctes = [
+        f"sh AS ({_SHINGLES_SQL})",
+        f"sigs AS (SELECT doc_id,\n{sig_cols}\nFROM sh GROUP BY doc_id)",
+        f"dups AS MATERIALIZED (SELECT exact_jaccard FROM ({_CALIB_SQL}) "
+        f"WHERE exact_jaccard >= {JACCARD_THRESHOLD})",
+    ]
+    selects = []
+    for b, r in _LSH_CONFIGS:
+        bands = "\nUNION ALL\n".join(
+            f"SELECT {i} AS band, md5(concat("
+            + ", ".join(f"mh{i * r + j}" for j in range(r))
+            + ")) AS sig FROM sigs"
+            for i in range(b)
+        )
+        ctes.append(f"banded_{b} AS ({bands})")
+        ctes.append(
+            f"vol_{b} AS (SELECT cast(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)"
+            f" AS n_cand_pairs FROM (SELECT band, sig, count(*) AS c"
+            f" FROM banded_{b} GROUP BY band, sig))"
+        )
+        jr = "(" + " * ".join(["exact_jaccard"] * r) + ")"
+        qb = " * ".join([f"(1.0 - {jr})"] * b)
+        ctes.append(
+            f"rec_{b} AS (SELECT coalesce(round(avg(round(1.0 - ({qb}), 6)), 6), 0.0)"
+            f" AS recall FROM dups)"
+        )
+        selects.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, n_cand_pairs, recall"
+            f" FROM vol_{b}, rec_{b}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+cfg AS ({union}),
+flagged AS (SELECT *, recall >= {LSH_RECALL_TARGET} AS meets_target FROM cfg)
+SELECT bands, rows_per_band, n_cand_pairs, recall, meets_target,
+       row_number() OVER (ORDER BY meets_target DESC,
+                          CASE WHEN meets_target THEN n_cand_pairs ELSE 0 END,
+                          recall DESC, bands) = 1 AS recommended
+FROM flagged"""
+    )
+
+
 # --- round-3 additions: canonical survivor + containment ---------------------
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -1487,6 +1655,7 @@ QUERIES = {
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
     "cross_source_duplication": cross_source_duplication,
+    "lsh_band_plan": lsh_band_plan,
 }
 
 ORACLES = {
@@ -1510,4 +1679,5 @@ ORACLES = {
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,
     "cross_source_duplication": _CROSS_SOURCE_SQL,
+    "lsh_band_plan": _lsh_band_plan_sql(),
 }

@@ -88,6 +88,7 @@ PACK_SPECS: dict[str, list[str]] = {
     # — the status_recode/top_tokens precedent)
     "pack_r6": [
         "df_cap_recommendation",
+        "lsh_band_plan",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -274,6 +275,14 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("vec_id", "int"),
         ("label", "int"),
         ("radius", "num"),
+    ],
+    "lsh_band_plan": [
+        ("bands", "int"),
+        ("rows_per_band", "int"),
+        ("n_cand_pairs", "int"),
+        ("recall", "num"),
+        ("meets_target", "bool"),
+        ("recommended", "bool"),
     ],
     "embedding_outliers": [
         ("vec_id", "int"),

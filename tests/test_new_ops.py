@@ -336,3 +336,26 @@ def test_coreset_radii_non_increasing(spark):
     radii = [r["radius"] for r in rows[1:]]
     assert all(r > 0 for r in radii)
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+
+def test_lsh_band_plan_structure(spark):
+    """Banding-evidence invariants: candidate volume strictly grows with
+    band count (more, narrower bands collide more), recall grows with band
+    count too (each band is another chance to collide), exactly one config
+    is recommended, it meets the recall target when any config does, and the
+    shipped 4x3 config's slot count is an upper bound on the distinct pairs
+    minhash_lsh_pairs emits (slots count band-multiplicity)."""
+    rows = {(r["bands"], r["rows_per_band"]): r for r in dedup.lsh_band_plan(spark, SF).collect()}
+    assert len(rows) == len(dedup._LSH_CONFIGS)
+    by_bands = [rows[c] for c in sorted(rows)]
+    vols = [r["n_cand_pairs"] for r in by_bands]
+    recalls = [r["recall"] for r in by_bands]
+    assert vols == sorted(vols)
+    assert recalls == sorted(recalls)
+    rec = [r for r in rows.values() if r["recommended"]]
+    assert len(rec) == 1
+    if any(r["meets_target"] for r in rows.values()):
+        assert rec[0]["meets_target"]
+    shipped = rows[(dedup.BANDS, dedup.MINHASH_K // dedup.BANDS)]
+    n_lsh = dedup.minhash_lsh_pairs(spark, SF).count()
+    assert shipped["n_cand_pairs"] >= n_lsh
