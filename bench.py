@@ -105,6 +105,7 @@ HEADLINE = [
     "df_cap_recommendation",  # evidence-driven df-cap derivation relation
     "coreset_kcenter",       # k-center greedy coreset (K GEMM rounds)
     "lsh_band_plan",         # exact banding candidate-volume/recall evidence
+    "leakage_safe_split",    # cluster-level split assignment (CC + md5 bucket)
 ]
 
 

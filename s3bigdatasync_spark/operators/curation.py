@@ -778,8 +778,12 @@ FROM per_src, mean_kl
 # --- split_leakage_check (round 3) -------------------------------------------
 
 
-def _split_col() -> Column:
-    bucket = _hex_bucket(F.concat(F.lit(SPLIT_SEED), F.col("doc_id").cast("string")), 4)
+def _split_col(key: Column | None = None) -> Column:
+    """The dataset_split 90/5/5 bucket CASE over an arbitrary key column
+    (default doc_id — the per-document assignment)."""
+    if key is None:
+        key = F.col("doc_id")
+    bucket = _hex_bucket(F.concat(F.lit(SPLIT_SEED), key.cast("string")), 4)
     return (
         F.when(bucket < _TRAIN_CUT, "train")
         .when(bucket < _VAL_CUT, "val")
@@ -787,12 +791,15 @@ def _split_col() -> Column:
     )
 
 
-_SPLIT_CASE_SQL = (
-    f"CASE WHEN {_hex_bucket_sql(f'''concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))''', 4)}"
-    f" < {_TRAIN_CUT} THEN 'train'"
-    f" WHEN {_hex_bucket_sql(f'''concat('{SPLIT_SEED}', cast(doc_id AS VARCHAR))''', 4)}"
-    f" < {_VAL_CUT} THEN 'val' ELSE 'test' END"
-)
+def _split_case_sql(expr: str) -> str:
+    bucket = _hex_bucket_sql(f"concat('{SPLIT_SEED}', cast({expr} AS VARCHAR))", 4)
+    return (
+        f"CASE WHEN {bucket} < {_TRAIN_CUT} THEN 'train'"
+        f" WHEN {bucket} < {_VAL_CUT} THEN 'val' ELSE 'test' END"
+    )
+
+
+_SPLIT_CASE_SQL = _split_case_sql("doc_id")
 
 
 def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +859,71 @@ SELECT split, count(*) AS n_docs,
 FROM labeled WHERE split <> 'train'
 GROUP BY split
 """
+
+
+# --- leakage_safe_split (round 6) --------------------------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE train/val/test assignment: the split is decided by the
+    near-dup CLUSTER, not the individual document. Every member of a
+    connected near-dup component (dedup_clusters' label fixpoint) takes the
+    md5-bucket split of its cluster_id, so the train/test contamination that
+    split_leakage_check AUDITS between near-dup copies is structurally
+    impossible: copies co-assign by construction. Singletons have
+    cluster_id = doc_id, so they keep exactly their dataset_split
+    assignment — the two relations agree wherever no near-dup exists.
+    Output is the dataset_split manifest shape per (source, split) plus
+    n_moved: the count of docs whose naive per-doc split differs from their
+    cluster split — precisely the would-have-leaked population this
+    construction relocated (audit → prevention, closing the loop the
+    split_leakage_check docstring opens).
+
+    Scale shape: dedup_clusters' fixpoint already iterates only over the
+    near-dup population (the corpus is scanned once outside its loop); on
+    top of that this adds one doc_id equi-join and a ≤|sources|×3-row agg.
+    The md5 bucketing is the proven cross-engine-exact integer path (the
+    dataset_split contract — no floats anywhere)."""
+    from .dedup import dedup_clusters
+
+    docs = prepared(spark, sf_dir).table("documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = docs.join(clusters, "doc_id").select(
+        "source",
+        "n_chars",
+        _split_col(F.col("cluster_id")).alias("split"),
+        _split_col(F.col("doc_id")).alias("naive_split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(F.col("naive_split") != F.col("split"), 1).otherwise(0)
+        ).alias("n_moved"),
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from .dedup import _CLUSTERS_CTE
+
+    return (
+        _CLUSTERS_CTE
+        + f""",
+assigned AS (
+  SELECT d.source, d.n_chars,
+         {_split_case_sql("c.cluster_id")} AS split,
+         {_split_case_sql("d.doc_id")} AS naive_split
+  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT source, split, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       cast(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM assigned GROUP BY source, split
+"""
+    )
 
 
 # --- boilerplate_report (round 3) --------------------------------------------
@@ -931,6 +1003,7 @@ LEFT JOIN boiler b ON b.doc_id = d.doc_id
 QUERIES = {
     "dataset_split": dataset_split,
     "split_leakage_check": split_leakage_check,
+    "leakage_safe_split": leakage_safe_split,
     "boilerplate_report": boilerplate_report,
     "weighted_sample": weighted_sample,
     "word_entropy": word_entropy,
@@ -947,6 +1020,7 @@ QUERIES = {
 ORACLES = {
     "dataset_split": _SPLIT_SQL,
     "split_leakage_check": _LEAKAGE_SQL,
+    "leakage_safe_split": _leakage_safe_split_sql(),
     "boilerplate_report": _BOILERPLATE_SQL,
     "weighted_sample": _WS_SQL,
     "word_entropy": _ENTROPY_SQL,

@@ -89,6 +89,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_r6": [
         "df_cap_recommendation",
         "lsh_band_plan",
+        "leakage_safe_split",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -283,6 +284,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("recall", "num"),
         ("meets_target", "bool"),
         ("recommended", "bool"),
+    ],
+    "leakage_safe_split": [
+        ("source", "str"),
+        ("split", "str"),
+        ("n_docs", "int"),
+        ("total_chars", "int"),
+        ("n_moved", "int"),
     ],
     "embedding_outliers": [
         ("vec_id", "int"),

@@ -99,7 +99,17 @@ EMPTY_SAFE = [
     "temperature_mix_weights",
     "split_leakage_check",
     "boilerplate_report",
+    # round-6 batch
+    "df_cap_recommendation",
+    "coreset_kcenter",
+    "lsh_band_plan",
+    "leakage_safe_split",
 ]
+
+# config-enumeration relations emit one identity row per config even over an
+# empty corpus (lsh_band_plan: all six bandings with 0 candidates / 0 recall,
+# still exactly one `recommended`)
+EMPTY_COUNTS = {"lsh_band_plan": (6,)}
 
 
 @pytest.mark.parametrize("name", EMPTY_SAFE)
@@ -110,5 +120,5 @@ def test_empty_input_does_not_crash(spark, empty_sf_dir, name):
     df = registry.full_queries()[name](spark, empty_sf_dir)
     # single-row aggs may emit one null-ish row; table_checksum reports one
     # fixed row per snapshot side even when both sides are empty
-    assert df.count() in (0, 1, 2)
+    assert df.count() in EMPTY_COUNTS.get(name, (0, 1, 2))
     _PREPARED.clear()
