@@ -106,6 +106,7 @@ HEADLINE = [
     "coreset_kcenter",       # k-center greedy coreset (K GEMM rounds)
     "lsh_band_plan",         # exact banding candidate-volume/recall evidence
     "leakage_safe_split",    # cluster-level split assignment (CC + md5 bucket)
+    "seq_packing_plan",      # max_seq_len truncation/padding decision surface
 ]
 
 

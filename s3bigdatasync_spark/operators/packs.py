@@ -90,6 +90,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "df_cap_recommendation",
         "lsh_band_plan",
         "leakage_safe_split",
+        "seq_packing_plan",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -291,6 +292,16 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "seq_packing_plan": [
+        ("mode", "str"),
+        ("max_seq_len", "int"),
+        ("n_docs", "int"),
+        ("n_seqs", "int"),
+        ("kept_tokens", "int"),
+        ("trunc_tokens", "int"),
+        ("pad_tokens", "int"),
+        ("utilization", "num"),
     ],
     "embedding_outliers": [
         ("vec_id", "int"),

@@ -441,6 +441,115 @@ FROM (
 """
 
 
+# --- seq_packing_plan: max_seq_len selection evidence -------------------------
+
+PACK_SEQ_LENS = (16, 32, 64, 128)  # candidate max_seq_len configs
+_PACK_MODES = ("truncate", "chunk")
+
+
+def seq_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning evidence: for each candidate max_seq_len L and
+    each packing mode, measure exactly what the corpus would pay. `truncate`
+    keeps one L-slot sequence per doc (tokens past L are lost — the waste is
+    trunc_tokens); `chunk` splits a doc into ceil(t/L) sequences with only the
+    last one padded (no loss — the waste is pad_tokens). utilization =
+    kept_tokens / (n_seqs * L): the fraction of training slots carrying real
+    tokens. doc_chunks/token_shards EXECUTE a packing; this relation is the
+    measurement that picks L before committing a 100 TB tokenization run —
+    the truncation-loss-vs-padding-waste tradeoff read directly off the
+    corpus's own token histogram instead of guessed.
+
+    Scale shape: one scan computing each doc's BPE token count (pure Catalyst
+    regexp, no Python), an 8-way literal-array explode (zero exchange), and
+    one 8-key hash agg with map-side combine. Every measure is an exact
+    integer sum; the single float is the final utilization ratio, round(6)
+    (the cross-engine-determinism contract). A zero-token doc still costs one
+    all-pad sequence in both modes (n_seqs >= 1 per doc)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    t = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0)))
+    configs = F.array(
+        *[
+            F.struct(F.lit(mode).alias("mode"), F.lit(L).alias("max_seq_len"))
+            for mode in _PACK_MODES
+            for L in PACK_SEQ_LENS
+        ]
+    )
+    per_doc = (
+        docs.select(t.cast("long").alias("t"))
+        .select("t", F.explode(configs).alias("c"))
+        .select(
+            F.col("c.mode").alias("mode"),
+            F.col("c.max_seq_len").alias("max_seq_len"),
+            "t",
+            F.when(
+                F.col("c.mode") == "truncate", F.lit(1).cast("long")
+            )
+            .otherwise(
+                F.greatest(
+                    F.expr("CAST((t + c.max_seq_len - 1) DIV c.max_seq_len AS BIGINT)"),
+                    F.lit(1).cast("long"),
+                )
+            )
+            .alias("n_seqs"),
+            F.when(
+                F.col("c.mode") == "truncate",
+                F.least(F.col("t"), F.col("c.max_seq_len").cast("long")),
+            )
+            .otherwise(F.col("t"))
+            .alias("kept"),
+        )
+    )
+    agg = per_doc.groupBy("mode", "max_seq_len").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_seqs").alias("n_seqs"),
+        F.sum("kept").alias("kept_tokens"),
+        F.sum(F.col("t") - F.col("kept")).alias("trunc_tokens"),
+        F.sum(F.col("n_seqs") * F.col("max_seq_len") - F.col("kept")).alias(
+            "pad_tokens"
+        ),
+    )
+    util = F.col("kept_tokens").cast("double") / (
+        F.col("n_seqs") * F.col("max_seq_len")
+    ).cast("double")
+    return agg.select(
+        "mode",
+        F.col("max_seq_len").cast("long").alias("max_seq_len"),
+        "n_docs",
+        "n_seqs",
+        "kept_tokens",
+        "trunc_tokens",
+        "pad_tokens",
+        F.round(util, 6).alias("utilization"),
+    )
+
+
+_PACK_CONFIG_VALUES = ", ".join(
+    f"('{mode}', {L})" for mode in _PACK_MODES for L in PACK_SEQ_LENS
+)
+
+_SEQ_PACKING_SQL = rf"""
+WITH cfg(mode, max_seq_len) AS (VALUES {_PACK_CONFIG_VALUES}),
+per_doc AS (
+  SELECT mode, max_seq_len, t,
+         CASE WHEN mode = 'truncate' THEN 1
+              ELSE greatest((t + max_seq_len - 1) // max_seq_len, 1) END AS n_seqs,
+         CASE WHEN mode = 'truncate' THEN least(t, max_seq_len) ELSE t END AS kept
+  FROM (SELECT cast(len(regexp_extract_all(text, '{_BPE_TOKEN}')) AS BIGINT) AS t
+        FROM documents), cfg
+)
+SELECT mode, cast(max_seq_len AS BIGINT) AS max_seq_len,
+       count(*) AS n_docs,
+       cast(sum(n_seqs) AS BIGINT) AS n_seqs,
+       cast(sum(kept) AS BIGINT) AS kept_tokens,
+       cast(sum(t - kept) AS BIGINT) AS trunc_tokens,
+       cast(sum(n_seqs * max_seq_len - kept) AS BIGINT) AS pad_tokens,
+       round(cast(sum(kept) AS DOUBLE)
+             / cast(sum(n_seqs) * max_seq_len AS DOUBLE), 6) AS utilization
+FROM per_doc
+GROUP BY mode, max_seq_len
+"""
+
+
 # --- Decontamination: eval-holdout n-gram overlap ---------------------------
 #
 # The standard train/test contamination check (GPT-3 appendix C / PaLM style):
@@ -1285,6 +1394,7 @@ QUERIES = {
     "source_mix_weights": source_mix_weights,
     "inverted_index": inverted_index,
     "bm25_search": bm25_search,
+    "seq_packing_plan": seq_packing_plan,
 }
 
 ORACLES = {
@@ -1308,4 +1418,5 @@ ORACLES = {
     "bigram_pmi": _PMI_SQL,
     "inverted_index": _INVERTED_INDEX_SQL,
     "bm25_search": _BM25_SQL,
+    "seq_packing_plan": _SEQ_PACKING_SQL,
 }

@@ -104,6 +104,7 @@ EMPTY_SAFE = [
     "coreset_kcenter",
     "lsh_band_plan",
     "leakage_safe_split",
+    "seq_packing_plan",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

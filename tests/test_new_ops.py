@@ -404,3 +404,36 @@ def test_leakage_safe_split_conserves_and_moves(spark):
         curation._split_col(F.col("cluster_id")) != curation._split_col(F.col("doc_id"))
     ).count()
     assert total_moved == expected_moved
+
+
+def test_seq_packing_plan_accounting(spark):
+    """Token conservation per config: truncate keeps one slot-row per doc and
+    kept+trunc must equal the corpus total; chunk never truncates and its
+    kept must equal the corpus total; in both modes kept+pad fills the slot
+    budget n_seqs*L exactly. The corpus total is cross-checked against
+    token_stats (same tokenizer), and once L covers the longest doc the two
+    modes must agree cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        (r["mode"], r["max_seq_len"]): r
+        for r in text.seq_packing_plan(spark, SF).collect()
+    }
+    totals = text.token_stats(spark, SF).agg(
+        F.sum("bpe_tokens").alias("t"), F.count("*").alias("n"), F.max("bpe_tokens").alias("mx")
+    ).collect()[0]
+    assert len(rows) == 2 * len(text.PACK_SEQ_LENS)
+    for (mode, L), r in rows.items():
+        assert r["n_docs"] == totals["n"]
+        assert r["kept_tokens"] + r["pad_tokens"] == r["n_seqs"] * L
+        if mode == "truncate":
+            assert r["n_seqs"] == r["n_docs"]
+            assert r["kept_tokens"] + r["trunc_tokens"] == totals["t"]
+        else:
+            assert r["trunc_tokens"] == 0
+            assert r["kept_tokens"] == totals["t"]
+            assert r["n_seqs"] >= r["n_docs"]
+    for L in text.PACK_SEQ_LENS:
+        if L >= totals["mx"]:
+            tr, ch = rows[("truncate", L)], rows[("chunk", L)]
+            assert tr.asDict() == {**ch.asDict(), "mode": "truncate"}
