@@ -107,6 +107,7 @@ HEADLINE = [
     "lsh_band_plan",         # exact banding candidate-volume/recall evidence
     "leakage_safe_split",    # cluster-level split assignment (CC + md5 bucket)
     "seq_packing_plan",      # max_seq_len truncation/padding decision surface
+    "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
 ]
 
 

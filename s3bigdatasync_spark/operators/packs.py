@@ -91,6 +91,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "lsh_band_plan",
         "leakage_safe_split",
         "seq_packing_plan",
+        "hybrid_search",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -292,6 +293,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "hybrid_search": [
+        ("doc_id", "int"),
+        ("lex_rank", "int"),
+        ("vec_rank", "int"),
+        ("rrf_score", "num"),
     ],
     "seq_packing_plan": [
         ("mode", "str"),

@@ -19,7 +19,7 @@ the DuckDB oracle reproduces them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import prepared
@@ -797,6 +797,99 @@ FROM picks p JOIN embeddings e USING (vec_id)"""
     )
 
 
+# --- hybrid_search: reciprocal-rank fusion of lexical + vector retrieval -----
+
+HYBRID_POOL = 50  # per-retriever candidate list depth fed into the fusion
+HYBRID_RRF_K = 60  # RRF damping constant (Cormack & Clarke & Buettcher 2009)
+HYBRID_TOP_N = 10
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword ranking
+    (text.bm25_scored over `documents`) and the cosine vector ranking
+    (around QUERY_VEC_ID over `embeddings`, joined on the shared id space —
+    embeddings.vec_id keys the same corpus as documents.doc_id). Each
+    retriever contributes its top-HYBRID_POOL list; a doc's fused score is
+    sum(1 / (HYBRID_RRF_K + rank)) over the lists it appears in, the
+    standard rank-based fusion that needs no score normalization across
+    heterogeneous retrievers. Output ranks are 0 when a doc is absent from
+    that retriever's pool.
+
+    Scale shape: each side reduces to its pool via TakeOrderedAndProject
+    (map-side partial top-k — no global sort ever materializes); the only
+    windows and the full-outer fusion join run over <=2*HYBRID_POOL rows.
+    Rank ties are impossible by construction (rank keys are (rounded score
+    desc, id)), so the ranking — and therefore the fused score — is
+    engine-deterministic."""
+    from .text import bm25_scored
+
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(HYBRID_POOL)
+        .select("doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank"))
+    )
+    emb = prepared(spark, sf_dir).table("embeddings")
+    q = _query_vec(emb)
+    cos = F.round(
+        _dot("embedding", "qv")
+        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        6,
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), "doc_id")
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(HYBRID_POOL)
+        .select("doc_id", F.row_number().over(w_vec).cast("long").alias("vec_rank"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer")
+    part = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), 1.0 / (F.lit(HYBRID_RRF_K) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0).cast("long")).alias("vec_rank"),
+            F.round(part("lex_rank") + part("vec_rank"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(HYBRID_TOP_N)
+    )
+
+
+def _hybrid_sql() -> str:
+    from .text import _BM25_SCORED_CTES
+
+    return f"""
+WITH {_BM25_SCORED_CTES},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT doc_id, bm25 FROM bm25_scored
+        ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_POOL})
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+  FROM (SELECT vec_id AS doc_id, {_cos_sql('embedding', 'qv')} AS cosine
+        FROM embeddings, qv WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, doc_id LIMIT {HYBRID_POOL})
+)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       cast(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+       cast(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+       round(coalesce(1.0 / ({HYBRID_RRF_K} + l.lex_rank), 0.0)
+             + coalesce(1.0 / ({HYBRID_RRF_K} + v.vec_rank), 0.0), 6) AS rrf_score
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_TOP_N}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_recall_audit": ann_recall_audit,
@@ -809,6 +902,7 @@ QUERIES = {
     "kmeans_lloyd": kmeans_lloyd,
     "semantic_dedup": semantic_dedup,
     "coreset_kcenter": coreset_kcenter,
+    "hybrid_search": hybrid_search,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -843,4 +937,5 @@ ORACLES = {
     "kmeans_lloyd": _KMEANS_SQL,
     "semantic_dedup": _semantic_dedup_sql(),
     "coreset_kcenter": _coreset_sql(),
+    "hybrid_search": _hybrid_sql(),
 }

@@ -923,15 +923,11 @@ LIMIT {IDX_TOP_TOKENS}
 """
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 for a fixed keyword query (k1=1.2, b=0.75,
-    idf = ln((N-df+0.5)/(df+0.5)+1)). avgdl is the exact bigint ratio
-    total_tokens/n_docs so no float accumulation order exists anywhere;
-    the only floats are per-term idf/tf ratios and a ≤4-term sum, rounded
-    to 6dp. Scale: the tf relation is pre-filtered to the query tokens
-    (predicate on the explode output, pushed inside the scan stage), df and
-    corpus stats are single-row/4-row broadcasts, and the top-10 is
-    TakeOrderedAndProject."""
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unlimited BM25 relation (doc_id, bm25, n_query_terms) for the
+    fixed keyword query — every doc containing >=1 query term, scored.
+    bm25_search takes its top-10; similarity.hybrid_search fuses its
+    top-HYBRID_POOL ranking with the cosine side."""
     docs = prepared(spark, sf_dir).table("documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), F.lit(0))
     tok = docs.select("doc_id", F.explode(toks).alias("token"))
@@ -962,6 +958,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("bm25"),
             F.count("*").alias("n_query_terms"),
         )
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query (k1=1.2, b=0.75,
+    idf = ln((N-df+0.5)/(df+0.5)+1)). avgdl is the exact bigint ratio
+    total_tokens/n_docs so no float accumulation order exists anywhere;
+    the only floats are per-term idf/tf ratios and a ≤4-term sum, rounded
+    to 6dp. Scale: the tf relation is pre-filtered to the query tokens
+    (predicate on the explode output, pushed inside the scan stage), df and
+    corpus stats are single-row/4-row broadcasts, and the top-10 is
+    TakeOrderedAndProject."""
+    return (
+        bm25_scored(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP_N)
     )
@@ -969,8 +979,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
-_BM25_SQL = f"""
-WITH tok AS (
+_BM25_SCORED_CTES = f"""tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
   FROM documents
 ), dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -978,18 +987,25 @@ stats AS (SELECT count(*) AS n_docs, cast(sum(dl) AS BIGINT) AS total_tokens FRO
 qtf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok
   WHERE token IN ({_BM25_TERMS}) GROUP BY doc_id, token
-), qdf AS (SELECT token, count(*) AS df FROM qtf GROUP BY token)
-SELECT doc_id,
-       round(sum(
-         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         * tf * ({BM25_K1} + 1.0)
-         / (tf + {BM25_K1} * (1.0 - {BM25_B}
-            + {BM25_B} * cast(dl AS DOUBLE)
-              / (cast(total_tokens AS DOUBLE) / cast(n_docs AS DOUBLE))))
-       ), 6) AS bm25,
-       count(*) AS n_query_terms
-FROM qtf JOIN qdf USING (token) JOIN dl USING (doc_id), stats
-GROUP BY doc_id
+), qdf AS (SELECT token, count(*) AS df FROM qtf GROUP BY token),
+bm25_scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({BM25_K1} + 1.0)
+           / (tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * cast(dl AS DOUBLE)
+                / (cast(total_tokens AS DOUBLE) / cast(n_docs AS DOUBLE))))
+         ), 6) AS bm25,
+         count(*) AS n_query_terms
+  FROM qtf JOIN qdf USING (token) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, bm25, n_query_terms
+FROM bm25_scored
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOP_N}
 """

@@ -105,6 +105,7 @@ EMPTY_SAFE = [
     "lsh_band_plan",
     "leakage_safe_split",
     "seq_packing_plan",
+    "hybrid_search",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

@@ -437,3 +437,26 @@ def test_seq_packing_plan_accounting(spark):
         if L >= totals["mx"]:
             tr, ch = rows[("truncate", L)], rows[("chunk", L)]
             assert tr.asDict() == {**ch.asDict(), "mode": "truncate"}
+
+
+def test_hybrid_search_fuses_both_rankings(spark):
+    """RRF fusion invariants: each retriever's #1 appears with rank 1 in the
+    fused output (1/(k+1) from one list alone already beats any possible
+    single-list score at rank >= 2, and two-list members only score higher);
+    every rrf_score recomputes exactly from its two ranks; absent-pool ranks
+    are 0."""
+    rows = similarity.hybrid_search(spark, SF).collect()
+    assert 0 < len(rows) <= similarity.HYBRID_TOP_N
+    by_doc = {r["doc_id"]: r for r in rows}
+    k = similarity.HYBRID_RRF_K
+    for r in rows:
+        expect = round(
+            (1.0 / (k + r["lex_rank"]) if r["lex_rank"] else 0.0)
+            + (1.0 / (k + r["vec_rank"]) if r["vec_rank"] else 0.0),
+            6,
+        )
+        assert r["rrf_score"] == expect, r
+    lex_top = text.bm25_search(spark, SF).collect()[0]["doc_id"]
+    vec_top = similarity.ann_topk_bruteforce(spark, SF).collect()[0]["vec_id"]
+    assert by_doc[lex_top]["lex_rank"] == 1
+    assert by_doc[vec_top]["vec_rank"] == 1
