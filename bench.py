@@ -108,6 +108,7 @@ HEADLINE = [
     "leakage_safe_split",    # cluster-level split assignment (CC + md5 bucket)
     "seq_packing_plan",      # max_seq_len truncation/padding decision surface
     "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
+    "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
 ]
 
 

@@ -922,6 +922,134 @@ GROUP BY doc_id
 """
 
 
+# --- shared_substring_spans: maximal cross-doc repeated runs -----------------
+
+SPAN_GRAM_K = 8  # sliding k-gram width (tokens)
+SPAN_GRAM_DF_CAP = 16  # grams in more docs than this are boilerplate, skipped
+SPAN_TOP_N = 50
+
+
+def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token runs at ARBITRARY alignment —
+    the exact-substring dedup signal (c.f. Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). span_dedup hashes
+    grid-aligned non-overlapping windows, so a shared passage that starts
+    mid-window is invisible to it; this operator slides a SPAN_GRAM_K-token
+    gram over every position, joins postings cross-doc, and chains matches
+    along each (doc_a, doc_b, pa - pb) diagonal into maximal runs via
+    gaps-and-islands (run id = pa - row_number over the diagonal). A run of
+    g consecutive matching grams is a shared substring of g + K - 1 tokens.
+    Output: the SPAN_TOP_N longest shared spans with both start offsets.
+
+    Scale design: gram fan-out is the df² hazard every postings self-join
+    has, so grams are DF-capped (df in [2, SPAN_GRAM_DF_CAP]) exactly like
+    the capped shingle family — boilerplate grams (the high-df mass that
+    makes the join superlinear; measured in SCALING.md) belong to
+    boilerplate_report, not here, at the documented cost of splitting runs
+    at boilerplate grams. The postings join is a hash equi-join on md5 keys
+    (uniform, no skew); diagonal windows partition by (doc_a, doc_b, diag)
+    — millions of tiny groups, never one big one; the final top-N is
+    TakeOrderedAndProject on the unique key (span desc, a, b, start_a,
+    start_b) ((start_a, start_b) determines the diagonal, so ranking is
+    engine-deterministic)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_GRAM_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
+            ).alias("h"),
+        )
+    )
+    grams = scoped_cache(grams)
+    df_ok = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_GRAM_DF_CAP))
+        .select("h")
+    )
+    capped = grams.join(df_ok, "h")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        pairs.withColumn("rid", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "rid")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            (F.col("n_grams") + SPAN_GRAM_K - 1).alias("span_tokens"),
+        )
+    )
+    return runs.orderBy(
+        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(SPAN_TOP_N)
+
+
+_SHARED_SPANS_SQL = rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
+        FROM toks WHERE len(t) >= {SPAN_GRAM_K})
+),
+df_ok AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM grams GROUP BY h)
+  WHERE df >= 2 AND df <= {SPAN_GRAM_DF_CAP}
+),
+capped AS (SELECT * FROM grams WHERE h IN (SELECT h FROM df_ok)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) + {SPAN_GRAM_K} - 1 AS span_tokens
+  FROM (
+    SELECT *, pa - row_number() OVER (
+      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rid
+    FROM pairs
+  )
+  GROUP BY doc_a, doc_b, diag, rid
+)
+SELECT doc_a, doc_b, cast(start_a AS BIGINT) AS start_a,
+       cast(start_b AS BIGINT) AS start_b,
+       cast(span_tokens AS BIGINT) AS span_tokens
+FROM runs
+ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
+LIMIT {SPAN_TOP_N}
+"""
+
+
 # --- cluster_sizes: dup-component census -------------------------------------
 
 
@@ -1652,6 +1780,7 @@ QUERIES = {
     "simhash_fingerprint": simhash_fingerprint,
     "embedding_neardup": embedding_neardup,
     "span_dedup": span_dedup,
+    "shared_substring_spans": shared_substring_spans,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
     "cross_source_duplication": cross_source_duplication,
@@ -1676,6 +1805,7 @@ ORACLES = {
     "simhash_fingerprint": _SIMHASH_ORACLE_SQL,
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
+    "shared_substring_spans": _SHARED_SPANS_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,
     "cross_source_duplication": _CROSS_SOURCE_SQL,

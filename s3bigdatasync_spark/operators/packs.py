@@ -92,6 +92,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "leakage_safe_split",
         "seq_packing_plan",
         "hybrid_search",
+        "shared_substring_spans",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -293,6 +294,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "shared_substring_spans": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("start_a", "int"),
+        ("start_b", "int"),
+        ("span_tokens", "int"),
     ],
     "hybrid_search": [
         ("doc_id", "int"),

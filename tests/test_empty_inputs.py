@@ -106,6 +106,7 @@ EMPTY_SAFE = [
     "leakage_safe_split",
     "seq_packing_plan",
     "hybrid_search",
+    "shared_substring_spans",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

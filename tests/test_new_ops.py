@@ -460,3 +460,28 @@ def test_hybrid_search_fuses_both_rankings(spark):
     vec_top = similarity.ann_topk_bruteforce(spark, SF).collect()[0]["vec_id"]
     assert by_doc[lex_top]["lex_rank"] == 1
     assert by_doc[vec_top]["vec_rank"] == 1
+
+
+def test_shared_substring_spans_ground_truth(spark):
+    """Every reported span must literally verify against the raw texts:
+    tokens[start_a : start_a+span] of doc_a equals the same-length window of
+    doc_b, and the run is maximal on both sides (the token just before /
+    just after differs or runs off the document — valid to assert directly
+    here because the fixture's max gram df is far below SPAN_GRAM_DF_CAP, so
+    no boundary gram is cap-excluded)."""
+    rows = dedup.shared_substring_spans(spark, SF).collect()
+    assert rows, "fixture is known to contain shared prefixes"
+    docs = dict(
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        ta, tb = docs[r["doc_a"]].split(), docs[r["doc_b"]].split()
+        sa, sb, n = r["start_a"], r["start_b"], r["span_tokens"]
+        assert n >= dedup.SPAN_GRAM_K
+        assert ta[sa : sa + n] == tb[sb : sb + n], (r, ta[sa : sa + 3])
+        if sa > 0 and sb > 0:
+            assert ta[sa - 1] != tb[sb - 1], r
+        if sa + n < len(ta) and sb + n < len(tb):
+            assert ta[sa + n] != tb[sb + n], r
