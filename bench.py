@@ -109,6 +109,7 @@ HEADLINE = [
     "seq_packing_plan",      # max_seq_len truncation/padding decision surface
     "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
     "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
+    "dsir_importance",       # target-domain importance weights (DSIR)
 ]
 
 

@@ -926,6 +926,104 @@ FROM assigned GROUP BY source, split
     )
 
 
+# --- dsir_importance (round 6) ------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"  # the target domain the raw pool is scored toward
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-pool doc by
+    how much likelier its tokens are under the TARGET domain's unigram LM
+    than under the raw pool's own. Target = DSIR_TARGET_SOURCE's docs; raw
+    pool = every other source. Per-token log ratio uses add-1 smoothing over
+    the UNION vocabulary V, so every ln argument is an exact integer —
+    ln(ct+1) - ln(Tt+V) - ln(cr+1) + ln(Tr+V) — and both engines feed ln
+    identical values (the word_entropy float contract: raw ln-sum, one
+    division, round(6)). avg_log_ratio > 0 means the doc reads more like the
+    target than like the pool; `selected` is the flag DSIR resamples by.
+
+    Plan shape at 100 TB (the unigram_logprob pattern): ONE explode →
+    groupBy(doc, token) pass, cache-pinned; target/raw vocab totals and the
+    union-vocab size are token- or constant-keyed re-aggs of the pin; the
+    probe joins back on token (vocabulary-bounded hash join, AQE broadcasts
+    small vocabs); totals are 1-row broadcasts. No window, no sort,
+    everything map-side combinable."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    dcnt = (
+        docs.select("doc_id", "source", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count("*").alias("c"))
+        .transform(scoped_cache)
+    )
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    tcnt = (
+        dcnt.filter(is_target).groupBy("token").agg(F.sum("c").alias("ct"))
+    )
+    rcnt = (
+        dcnt.filter(~is_target).groupBy("token").agg(F.sum("c").alias("cr"))
+    )
+    consts = (
+        dcnt.groupBy().agg(
+            F.countDistinct("token").alias("v"),
+            F.sum(F.when(is_target, F.col("c")).otherwise(0)).alias("tt"),
+            F.sum(F.when(~is_target, F.col("c")).otherwise(0)).alias("tr"),
+        )
+    )
+    ratio = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+        - F.log(F.col("tt") + F.col("v"))
+        - F.log(F.col("cr") + 1)
+        + F.log(F.col("tr") + F.col("v"))
+    )
+    agg = (
+        dcnt.filter(~is_target)
+        .join(tcnt, "token", "left")
+        .join(rcnt, "token")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * ratio).alias("sll"),
+        )
+    )
+    avg = F.round(F.col("sll") / F.col("n_tokens"), 6)
+    return agg.select(
+        "doc_id", "source", "n_tokens", avg.alias("avg_log_ratio"), (avg > 0.0).alias("selected")
+    )
+
+
+_DSIR_SQL = rf"""
+WITH dcnt AS (
+  SELECT doc_id, source, token, count(*) AS c
+  FROM (SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
+        FROM documents)
+  GROUP BY doc_id, source, token
+),
+tcnt AS (SELECT token, sum(c) AS ct FROM dcnt
+         WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY token),
+rcnt AS (SELECT token, sum(c) AS cr FROM dcnt
+         WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY token),
+consts AS (
+  SELECT count(DISTINCT token) AS v,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS tt,
+         sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS tr
+  FROM dcnt
+)
+SELECT doc_id, source, cast(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * (ln(coalesce(ct, 0) + 1) - ln(tt + v)
+                      - ln(cr + 1) + ln(tr + v)))
+             / sum(c), 6) AS avg_log_ratio,
+       round(sum(c * (ln(coalesce(ct, 0) + 1) - ln(tt + v)
+                      - ln(cr + 1) + ln(tr + v)))
+             / sum(c), 6) > 0.0 AS selected
+FROM dcnt LEFT JOIN tcnt USING (token) JOIN rcnt USING (token), consts
+WHERE dcnt.source <> '{DSIR_TARGET_SOURCE}'
+GROUP BY doc_id, source
+"""
+
+
 # --- boilerplate_report (round 3) --------------------------------------------
 
 BOILERPLATE_DF_FRAC = 0.05  # a shingle present in >=5% of docs is boilerplate
@@ -1004,6 +1102,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "split_leakage_check": split_leakage_check,
     "leakage_safe_split": leakage_safe_split,
+    "dsir_importance": dsir_importance,
     "boilerplate_report": boilerplate_report,
     "weighted_sample": weighted_sample,
     "word_entropy": word_entropy,
@@ -1021,6 +1120,7 @@ ORACLES = {
     "dataset_split": _SPLIT_SQL,
     "split_leakage_check": _LEAKAGE_SQL,
     "leakage_safe_split": _leakage_safe_split_sql(),
+    "dsir_importance": _DSIR_SQL,
     "boilerplate_report": _BOILERPLATE_SQL,
     "weighted_sample": _WS_SQL,
     "word_entropy": _ENTROPY_SQL,

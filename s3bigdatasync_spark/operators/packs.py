@@ -93,6 +93,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "seq_packing_plan",
         "hybrid_search",
         "shared_substring_spans",
+        "dsir_importance",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -294,6 +295,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "dsir_importance": [
+        ("doc_id", "int"),
+        ("source", "str"),
+        ("n_tokens", "int"),
+        ("avg_log_ratio", "num"),
+        ("selected", "bool"),
     ],
     "shared_substring_spans": [
         ("doc_a", "int"),

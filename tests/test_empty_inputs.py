@@ -107,6 +107,7 @@ EMPTY_SAFE = [
     "seq_packing_plan",
     "hybrid_search",
     "shared_substring_spans",
+    "dsir_importance",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

@@ -485,3 +485,57 @@ def test_shared_substring_spans_ground_truth(spark):
             assert ta[sa - 1] != tb[sb - 1], r
         if sa + n < len(ta) and sb + n < len(tb):
             assert ta[sa + n] != tb[sb + n], r
+
+
+def test_dsir_importance_direction(spark):
+    """DSIR sanity on a synthetic corpus built inline: a raw-pool doc made of
+    target-exclusive tokens must outscore one made of pool-exclusive tokens,
+    the target source never appears in the output, and a direct NumPy-free
+    recomputation of one doc's smoothed log-ratio matches to 6dp."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import s3bigdatasync_spark.operators as ops
+    from s3bigdatasync_spark.operators import curation as c
+
+    rows = [
+        (0, c.DSIR_TARGET_SOURCE, "alpha beta alpha beta gamma"),
+        (1, c.DSIR_TARGET_SOURCE, "alpha gamma gamma beta"),
+        (2, "pool", "alpha beta gamma"),      # target-like
+        (3, "pool", "zeta eta theta zeta"),   # pool-exclusive
+        (4, "pool", "zeta eta alpha"),        # mixed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("lang", F.lit("en"))
+    import os
+    import tempfile
+
+    import duckdb
+
+    from s3bigdatasync_spark.views import BASE_TABLES
+
+    with tempfile.TemporaryDirectory() as d:
+        con = duckdb.connect()
+        for t in BASE_TABLES:  # schema-only copies so prepared() can register
+            if t != "documents":
+                con.execute(
+                    f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0) "
+                    f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        ops._PREPARED.clear()
+        out = {r["doc_id"]: r for r in c.dsir_importance(spark, d).collect()}
+        ops._PREPARED.clear()
+    assert set(out) == {2, 3, 4}
+    assert all(r["source"] == "pool" for r in out.values())
+    assert out[2]["avg_log_ratio"] > out[3]["avg_log_ratio"]
+    # direct recompute for doc 3: tokens zeta(x2), eta, theta
+    # target counts: 0 each; raw counts: zeta 3, eta 2, theta 1
+    # tt = 9 target tokens, tr = 10 raw tokens, v = 6 union types
+    def lr(ct, cr):
+        return math.log(ct + 1) - math.log(9 + 6) - math.log(cr + 1) + math.log(10 + 6)
+    expect = round((2 * lr(0, 3) + lr(0, 2) + lr(0, 1)) / 4, 6)
+    assert out[3]["avg_log_ratio"] == expect
+    assert out[3]["selected"] == (expect > 0)
