@@ -110,6 +110,7 @@ HEADLINE = [
     "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
     "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
     "dsir_importance",       # target-domain importance weights (DSIR)
+    "label_margin_audit",    # centroid-margin label-noise triage
 ]
 
 

@@ -94,6 +94,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "hybrid_search",
         "shared_substring_spans",
         "dsir_importance",
+        "label_margin_audit",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -295,6 +296,15 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "label_margin_audit": [
+        ("vec_id", "int"),
+        ("label", "int"),
+        ("nearest_other", "int"),
+        ("d2_own", "num"),
+        ("d2_other", "num"),
+        ("margin", "num"),
+        ("mislabeled", "bool"),
     ],
     "dsir_importance": [
         ("doc_id", "int"),

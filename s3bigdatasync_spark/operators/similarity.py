@@ -315,6 +315,112 @@ ORDER BY d2 DESC, vec_id LIMIT {OUTLIER_K}
 """
 
 
+# --- label_margin_audit: nearest-centroid label-noise detection --------------
+
+MARGIN_K = 50
+
+
+def label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise triage by centroid margin (the nearest-centroid flavor of
+    confident-learning / kNN label cleaning): for every vector, squared
+    distance to its OWN label's centroid vs the best OTHER label's centroid.
+    margin = d2_own - d2_other > 0 means the vector sits closer to another
+    class — the classic mislabeled-or-boundary signal curation pipelines
+    review first. embedding_outliers ranks by raw distance magnitude (garbage
+    detection); this ranks by the own-vs-other DIFFERENCE (label noise) —
+    a far-but-correctly-labeled vector is an outlier yet has deeply negative
+    margin here. Output: the MARGIN_K worst margins.
+
+    Scale shape mirrors ivf_assign/embedding_outliers: the 10x64 centroid
+    matrix broadcasts, every Arrow batch computes its distances locally via
+    one GEMM-shaped NumPy op (distances never shuffle), and the final top-k
+    is TakeOrderedAndProject. Float contract: per-centroid d2 rounds to 6dp
+    BEFORE comparing, other-label ties break by label asc (labs are sorted,
+    argmin takes the first), and the margin difference re-rounds — so both
+    engines rank the identical row set."""
+    import numpy as np
+
+    emb = prepared(spark, sf_dir).table("embeddings")
+    cents = label_centroids(spark, sf_dir).toPandas()
+    out_schema = (
+        "vec_id long, label int, nearest_other int, d2_own double, "
+        "d2_other double, margin double, mislabeled boolean"
+    )
+    if not len(cents):
+        return spark.createDataFrame([], out_schema)
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    C = np.zeros((len(labels), dim))
+    for li, lab in enumerate(labels):
+        sub = cents[cents["label"] == lab].sort_values("dim")
+        C[li] = sub["centroid_v"].to_numpy()
+    bc = spark.sparkContext.broadcast((np.array(labels), C))
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        labs, cmat = bc.value
+        lab_pos = {int(l): i for i, l in enumerate(labs)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = _np.array([_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]])
+            d2 = _np.round(((M[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2), 6)
+            own_idx = _np.array([lab_pos[int(l)] for l in pdf["label"]])
+            rows = _np.arange(len(own_idx))
+            d2_own = d2[rows, own_idx]
+            masked = d2.copy()
+            masked[rows, own_idx] = _np.inf
+            other_idx = masked.argmin(axis=1)  # labs asc -> ties to smaller label
+            d2_other = masked[rows, other_idx]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "nearest_other": labs[other_idx],
+                    "d2_own": d2_own,
+                    "d2_other": d2_other,
+                    "margin": _np.round(d2_own - d2_other, 6),
+                    "mislabeled": d2_own > d2_other,
+                }
+            )
+
+    scored = emb.select("vec_id", "label", "embedding").mapInPandas(
+        kernel, out_schema
+    )
+    return scored.orderBy(F.desc("margin"), "vec_id").limit(MARGIN_K)
+
+
+_LABEL_MARGIN_SQL = f"""
+WITH cent AS ({_CENTROIDS_SQL}),
+vecs AS (
+  SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+),
+d AS (
+  SELECT v.vec_id, v.label, c.label AS clabel,
+         round(sum((v.v - c.centroid_v) * (v.v - c.centroid_v)), 6) AS d2
+  FROM vecs v JOIN cent c ON c.dim = v.dim
+  GROUP BY v.vec_id, v.label, c.label
+),
+own AS (SELECT vec_id, label, d2 AS d2_own FROM d WHERE clabel = label),
+other AS (
+  SELECT vec_id, clabel AS nearest_other, d2 AS d2_other
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM d WHERE clabel <> label)
+  WHERE rn = 1
+)
+SELECT vec_id, label, nearest_other, d2_own, d2_other,
+       round(d2_own - d2_other, 6) AS margin,
+       d2_own > d2_other AS mislabeled
+FROM own JOIN other USING (vec_id)
+ORDER BY margin DESC, vec_id
+LIMIT {MARGIN_K}
+"""
+
+
 # --- Johnson-Lindenstrauss random projection --------------------------------
 
 RP_DIMS = 16
@@ -903,6 +1009,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "coreset_kcenter": coreset_kcenter,
     "hybrid_search": hybrid_search,
+    "label_margin_audit": label_margin_audit,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -938,4 +1045,5 @@ ORACLES = {
     "semantic_dedup": _semantic_dedup_sql(),
     "coreset_kcenter": _coreset_sql(),
     "hybrid_search": _hybrid_sql(),
+    "label_margin_audit": _LABEL_MARGIN_SQL,
 }

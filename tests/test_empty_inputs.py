@@ -108,6 +108,7 @@ EMPTY_SAFE = [
     "hybrid_search",
     "shared_substring_spans",
     "dsir_importance",
+    "label_margin_audit",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

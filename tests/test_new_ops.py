@@ -539,3 +539,24 @@ def test_dsir_importance_direction(spark):
     expect = round((2 * lr(0, 3) + lr(0, 2) + lr(0, 1)) / 4, 6)
     assert out[3]["avg_log_ratio"] == expect
     assert out[3]["selected"] == (expect > 0)
+
+
+def test_label_margin_audit_semantics(spark):
+    """Margin identity (margin == round(d2_own - d2_other, 6)), mislabeled ==
+    (d2_own > d2_other), nearest_other never equals the own label, and the
+    relation is consistent with embedding_outliers' assignment: any vector
+    this audit flags as mislabeled must be one whose nearest centroid is not
+    its own label (cross-checked for the overlap of the two top-k windows)."""
+    rows = similarity.label_margin_audit(spark, SF).collect()
+    assert 0 < len(rows) <= similarity.MARGIN_K
+    for r in rows:
+        assert r["nearest_other"] != r["label"]
+        assert r["margin"] == round(r["d2_own"] - r["d2_other"], 6)
+        assert r["mislabeled"] == (r["d2_own"] > r["d2_other"])
+    outliers = {
+        r["vec_id"]: r for r in similarity.embedding_outliers(spark, SF).collect()
+    }
+    for r in rows:
+        o = outliers.get(r["vec_id"])
+        if o is not None and r["mislabeled"]:
+            assert o["assigned"] != o["label"]
