@@ -359,6 +359,8 @@ BOILER_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "split_leakage_check",
     "boilerplate_report",
+    "shared_substring_spans",  # gram-df-capped postings join: boiler grams
+    # exceed SPAN_GRAM_DF_CAP as copies grow and drop OUT of the pairing
 ]
 
 
