@@ -560,3 +560,46 @@ def test_label_margin_audit_semantics(spark):
         o = outliers.get(r["vec_id"])
         if o is not None and r["mislabeled"]:
             assert o["assigned"] != o["label"]
+
+
+def test_shared_substring_spans_planted_corpus(spark):
+    """Constructed corpus: docs 1 and 2 share exactly one planted 20-token
+    run at different offsets (10 vs 3); a 12-token boilerplate block is
+    stamped into 20 other docs so its grams' df (20) exceeds
+    SPAN_GRAM_DF_CAP (16) and must be cap-excluded — the planted span is
+    the ONLY output, recovered with exact offsets and length."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    import s3bigdatasync_spark.operators as ops
+    from s3bigdatasync_spark.views import BASE_TABLES
+
+    planted = " ".join(f"s{i}" for i in range(20))
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, "src0", " ".join(f"a{i}" for i in range(10)) + " " + planted + " a90 a91 a92"),
+        (2, "src1", "c0 c1 c2 " + planted + " " + " ".join(f"c{i}" for i in range(10, 16))),
+    ]
+    for d in range(20):
+        rows.append((100 + d, "src2", f"u{d}x0 u{d}x1 u{d}x2 " + boiler))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).selectExpr(
+        "doc_id", "text", "'en' AS lang", "source", "length(text) AS n_chars"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        con = duckdb.connect()
+        for t in BASE_TABLES:
+            if t != "documents":
+                con.execute(
+                    f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0) "
+                    f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        ops._PREPARED.clear()
+        out = dedup.shared_substring_spans(spark, d).collect()
+        ops._PREPARED.clear()
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (10, 3, 20)
