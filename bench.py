@@ -111,6 +111,7 @@ HEADLINE = [
     "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
     "dsir_importance",       # target-domain importance weights (DSIR)
     "label_margin_audit",    # centroid-margin label-noise triage
+    "corpus_release_manifest", # survivors x cluster-splits x DSIR manifest
 ]
 
 

@@ -994,8 +994,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_SQL = rf"""
-WITH dcnt AS (
+# CTE block + final select kept separable so plans/llm_corpus can embed the
+# whole DSIR relation as one `dsir AS (...)` CTE in its release manifest.
+_DSIR_CTES = rf"""dcnt AS (
   SELECT doc_id, source, token, count(*) AS c
   FROM (SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
         FROM documents)
@@ -1010,8 +1011,9 @@ consts AS (
          sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS tt,
          sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}' THEN c ELSE 0 END) AS tr
   FROM dcnt
-)
-SELECT doc_id, source, cast(sum(c) AS BIGINT) AS n_tokens,
+)"""
+
+_DSIR_SELECT = rf"""SELECT doc_id, source, cast(sum(c) AS BIGINT) AS n_tokens,
        round(sum(c * (ln(coalesce(ct, 0) + 1) - ln(tt + v)
                       - ln(cr + 1) + ln(tr + v)))
              / sum(c), 6) AS avg_log_ratio,
@@ -1020,7 +1022,11 @@ SELECT doc_id, source, cast(sum(c) AS BIGINT) AS n_tokens,
              / sum(c), 6) > 0.0 AS selected
 FROM dcnt LEFT JOIN tcnt USING (token) JOIN rcnt USING (token), consts
 WHERE dcnt.source <> '{DSIR_TARGET_SOURCE}'
-GROUP BY doc_id, source
+GROUP BY doc_id, source"""
+
+_DSIR_SQL = f"""
+WITH {_DSIR_CTES}
+{_DSIR_SELECT}
 """
 
 

@@ -54,6 +54,8 @@ from . import (
     windows,
 )
 
+from ..plans import llm_corpus  # noqa: E402  (plans never import packs)
+
 _SOURCE_MODULES = [
     limits,
     stats,
@@ -71,6 +73,7 @@ _SOURCE_MODULES = [
     pq,
     resolve,
     lifecycle,
+    llm_corpus,
 ]
 
 _MEMBER_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -95,6 +98,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "shared_substring_spans",
         "dsir_importance",
         "label_margin_audit",
+        "corpus_release_manifest",
         "coreset_kcenter",
         "order_limit",
     ],
@@ -296,6 +300,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_docs", "int"),
         ("total_chars", "int"),
         ("n_moved", "int"),
+    ],
+    "corpus_release_manifest": [
+        ("source", "str"),
+        ("split", "str"),
+        ("n_docs", "int"),
+        ("n_tokens", "int"),
+        ("n_dsir_selected", "int"),
     ],
     "label_margin_audit": [
         ("vec_id", "int"),

@@ -49,7 +49,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keeper = F.col("doc_id") == F.min("doc_id").over(
         Window.partitionBy("content_hash")
     )
-    cl = dedup_clusters(spark, sf_dir).select("doc_id", "is_keeper")
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id", "is_keeper")
     return (
         per_doc.withColumn("exact_keeper", exact_keeper)
         .join(cl, "doc_id")
@@ -60,6 +60,7 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "keep",
             "exact_keeper",
+            "cluster_id",
             F.col("is_keeper").alias("cluster_keeper"),
             (
                 F.col("keep")
@@ -105,9 +106,9 @@ _PRED_LANG_CASE = (
     + " END"
 )
 
-_CORPUS_YIELD_SQL = rf"""
-WITH RECURSIVE
-quality AS (
+# CTE block kept separable so corpus_release_manifest can extend the same
+# five-stage lineage with split assignment and DSIR selection.
+_CORPUS_CTES = rf"""quality AS (
   SELECT doc_id,
          len(toks) AS n_tokens,
          (len(toks) >= 10
@@ -143,17 +144,22 @@ lp(n, lbl) AS (
   UNION
   SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
 ),
-clusters AS (SELECT n AS doc_id, n = min(lbl) AS cluster_keeper FROM lp GROUP BY n),
+clusters AS (SELECT n AS doc_id, min(lbl) AS cluster_id,
+                    n = min(lbl) AS cluster_keeper FROM lp GROUP BY n),
 tc AS (
-  SELECT d.doc_id, d.lang, q.n_tokens, q.keep, l.pred_lang,
-         e.exact_keeper, c.cluster_keeper,
+  SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.keep, l.pred_lang,
+         e.exact_keeper, c.cluster_id, c.cluster_keeper,
          (q.keep AND l.pred_lang <> 'und' AND e.exact_keeper AND c.cluster_keeper) AS in_corpus
   FROM documents d
   JOIN quality q USING (doc_id)
   JOIN lang_pred l USING (doc_id)
   JOIN exact e USING (doc_id)
   JOIN clusters c USING (doc_id)
-)
+)"""
+
+_CORPUS_YIELD_SQL = f"""
+WITH RECURSIVE
+{_CORPUS_CTES}
 SELECT lang,
        count(*) AS docs_total,
        cast(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
@@ -166,5 +172,72 @@ FROM tc GROUP BY lang
 """
 
 
-QUERIES = {"corpus_yield_report": corpus_yield_report}
-ORACLES = {"corpus_yield_report": _CORPUS_YIELD_SQL}
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE step: the five-stage survivors (training_corpus's
+    in_corpus gate) assigned to leakage-safe train/val/test splits (by
+    near-dup CLUSTER id, so surviving copies of the same content can never
+    straddle a split boundary — the leakage_safe_split construction) and
+    annotated with DSIR selection toward DSIR_TARGET_SOURCE. Target-source
+    docs carry no DSIR row (they ARE the target domain) and count as
+    selected. Per (source, split): docs, tokens, DSIR-selected docs — the
+    manifest a data team publishes with a corpus release, with THREE
+    independently-oracle-checked lineages (gates, cluster splits, importance
+    weights) composed into one plan.
+
+    Scale: everything downstream of the gates is doc_id equi-joins (the
+    DSIR join is vs a per-doc relation, hash join on the primary key) and a
+    <=|sources|x3-key agg. The near-dup fixpoint runs ONCE — training_corpus
+    now exposes cluster_id, so split assignment reuses its labels instead of
+    a second clustering pass."""
+    from ..operators.curation import _split_col, dsir_importance
+
+    tc = training_corpus(spark, sf_dir)
+    docs = prepared(spark, sf_dir).table("documents").select("doc_id", "source")
+    dsir = dsir_importance(spark, sf_dir).select("doc_id", "selected")
+    return (
+        tc.filter(F.col("in_corpus"))
+        .join(docs, "doc_id")
+        .join(dsir, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            _split_col(F.col("cluster_id")).alias("split"),
+            F.coalesce("selected", F.lit(True)).alias("dsir_sel"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("dsir_sel"), 1).otherwise(0)).alias("n_dsir_selected"),
+        )
+    )
+
+
+def _release_manifest_sql() -> str:
+    from ..operators.curation import _DSIR_CTES, _DSIR_SELECT, _split_case_sql
+
+    return f"""
+WITH RECURSIVE
+{_CORPUS_CTES},
+{_DSIR_CTES},
+dsir AS ({_DSIR_SELECT})
+SELECT tc.source,
+       {_split_case_sql("tc.cluster_id")} AS split,
+       count(*) AS n_docs,
+       cast(sum(tc.n_tokens) AS BIGINT) AS n_tokens,
+       cast(sum(CASE WHEN coalesce(ds.selected, TRUE) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dsir_selected
+FROM tc LEFT JOIN dsir ds USING (doc_id)
+WHERE tc.in_corpus
+GROUP BY tc.source, 2
+"""
+
+
+QUERIES = {
+    "corpus_yield_report": corpus_yield_report,
+    "corpus_release_manifest": corpus_release_manifest,
+}
+ORACLES = {
+    "corpus_yield_report": _CORPUS_YIELD_SQL,
+    "corpus_release_manifest": _release_manifest_sql(),
+}

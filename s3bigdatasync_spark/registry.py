@@ -142,7 +142,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     members — 50 entries. Same one-live-query contract as full_queries()."""
     ext = _merge(_EXT_MODULES, "QUERIES")
     core = _merge(_CORE_MODULES, "QUERIES")
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(ext)
+    # pack members fold regardless of which module family they live in
+    # (plans/llm_corpus is an ext module but ships members via pack_r6)
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        n: f for n, f in ext.items() if n not in packs.PACK_MEMBERS
+    }
     out.update({n: _scoped(f) for n, f in packs.QUERIES.items()})
     for name, fn in core.items():
         if name not in packs.PACK_MEMBERS:
@@ -160,7 +164,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     ext = _merge(_EXT_MODULES, "ORACLES")
     core = _merge(_CORE_MODULES, "ORACLES")
-    out: dict[str, str] = dict(ext)
+    out: dict[str, str] = {n: s for n, s in ext.items() if n not in packs.PACK_MEMBERS}
     out.update(packs.ORACLES)
     for name, sql in core.items():
         if name not in packs.PACK_MEMBERS:

@@ -109,6 +109,7 @@ EMPTY_SAFE = [
     "shared_substring_spans",
     "dsir_importance",
     "label_margin_audit",
+    "corpus_release_manifest",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

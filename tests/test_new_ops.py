@@ -603,3 +603,23 @@ def test_shared_substring_spans_planted_corpus(spark):
     r = out[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert (r["start_a"], r["start_b"], r["span_tokens"]) == (10, 3, 20)
+
+
+def test_corpus_release_manifest_consistency(spark):
+    """The release manifest must conserve the corpus_yield_report totals
+    (sum of n_docs/n_tokens over the manifest == sum of docs_kept/tokens_kept
+    over the yield report — same survivor set, different grouping), splits
+    must come only from {train, val, test}, and DSIR-selected counts are
+    bounded by n_docs with the target source fully selected."""
+    from s3bigdatasync_spark.plans import llm_corpus
+    from s3bigdatasync_spark.operators.curation import DSIR_TARGET_SOURCE
+
+    man = llm_corpus.corpus_release_manifest(spark, SF).collect()
+    yld = llm_corpus.corpus_yield_report(spark, SF).collect()
+    assert sum(r["n_docs"] for r in man) == sum(r["docs_kept"] for r in yld)
+    assert sum(r["n_tokens"] for r in man) == sum(r["tokens_kept"] for r in yld)
+    assert {r["split"] for r in man} <= {"train", "val", "test"}
+    for r in man:
+        assert 0 <= r["n_dsir_selected"] <= r["n_docs"]
+        if r["source"] == DSIR_TARGET_SOURCE:
+            assert r["n_dsir_selected"] == r["n_docs"]
