@@ -153,3 +153,15 @@ def test_doc_counts_match_registry():
     doc = registry.__doc__
     assert f"{n_members} small, individually-proven queries" in doc
     assert f"({n_full} entries)" in doc
+
+
+def test_coverage_pack_table_matches_specs():
+    """COVERAGE.md's pack-membership table must list exactly PACK_SPECS'
+    members, in order — the pack_r6 row went stale in round 6 when members
+    were added incrementally; derive the expectation instead."""
+    from pathlib import Path
+
+    cov = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    for pack, members in packs.PACK_SPECS.items():
+        expected = f"| {pack} | {', '.join(members)} |"
+        assert expected in cov, expected
