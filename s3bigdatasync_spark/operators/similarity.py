@@ -349,6 +349,10 @@ def label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not len(cents):
         return spark.createDataFrame([], out_schema)
     labels = sorted(cents["label"].unique())
+    if len(labels) < 2:
+        # no "other" centroid exists — margin is undefined; mirror the
+        # oracle, whose other-label CTE is empty in this case
+        return spark.createDataFrame([], out_schema)
     dim = int(cents["dim"].max()) + 1
     C = np.zeros((len(labels), dim))
     for li, lab in enumerate(labels):

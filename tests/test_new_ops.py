@@ -623,3 +623,37 @@ def test_corpus_release_manifest_consistency(spark):
         assert 0 <= r["n_dsir_selected"] <= r["n_docs"]
         if r["source"] == DSIR_TARGET_SOURCE:
             assert r["n_dsir_selected"] == r["n_docs"]
+
+
+def test_label_margin_audit_single_label_empty(spark):
+    """With only one label there is no 'other' centroid: both engines must
+    return zero rows (the Spark side short-circuits; the oracle's other-label
+    CTE is empty) rather than emitting infinite margins."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    import s3bigdatasync_spark.operators as ops
+    from s3bigdatasync_spark.views import BASE_TABLES
+
+    rows = [(i, [float(i % 7), 1.0, 2.0, 3.0], 0) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        con = duckdb.connect()
+        for t in BASE_TABLES:
+            if t != "embeddings":
+                con.execute(
+                    f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0) "
+                    f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+                )
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        ops._PREPARED.clear()
+        out = similarity.label_margin_audit(spark, d).collect()
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM '{d}/embeddings.parquet/*.parquet'"
+        )
+        oracle = con.execute(similarity._LABEL_MARGIN_SQL).fetchall()
+        ops._PREPARED.clear()
+    assert out == [] and oracle == []
