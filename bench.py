@@ -109,6 +109,7 @@ HEADLINE = [
     "seq_packing_plan",      # max_seq_len truncation/padding decision surface
     "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
     "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
+    "winnow_candidates",     # winnowed fingerprint pairs (the sublinear index)
     "dsir_importance",       # target-domain importance weights (DSIR)
     "label_margin_audit",    # centroid-margin label-noise triage
     "corpus_release_manifest", # survivors x cluster-splits x DSIR manifest

@@ -1050,6 +1050,106 @@ LIMIT {SPAN_TOP_N}
 """
 
 
+# --- winnow_candidates: winnowing-fingerprint candidate pairs ----------------
+
+WINNOW_W = 4  # window of consecutive gram hashes per fingerprint pick
+
+
+def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003): instead of
+    posting EVERY sliding gram like shared_substring_spans, each doc posts
+    only the minimum gram hash of every WINNOW_W-window — ~2/(W+1) of the
+    grams — and candidate pairs are docs sharing a selected fingerprint.
+    The winnowing guarantee carries over exactly: any cross-doc shared run
+    of >= WINNOW_W + SPAN_GRAM_K - 1 tokens contains a full window on both
+    sides, both sides pick the same minimal hash, and the pair collides.
+    This is the SCALE path to substring-level dedup (sublinear index); the
+    spans operator is the exact path that then localizes the match — the
+    same brute/LSH split as the ANN family.
+
+    Scale shape: one scan + per-doc windowed min (partitioned by doc_id —
+    never a global window), DISTINCT on (doc, hash), the same df-cap as the
+    spans postings join ([2, SPAN_GRAM_DF_CAP] — boilerplate fingerprints
+    are excluded before pairing), a hash equi-join on md5 keys, and a
+    TakeOrderedAndProject top-N on a unique ordering key. End-of-doc
+    windows shorter than W still pick their min (frame truncates) — extra
+    fingerprints only strengthen the guarantee, and both engines truncate
+    frames identically."""
+    from pyspark.sql import Window
+
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_GRAM_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    fps = (
+        grams.select("doc_id", F.min("h").over(w).alias("h"))
+        .distinct()
+    )
+    fps = scoped_cache(fps)
+    df_ok = (
+        fps.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_GRAM_DF_CAP))
+        .select("h")
+    )
+    capped = fps.join(df_ok, "h")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(SPAN_TOP_N)
+
+
+_WINNOW_SQL = rf"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
+        FROM toks WHERE len(t) >= {SPAN_GRAM_K})
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS h
+  FROM grams
+),
+df_ok AS (
+  SELECT h FROM (SELECT h, count(*) AS df FROM fps GROUP BY h)
+  WHERE df >= 2 AND df <= {SPAN_GRAM_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+WHERE a.h IN (SELECT h FROM df_ok)
+GROUP BY 1, 2
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT {SPAN_TOP_N}
+"""
+
+
 # --- cluster_sizes: dup-component census -------------------------------------
 
 
@@ -1781,6 +1881,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "span_dedup": span_dedup,
     "shared_substring_spans": shared_substring_spans,
+    "winnow_candidates": winnow_candidates,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
     "cross_source_duplication": cross_source_duplication,
@@ -1806,6 +1907,7 @@ ORACLES = {
     "embedding_neardup": _EMB_NEARDUP_SQL,
     "span_dedup": _SPAN_DEDUP_SQL,
     "shared_substring_spans": _SHARED_SPANS_SQL,
+    "winnow_candidates": _WINNOW_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,
     "cross_source_duplication": _CROSS_SOURCE_SQL,

@@ -96,6 +96,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "seq_packing_plan",
         "hybrid_search",
         "shared_substring_spans",
+        "winnow_candidates",
         "dsir_importance",
         "label_margin_audit",
         "corpus_release_manifest",
@@ -330,6 +331,11 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("start_a", "int"),
         ("start_b", "int"),
         ("span_tokens", "int"),
+    ],
+    "winnow_candidates": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("n_shared", "int"),
     ],
     "hybrid_search": [
         ("doc_id", "int"),

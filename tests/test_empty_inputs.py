@@ -107,6 +107,7 @@ EMPTY_SAFE = [
     "seq_packing_plan",
     "hybrid_search",
     "shared_substring_spans",
+    "winnow_candidates",
     "dsir_importance",
     "label_margin_audit",
     "corpus_release_manifest",

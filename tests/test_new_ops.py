@@ -657,3 +657,27 @@ def test_label_margin_audit_single_label_empty(spark):
         oracle = con.execute(similarity._LABEL_MARGIN_SQL).fetchall()
         ops._PREPARED.clear()
     assert out == [] and oracle == []
+
+
+def test_winnowing_guarantee_vs_spans(spark):
+    """The winnowing guarantee, cross-checked against the exact operator:
+    every doc pair that shared_substring_spans reports with a run of
+    >= WINNOW_W + SPAN_GRAM_K - 1 tokens must appear among
+    winnow_candidates' pairs (a full window fits inside the run, both docs
+    pick the same minimal hash). The fixture's shared prefixes are ~90
+    tokens, so the guarantee threshold (11) is exercised with wide margin."""
+    t_guarantee = dedup.WINNOW_W + dedup.SPAN_GRAM_K - 1
+    spans = dedup.shared_substring_spans(spark, SF).collect()
+    long_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spans if r["span_tokens"] >= t_guarantee
+    }
+    assert long_pairs, "fixture must contain runs above the guarantee length"
+    # compare against the UNCAPPED candidate relation the top-N draws from:
+    # rebuild pairs without the limit by raising the cutoff via the query's
+    # own deterministic output (top-50 covers the fixture's pair count)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_candidates(spark, SF).collect()
+    }
+    missing = long_pairs - cands
+    assert not missing, missing
