@@ -361,6 +361,7 @@ BOILER_QUERIES = [
     "boilerplate_report",
     "shared_substring_spans",  # gram-df-capped postings join: boiler grams
     # exceed SPAN_GRAM_DF_CAP as copies grow and drop OUT of the pairing
+    "winnow_candidates",  # the 2/(W+1)-density fingerprint index, same cap
 ]
 
 
