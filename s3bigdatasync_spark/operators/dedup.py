@@ -929,6 +929,41 @@ SPAN_GRAM_DF_CAP = 16  # grams in more docs than this are boilerplate, skipped
 SPAN_TOP_N = 50
 
 
+def _span_grams(docs: DataFrame) -> DataFrame:
+    """Sliding SPAN_GRAM_K-token gram postings (doc_id, pos, h) — the shared
+    builder behind shared_substring_spans (every-position postings join) and
+    winnow_candidates (windowed-min fingerprint index). One tokenization,
+    one hash definition: an edit here moves both operators together, which
+    the winnowing guarantee (test_winnowing_guarantee_vs_spans) requires."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SPAN_GRAM_K)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
+            ).alias("h"),
+        )
+    )
+
+
+# the same postings relation in DuckDB: toks + grams CTE bodies shared by
+# _SHARED_SPANS_SQL and _WINNOW_SQL
+_GRAMS_CTES = rf"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
+        FROM toks WHERE len(t) >= {SPAN_GRAM_K})
+)"""
+
+
 def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document repeated token runs at ARBITRARY alignment —
     the exact-substring dedup signal (c.f. Lee et al. 2022, "Deduplicating
@@ -953,24 +988,7 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     start_b) ((start_a, start_b) determines the diagonal, so ranking is
     engine-deterministic)."""
     docs = prepared(spark, sf_dir).table("documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
-    grams = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= SPAN_GRAM_K)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
-            ).alias("h"),
-        )
-    )
-    grams = scoped_cache(grams)
+    grams = scoped_cache(_span_grams(docs))
     df_ok = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1015,12 +1033,7 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHARED_SPANS_SQL = rf"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-grams AS (
-  SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
-  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
-        FROM toks WHERE len(t) >= {SPAN_GRAM_K})
-),
+WITH {_GRAMS_CTES},
 df_ok AS (
   SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM grams GROUP BY h)
   WHERE df >= 2 AND df <= {SPAN_GRAM_DF_CAP}
@@ -1078,23 +1091,7 @@ def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = prepared(spark, sf_dir).table("documents")
-    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
-    grams = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= SPAN_GRAM_K)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
-            ).alias("h"),
-        )
-    )
+    grams = _span_grams(docs)
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -1125,12 +1122,7 @@ def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_SQL = rf"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-grams AS (
-  SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
-  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
-        FROM toks WHERE len(t) >= {SPAN_GRAM_K})
-),
+WITH {_GRAMS_CTES},
 fps AS (
   SELECT DISTINCT doc_id,
          min(h) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1416,12 +1408,12 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = prepared(spark, sf_dir).table("documents")
-    sh = _shingles(docs).transform(scoped_cache)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
-        for seed in range(MINHASH_K)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs).transform(scoped_cache)
+    # signatures_for IS the signature scheme minhash_lsh_pairs ships — a
+    # local re-derivation here could drift and this plan's volume numbers
+    # would describe a different scheme than the one in production. (The
+    # shingle relation itself is not cache-pinned: it has exactly one
+    # reader, the signature groupBy.)
+    sigs = signatures_for(docs).transform(scoped_cache)
     dups = (
         minhash_calibration(spark, sf_dir)
         .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)

@@ -120,13 +120,21 @@ MANIFEST_FILE = "_range_manifest.json"
 LAYOUTS_DIR = "_layouts"  # sf_dir/_layouts/<table> — the auto-consult convention
 
 
-def _source_fingerprint(sf_dir: str) -> list:
+def _source_fingerprint(sf_dir: str) -> list | None:
     """(relative path, size, mtime_ns) of every base-table parquet file in
     sf_dir — the freshness witness a saved layout records, so a stale layout
     copy is never consulted after the live tables change (round-4 ADVICE:
     without it, task_batches/dedup_anti_join/compaction_plan would silently
     compute over the old layout while an oracle reads the new data). Listing
-    only — no file contents are read; O(#files) stat calls."""
+    only — no file contents are read; O(#files) stat calls.
+
+    Returns None when NOTHING is listable — a remote URI (s3a://...) or a
+    typo'd path yields an empty pathlib glob even though Spark reads the
+    tables fine, and an empty-list fingerprint would vacuously equal the
+    empty live listing at consult time ([] == [] — the stale-layout gate
+    this witness exists to close would pass forever). None means
+    UNVERIFIABLE: save records it as such and load_table_layout refuses the
+    layout rather than trusting it."""
     from pathlib import Path
 
     root = Path(sf_dir)
@@ -140,7 +148,7 @@ def _source_fingerprint(sf_dir: str) -> list:
         for f in files:
             st = f.stat()
             out.append([str(f.relative_to(root)), st.st_size, st.st_mtime_ns])
-    return out
+    return out or None
 
 
 def save_range_manifest(

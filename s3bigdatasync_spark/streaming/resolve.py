@@ -99,7 +99,9 @@ def migrate_legacy_log(
     if not legacy_ids.take(1):
         return False
     keep = log.where(F.col("dirty_name").isNotNull())
-    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir).distinct()
+    dirty = _normalized(
+        spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir)
+    ).distinct()
     todo = dirty.join(legacy_ids, "dirty_id", "semi").join(
         keep.select("dirty_id", "dirty_name").distinct(),
         ["dirty_id", "dirty_name"],
@@ -116,6 +118,17 @@ def migrate_legacy_log(
         log_dir
     )
     return True
+
+
+def _normalized(dirty: DataFrame) -> DataFrame:
+    """NULL dirty_name → '' at every input boundary. The identity anti-join
+    is null-UNSAFE, so a NULL-name record would never match its own logged
+    verdict (re-appended on every redelivery) AND its logged row would spoof
+    the legacy-log detector — with migrate_legacy_log unable to clear it,
+    because migration re-reads the same NULL-name source. Normalizing at
+    the boundary makes every identity non-null: a NULL-name feed row IS the
+    record version with the empty name."""
+    return dirty.withColumn("dirty_name", F.coalesce("dirty_name", F.lit("")))
 
 
 def _complete_verdicts(dirty: DataFrame, catalog_df: DataFrame) -> DataFrame:
@@ -152,21 +165,25 @@ def stream_resolve(
         .parquet(dirty_dir)
     )
 
+    # A pre-pair-identity log reads back with dirty_name=NULL; the
+    # null-unsafe pair anti-join in the sink would never match those rows,
+    # so every legacy record would silently re-match on redelivery and the
+    # log would diverge from batch_equivalent forever. Fail loudly and name
+    # the admin step instead (round-4 ADVICE, medium). Checked ONCE at
+    # start, not per batch: the sink normalizes names and so never writes a
+    # NULL-name row itself — a clean log cannot become legacy mid-stream,
+    # and the per-batch probe was one wasted log-scan job per micro-batch.
+    if read_match_log(spark, log_dir).where(F.col("dirty_name").isNull()).take(1):
+        raise RuntimeError(
+            f"match log at {log_dir} contains legacy rows with "
+            "dirty_name=NULL (written before pair identity); run "
+            "streaming.resolve.migrate_legacy_log(spark, log_dir, "
+            "dirty_dir, catalog_df) once before streaming"
+        )
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         log = read_match_log(sess, log_dir)
-        # A pre-pair-identity log reads back with dirty_name=NULL; the
-        # null-unsafe pair anti-join below would never match those rows, so
-        # every legacy record would silently re-match on redelivery and the
-        # log would diverge from batch_equivalent forever. Fail loudly and
-        # name the admin step instead (round-4 ADVICE, medium).
-        if log.where(F.col("dirty_name").isNull()).take(1):
-            raise RuntimeError(
-                f"match log at {log_dir} contains legacy rows with "
-                "dirty_name=NULL (written before pair identity); run "
-                "streaming.resolve.migrate_legacy_log(spark, log_dir, "
-                "dirty_dir, catalog_df) once before streaming"
-            )
         # Identity-based idempotence (NO batch-id comparison — ids renumber
         # from 0 under a replaced checkpoint; see module docstring): only
         # record VERSIONS — (dirty_id, dirty_name) pairs — not already
@@ -175,7 +192,7 @@ def stream_resolve(
         # verdict per record version. Per-batch cost is one anti-join probe
         # of the log's identity columns (in production the log is an indexed
         # table; here a column-pruned parquet scan).
-        fresh = batch_df.distinct().join(
+        fresh = _normalized(batch_df).distinct().join(
             log.select("dirty_id", "dirty_name").distinct(),
             ["dirty_id", "dirty_name"],
             "left_anti",
@@ -202,5 +219,7 @@ def batch_equivalent(
     """What the accumulated log must equal: one batch match over every
     distinct record version that has arrived, zero-candidate verdicts
     included."""
-    dirty = spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir).distinct()
+    dirty = _normalized(
+        spark.read.schema(DIRTY_STREAM_SCHEMA).parquet(dirty_dir)
+    ).distinct()
     return _complete_verdicts(dirty, catalog_df)

@@ -171,3 +171,37 @@ def test_unfingerprinted_legacy_manifest_is_refused(spark, tmp_path):
     assert (
         load_table_layout(spark, str(root), "inventory_src", ["key", "size"]) is None
     )
+
+
+def test_unlistable_source_is_never_trusted(spark, tmp_path):
+    """A layout saved with a source_dir that pathlib cannot list (remote
+    URI, typo'd path) must be REFUSED at consult time, not vacuously
+    accepted: an empty listing used to fingerprint as [] on both sides and
+    [] == [] passed the freshness gate forever. _source_fingerprint now
+    returns None (unverifiable) and load_table_layout rejects it."""
+    import shutil
+
+    from s3bigdatasync_spark.operators.prefix import _source_fingerprint
+
+    assert _source_fingerprint(str(tmp_path / "nonexistent")) is None
+
+    root = tmp_path / "sf_clone"
+    root.mkdir()
+    for f in Path(SF_SMALL).glob("*.parquet"):
+        shutil.copy(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+    _PREPARED.clear()
+    inv = prepared(spark, str(root)).table("inventory_src")
+    inv.repartitionByRange(8, "key", "size").write.mode("overwrite").parquet(str(out))
+    manifest = collect_range_manifest(
+        spark.read.parquet(str(out)), ["key", "size"], sum_col="size"
+    )
+    save_range_manifest(
+        manifest, str(out), keys=["key", "size"], sum_col="size",
+        source_dir=str(tmp_path / "nonexistent"),  # unlistable at save time
+    )
+    _PREPARED.clear()
+    assert (
+        load_table_layout(spark, str(root), "inventory_src", ["key", "size"])
+        is None
+    )

@@ -153,6 +153,10 @@ def test_doc_counts_match_registry():
     doc = registry.__doc__
     assert f"{n_members} small, individually-proven queries" in doc
     assert f"({n_full} entries)" in doc
+    cov = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    assert f"{n_members} small, individually-proven queries into {n_packs} packs" in cov
+    assert f"`registry.full_queries()` ({n_full} entries)" in cov
+    assert f"all {n_members}\nfolded members" in cov
 
 
 def test_coverage_pack_table_matches_specs():

@@ -229,9 +229,11 @@ def test_legacy_log_migration(spark, tmp_path):
 
 def test_unmigrated_legacy_log_fails_loudly(spark, tmp_path):
     """Streaming over an unmigrated legacy log must refuse to run (naming
-    the migration step), never silently double-append."""
+    the migration step), never silently double-append. The probe fires at
+    stream START (the sink can never write a NULL-name row itself, so a
+    clean log cannot become legacy mid-stream) — the failure surfaces
+    before any micro-batch runs."""
     import pytest
-    from pyspark.errors.exceptions.captured import StreamingQueryException
 
     dirty_dir = str(tmp_path / "dirty")
     log_dir = str(tmp_path / "log")
@@ -246,10 +248,8 @@ def test_unmigrated_legacy_log_fails_loudly(spark, tmp_path):
         "batch_id", F.lit(0).cast("long")
     ).coalesce(1).write.mode("append").parquet(log_dir)
 
-    q = stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
-    with pytest.raises(StreamingQueryException, match="migrate_legacy_log"):
-        q.awaitTermination(120)
-        q.processAllAvailable()
+    with pytest.raises(RuntimeError, match="migrate_legacy_log"):
+        stream_resolve(spark, dirty_dir, cat, log_dir, ckpt)
 
 
 def test_checkpoint_replacement_with_updated_name(spark, tmp_path):
@@ -294,3 +294,34 @@ def test_checkpoint_replacement_with_updated_name(spark, tmp_path):
         "goldenrod plum navy se": 4,   # updated version freshly matched
     }
     assert len(got) == 3  # two versions of id 1000 + one other record
+
+
+def test_null_name_record_does_not_brick_or_duplicate(spark, tmp_path):
+    """A feed row with dirty_name=NULL must neither spoof the legacy-log
+    detector (bricking the stream with an un-clearable migrate demand) nor
+    re-append on redelivery: its identity normalizes to (id, '') at every
+    boundary, so it logs exactly one n_candidates=0 verdict and the log
+    stays equal to batch_equivalent across replays."""
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    cat = _catalog_df(spark)
+
+    batch = [(7, None), (8, "amber bronze copper dim")]
+    spark.createDataFrame(batch, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    for rnd in ("ckpt1", "ckpt2"):  # second drain = full redelivery replay
+        q = stream_resolve(
+            spark, dirty_dir, cat, log_dir, str(tmp_path / rnd), max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+        log = read_match_log(spark, log_dir)
+        got = sorted(tuple(r) for r in log.drop("batch_id").collect())
+        want = sorted(
+            tuple(r) for r in batch_equivalent(spark, dirty_dir, cat).collect()
+        )
+        assert got == want
+        null_rows = log.filter(F.col("dirty_id") == 7).collect()
+        assert len(null_rows) == 1
+        assert null_rows[0]["dirty_name"] == ""
+        assert null_rows[0]["n_candidates"] == 0
