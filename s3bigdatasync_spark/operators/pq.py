@@ -21,8 +21,9 @@ Two operators:
 Scale story: training state is a 16×64 centroid matrix (driver-held and
 broadcast, the same legitimate K×D state every distributed k-means ships);
 encoding is one Arrow-batched GEMM pass (mapInPandas, no shuffle); the
-update between passes is one groupBy(cid, dim) shuffle of the exploded
-vectors. Search never touches the float vectors: one broadcast hash join
+update between passes shuffles only per-batch partial sums (≤ K×DIM rows
+per Arrow batch — constant-size, never data-size; see _assign_partials).
+Search never touches the float vectors: one broadcast hash join
 (128-row table) + one groupBy(vec_id) partial-agg sum + TakeOrderedAndProject
 — at 100 TB the codes table is ~32× smaller than the vectors it stands for.
 
@@ -45,17 +46,6 @@ M_SUB = 8  # subspaces
 SUBDIM = DIM // M_SUB  # dims per subspace
 PQ_K = 16  # centroids per subspace codebook
 PQ_TOP_K = 10
-
-
-def _exploded(emb: DataFrame) -> DataFrame:
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).select(
-        "vec_id",
-        "dim",
-        F.col("val").cast("double").alias("val"),
-        F.expr(f"dim div {SUBDIM}").cast("int").alias("sub"),
-    )
 
 
 def _collect_codebook(c_df, k: int) -> "object":
@@ -121,37 +111,122 @@ def _assign_codes(emb: DataFrame, spark: SparkSession, C) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
 
 
-def _train_codebook(spark: SparkSession, emb: DataFrame):
+def _assign_partials(emb: DataFrame, spark: SparkSession, C) -> DataFrame:
+    """Map-side-combined Lloyd update: the same assign kernel, but instead of
+    emitting one row per (vec_id, sub) it emits per-batch partial sums
+    (cid, dim, s, n) — ≤ K×DIM rows per Arrow batch regardless of batch size.
+    The update shuffle moves O(batches × K × DIM) rows instead of joining the
+    n×DIM exploded vectors against the n×M assignment (the r3–r6 plan), which
+    is the difference between a constant-size and a data-size shuffle at
+    100 TB. avg = sum(s)/sum(n) rounded to 6dp, identical math to the old
+    F.avg (Spark's Average is also sum/count); the 6dp round absorbs
+    partial-order differences exactly as it already did cross-engine."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bc = spark.sparkContext.broadcast(C)
+    schema = StructType(
+        [
+            StructField("cid", IntegerType()),
+            StructField("dim", IntegerType()),
+            StructField("s", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        k_eff = len(bc.value)
+        Cm = bc.value.reshape(k_eff, M_SUB, SUBDIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Mx = _np.array(
+                [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]]
+            ).reshape(len(pdf), M_SUB, SUBDIM)
+            d2 = _np.round(
+                ((Mx[:, None, :, :] - Cm[None, :, :, :]) ** 2).sum(axis=3), 6
+            )
+            codes = d2.argmin(axis=1)  # (n, M)
+            out_cid, out_dim, out_s, out_n = [], [], [], []
+            for m in range(M_SUB):
+                cm = codes[:, m]
+                for k in range(k_eff):
+                    mask = cm == k
+                    nk = int(mask.sum())
+                    if not nk:
+                        continue
+                    s = Mx[mask, m, :].sum(axis=0)
+                    for d in range(SUBDIM):
+                        out_cid.append(k)
+                        out_dim.append(m * SUBDIM + d)
+                        out_s.append(float(s[d]))
+                        out_n.append(nk)
+            yield _pd.DataFrame(
+                {
+                    "cid": _np.array(out_cid, dtype="int32"),
+                    "dim": _np.array(out_dim, dtype="int32"),
+                    "s": out_s,
+                    "n": _np.array(out_n, dtype="int64"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(kernel, schema)
+
+
+def _train_codebook(
+    spark: SparkSession, emb: DataFrame, return_query: bool = False
+):
     """Deterministic init (PQ_K lowest vec_ids) + one Lloyd update per
-    subspace. Returns the (PQ_K, DIM) rounded codebook, or None if empty."""
-    v = _exploded(emb)
-    ids = [
-        r["vec_id"]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(PQ_K).collect()
-    ]
-    if not ids:
-        return None
-    cid_map = spark.createDataFrame(
-        [(int(x), i) for i, x in enumerate(ids)], "vec_id long, cid int"
-    )
-    c0 = v.join(F.broadcast(cid_map), "vec_id").select(
-        "cid", "dim", F.round("val", 6).alias("cv")
-    )
-    C0 = _collect_codebook(c0, len(ids))
-    a1 = _assign_codes(emb, spark, C0).select(
-        "vec_id", "sub", F.col("code").alias("cid")
-    )
-    c1 = (
-        v.join(a1, ["vec_id", "sub"])
-        .groupBy("cid", "dim")
-        .agg(F.round(F.avg("val"), 6).alias("cv"))
-    )
-    C1 = _collect_codebook(c1, len(ids))
-    # a centroid that lost every vector in some subspace keeps its init slice
+    subspace. Returns the (PQ_K, DIM) rounded codebook, or None if empty.
+
+    One TakeOrdered collect fetches the init rows with BOTH the raw
+    embedding and the Spark-side 6dp-rounded slices (rounding stays in the
+    engine so the init codebook is bit-identical to the old explode+F.round
+    path and to the oracle's round(val, 6)); with return_query=True the
+    query vector rides along in the same job when QUERY_VEC_ID is among the
+    init ids, sparing the callers' separate filter-collect."""
     import numpy as np
 
+    head = (
+        emb.orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr("transform(embedding, x -> round(cast(x AS double), 6))").alias(
+                "emb6"
+            ),
+        )
+        .collect()
+    )
+    if not head:
+        return (None, None) if return_query else None
+    C0 = np.array([list(r["emb6"]) for r in head], dtype=np.float64)
+    c1 = (
+        _assign_partials(emb, spark, C0)
+        .groupBy("cid", "dim")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+    )
+    C1 = _collect_codebook(c1, len(head))
+    # a centroid that lost every vector in some subspace keeps its init slice
     mask = np.isnan(C1)
     C1[mask] = C0[mask]
+    if return_query:
+        qrow = next((r for r in head if r["vec_id"] == QUERY_VEC_ID), None)
+        qvec = (
+            np.asarray(qrow["embedding"], dtype=np.float64)
+            if qrow is not None
+            else None
+        )
+        return C1, qvec
     return C1
 
 
@@ -174,13 +249,15 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    C = _train_codebook(spark, emb)
+    C, qvec = _train_codebook(spark, emb, return_query=True)
     if C is None:
         return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
-    if not q:
-        return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
-    qv = np.asarray(q[0]["embedding"], dtype=np.float64).reshape(M_SUB, SUBDIM)
+    if qvec is None:  # QUERY_VEC_ID not among the init ids — fetch it alone
+        q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+        if not q:
+            return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
+        qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+    qv = qvec.reshape(M_SUB, SUBDIM)
     k_eff = len(C)
     Cm = C.reshape(k_eff, M_SUB, SUBDIM)
     # (M, K) query→centroid-slice distance table
@@ -294,10 +371,12 @@ IVF_NPROBE = 2  # cells searched per query
 def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed billion-vector layout: IVF cells decide WHICH vectors a
     query touches (nprobe nearest label-centroids), PQ codes decide what each
-    touched vector COSTS (8-byte ADC lookup). The two stages are exactly
-    `ivf_assign` and `pq_search`'s machinery composed — at production scale
-    the codes table is written partitioned by IVF cell, so the candidate
-    restriction below (join on the probed cells) becomes partition pruning
+    touched vector COSTS (8-byte ADC lookup). The semantics are exactly
+    `ivf_assign` and `pq_search`'s machinery composed (tests pin equality to
+    that composition), but the plan fuses them: one mapInPandas pass assigns
+    the cell and encodes only vectors in probed cells — no vector shuffle, no
+    assignment/codes join. At production scale the codes table is written
+    partitioned by IVF cell, so this same restriction is partition pruning
     and a query reads nprobe/K of an already-32×-compressed table.
 
     Determinism: probe cells are chosen by the ivf_assign contract (6dp-round
@@ -305,20 +384,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_search contract; final ranking ties break by vec_id."""
     import numpy as np
 
-    from .similarity import ivf_assign, label_centroids
+    from .similarity import label_centroids
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    C = _train_codebook(spark, emb)
+    C, qvec = _train_codebook(spark, emb, return_query=True)
     if C is None:
         return spark.createDataFrame(
             [], "vec_id long, cell int, adc_d2 double, rank int"
         )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
-    if not q:
-        return spark.createDataFrame(
-            [], "vec_id long, cell int, adc_d2 double, rank int"
-        )
-    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+    if qvec is None:  # QUERY_VEC_ID not among the init ids — fetch it alone
+        q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+        if not q:
+            return spark.createDataFrame(
+                [], "vec_id long, cell int, adc_d2 double, rank int"
+            )
+        qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
 
     # probe cells: nprobe nearest IVF centroids to the query (driver-side —
     # the centroid table is the same tiny K×D state ivf_assign broadcasts)
@@ -333,13 +413,17 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = sorted(range(len(labels)), key=lambda i: (d2[i], labels[i]))
     probe = [int(labels[i]) for i in order[:IVF_NPROBE]]
 
-    cand = (
-        ivf_assign(spark, sf_dir)
-        .filter(F.col("assigned").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
-        .select("vec_id", F.col("assigned").alias("cell"))
-    )
+    # Fused assign+encode: ONE pass over the vectors computes the IVF cell
+    # (ivf_assign contract: 6dp-round d2, argmin over ascending labels) and,
+    # for vectors landing in a probed cell, the PQ codes (_assign_codes
+    # contract). This is exactly what the partitioned-by-cell production
+    # layout gives for free — the query never shuffles or re-joins the
+    # vectors, it just skips cells outside nprobe. Emits (vec_id, cell, sub,
+    # code) for candidates only; results identical to composing ivf_assign
+    # and _assign_codes then joining (tests pin equality to that composition
+    # and to the DuckDB replay of it).
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    # ADC over the candidates only (pq_search machinery)
     k_eff = len(C)
     Cm = C.reshape(k_eff, M_SUB, SUBDIM)
     qsub = qvec.reshape(M_SUB, SUBDIM)
@@ -348,7 +432,58 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m, k, float(dq[m, k])) for m in range(M_SUB) for k in range(k_eff)],
         "sub int, code int, dq double",
     )
-    codes = _assign_codes(emb, spark, C).join(cand, "vec_id")
+    bc = spark.sparkContext.broadcast(
+        (np.array(labels), Civf, C, frozenset(probe))
+    )
+    fused_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell", IntegerType()),
+            StructField("sub", IntegerType()),
+            StructField("code", IntegerType()),
+        ]
+    )
+
+    def fused(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        labs, civf, cpq, probe_set = bc.value
+        cm = cpq.reshape(len(cpq), M_SUB, SUBDIM)
+        probe_mask = _np.isin(labs, list(probe_set))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Mfull = _np.array(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            )
+            dcell = _np.round(
+                ((Mfull[:, None, :] - civf[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            nearest_idx = dcell.argmin(axis=1)  # first min → lowest label
+            keep = probe_mask[nearest_idx] & (
+                pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+            )
+            if not keep.any():
+                continue
+            Mx = Mfull[keep].reshape(-1, M_SUB, SUBDIM)
+            cells = labs[nearest_idx[keep]]
+            vids = pdf["vec_id"].to_numpy()[keep]
+            dpq = _np.round(
+                ((Mx[:, None, :, :] - cm[None, :, :, :]) ** 2).sum(axis=3), 6
+            )
+            codes = dpq.argmin(axis=1)  # (n, M)
+            n = len(vids)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(vids, M_SUB),
+                    "cell": _np.repeat(cells.astype("int32"), M_SUB),
+                    "sub": _np.tile(_np.arange(M_SUB, dtype="int32"), n),
+                    "code": codes.astype("int32").reshape(-1),
+                }
+            )
+
+    codes = emb.select("vec_id", "embedding").mapInPandas(fused, fused_schema)
     adc = (
         codes.join(F.broadcast(dq_df), ["sub", "code"])
         .groupBy("vec_id", "cell")

@@ -75,6 +75,61 @@ def test_adc_approximates_exact_distance(spark):
     assert adc_ranks[0] <= pqm.PQ_TOP_K  # a true top-10 neighbor surfaces
 
 
+def test_fused_ivf_pq_equals_composition(spark):
+    """The fused assign+encode kernel must give exactly what composing the
+    standalone operators gives: ivf_assign → filter to the query's nprobe
+    cells → join _assign_codes → broadcast-join the dq table → ADC agg.
+    Pins the r7 one-pass plan to the r3-r6 compositional semantics."""
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.operators import prepared
+    from s3bigdatasync_spark.operators.similarity import ivf_assign, label_centroids
+
+    emb = prepared(spark, SF).table("embeddings")
+    C = pqm._train_codebook(spark, emb)
+    q = emb.filter(F.col("vec_id") == pqm.QUERY_VEC_ID).select("embedding").collect()
+    qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
+
+    cents = label_centroids(spark, SF).toPandas()
+    labels = sorted(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    Civf = np.zeros((len(labels), dim))
+    for li, lab in enumerate(labels):
+        Civf[li] = cents[cents["label"] == lab].sort_values("dim")["centroid_v"].to_numpy()
+    d2 = np.round(((qvec[None, :] - Civf) ** 2).sum(axis=1), 6)
+    order = sorted(range(len(labels)), key=lambda i: (d2[i], labels[i]))
+    probe = [int(labels[i]) for i in order[: pqm.IVF_NPROBE]]
+
+    k_eff = len(C)
+    Cm = C.reshape(k_eff, pqm.M_SUB, pqm.SUBDIM)
+    qsub = qvec.reshape(pqm.M_SUB, pqm.SUBDIM)
+    dq = np.round(((qsub[None, :, :] - Cm) ** 2).sum(axis=2).T, 6)
+    dq_df = spark.createDataFrame(
+        [(m, k, float(dq[m, k])) for m in range(pqm.M_SUB) for k in range(k_eff)],
+        "sub int, code int, dq double",
+    )
+    cand = (
+        ivf_assign(spark, SF)
+        .filter(F.col("assigned").isin(probe) & (F.col("vec_id") != pqm.QUERY_VEC_ID))
+        .select("vec_id", F.col("assigned").alias("cell"))
+    )
+    composed = (
+        pqm._assign_codes(emb, spark, C)
+        .join(cand, "vec_id")
+        .join(F.broadcast(dq_df), ["sub", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_d2"))
+    )
+    want = sorted(
+        ((r["adc_d2"], r["vec_id"], r["cell"]) for r in composed.collect())
+    )[: pqm.PQ_TOP_K]
+    got = [
+        (r["adc_d2"], r["vec_id"], r["cell"])
+        for r in pqm.ivf_pq_search(spark, SF).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
 def test_ivf_pq_candidates_come_from_probed_cells(spark):
     """Every IVF-PQ result row's cell is one of the query's nprobe nearest
     cells, and results rank by ADC distance with vec_id tie-break."""
