@@ -110,6 +110,9 @@ HEADLINE = [
     "hybrid_search",         # RRF fusion of BM25 + cosine top-k pools
     "shared_substring_spans", # maximal cross-doc repeated runs (ExactSubstr)
     "winnow_candidates",     # winnowed fingerprint pairs (the sublinear index)
+    # round-7 additions
+    "winnow_spans",          # index->exact composition (winnow names, spans localize)
+    "gram_cap_recommendation", # evidence-derived gram-postings cap relation
     "dsir_importance",       # target-domain importance weights (DSIR)
     "label_margin_audit",    # centroid-margin label-noise triage
     "corpus_release_manifest", # survivors x cluster-splits x DSIR manifest

@@ -104,6 +104,39 @@ PAIR_BUDGET_PER_POSTING = 2  # allowed candidate pairs per (doc,shingle) posting
 DF_CAP_FLOOR = 8
 
 
+def _cap_from_level_histogram(levels: list[tuple[int, int]]) -> int:
+    """Shared derivation core: given the (count_per_key, n_keys) level
+    histogram of any postings relation, return max(DF_CAP_FLOOR, largest
+    level c with Σ_{count≤c} n·count·(count−1)/2 ≤ PAIR_BUDGET_PER_POSTING ×
+    total postings). Used for BOTH the shingle family (count = document
+    frequency; the (doc, shingle) relation is distinct) and the gram-postings
+    family (count = TOTAL positions per gram, so within-doc multiplicity is
+    bounded too — ADVICE r6). All-integer, engine-exact."""
+    levels = sorted(levels)
+    budget = PAIR_BUDGET_PER_POSTING * sum(d * n for d, n in levels)
+    cum, best = 0, 0
+    for d, n in levels:
+        cum += n * (d * (d - 1) // 2)
+        if cum > budget:
+            break
+        best = d
+    return max(DF_CAP_FLOOR, best)
+
+
+def _cap_from_count_relation(dfr: DataFrame, count_col: str = "df") -> int:
+    """Derive the cap from a precomputed per-key count relation (one
+    aggregation of the postings — callers reuse the same relation for the
+    hot-key probe so the heaviest shuffle runs ONCE, ADVICE r6). The collect
+    is bounded model state (the per-level histogram: ≤ #distinct counts ≤
+    O(√postings) tiny rows — the df_spectrum shape, same class as the K
+    centroids / BPE merge collects)."""
+    levels = [
+        (r[count_col], r["n_k"])
+        for r in dfr.groupBy(count_col).agg(F.count("*").alias("n_k")).collect()
+    ]
+    return _cap_from_level_histogram(levels)
+
+
 def derive_df_cap(sh: DataFrame) -> int:
     """The evidence-driven df cap for a (doc_id, shingle) relation:
     max(DF_CAP_FLOOR, largest df d with Σ_{df≤d} df·(df−1)/2 ≤
@@ -113,27 +146,10 @@ def derive_df_cap(sh: DataFrame) -> int:
     fixed absolute cap (whose pair volume still depends on how much mass
     sits under it). All-integer arithmetic, so the derivation is
     engine-exact; df_cap_recommendation is the same computation as an
-    oracle-checked relation.
-
-    The collect is bounded model state (the per-df level histogram: ≤
-    #distinct df values ≤ O(√postings) tiny rows — the df_spectrum shape,
-    same class as the K centroids / BPE merge collects)."""
-    levels = sorted(
-        (r["df"], r["n_sh"])
-        for r in sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .groupBy("df")
-        .agg(F.count("*").alias("n_sh"))
-        .collect()
+    oracle-checked relation."""
+    return _cap_from_count_relation(
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
     )
-    budget = PAIR_BUDGET_PER_POSTING * sum(d * n for d, n in levels)
-    cum, best = 0, 0
-    for d, n in levels:
-        cum += n * (d * (d - 1) // 2)
-        if cum > budget:
-            break
-        best = d
-    return max(DF_CAP_FLOOR, best)
 
 
 def _df_capped(sh: DataFrame) -> DataFrame:
@@ -146,19 +162,16 @@ def _df_capped(sh: DataFrame) -> DataFrame:
     candidate volume is budgeted LINEAR in postings regardless of corpus
     size (a fractional cutoff like boilerplate_report's 5% is not: 0.05N
     still grows with N, and a fixed absolute cap bounds per-shingle fan-out
-    but not how much mass sits under it). The hot set is the df relation
-    boilerplate_report already computes, reused here as an anti-join probe
-    (bloom/semi prune at corpus scale); under Zipf it is a tiny fraction of
-    the vocabulary, so the anti-join is cheap and reuses the shingle shuffle
-    the df count just performed."""
-    sh = scoped_cache(sh)  # three readers: the derivation, the hot probe, the join
-    cap = derive_df_cap(sh)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("shingle")
-    )
+    but not how much mass sits under it). The df relation is aggregated ONCE
+    and cached: the cap derivation reads its level histogram and the
+    hot-shingle anti-join probe filters the same DataFrame (bloom/semi prune
+    at corpus scale) — the heaviest shuffle of the capped family is not paid
+    twice (ADVICE r6). Under Zipf the hot set is a tiny fraction of the
+    vocabulary, so the anti-join is cheap."""
+    sh = scoped_cache(sh)  # two readers: the df aggregation and the join
+    dfr = scoped_cache(sh.groupBy("shingle").agg(F.count("*").alias("df")))
+    cap = _cap_from_count_relation(dfr)
+    hot = dfr.filter(F.col("df") > cap).select("shingle")
     return sh.join(hot, "shingle", "left_anti")
 
 
@@ -925,43 +938,90 @@ GROUP BY doc_id
 # --- shared_substring_spans: maximal cross-doc repeated runs -----------------
 
 SPAN_GRAM_K = 8  # sliding k-gram width (tokens)
-SPAN_GRAM_DF_CAP = 16  # grams in more docs than this are boilerplate, skipped
 SPAN_TOP_N = 50
 
 
 def _span_grams(docs: DataFrame) -> DataFrame:
     """Sliding SPAN_GRAM_K-token gram postings (doc_id, pos, h) — the shared
-    builder behind shared_substring_spans (every-position postings join) and
-    winnow_candidates (windowed-min fingerprint index). One tokenization,
-    one hash definition: an edit here moves both operators together, which
-    the winnowing guarantee (test_winnowing_guarantee_vs_spans) requires."""
+    builder behind shared_substring_spans (every-position postings join),
+    winnow_candidates (windowed-min fingerprint index) and winnow_spans (the
+    composed scale path). One tokenization, one hash definition: an edit
+    here moves all three together, which the winnowing guarantee
+    (test_winnowing_guarantee_vs_spans) requires.
+
+    The gram hash is computed INSIDE one projection (transform over the
+    position sequence, then posexplode) so the token array is built once per
+    document and never duplicated per exploded row in the exchange — the
+    r6-verdict item-8 shape, same as _shingles."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     return (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= SPAN_GRAM_K)
         .select(
             "doc_id",
-            "toks",
-            F.explode(F.sequence(F.lit(0), F.size("toks") - SPAN_GRAM_K)).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.array_join(F.slice(F.col("toks"), F.col("pos") + 1, SPAN_GRAM_K), " ")
-            ).alias("h"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_GRAM_K - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {SPAN_GRAM_K}))))"
+                )
+            ).alias("pos", "h"),
         )
     )
 
 
+def _gram_keep(grams: DataFrame) -> DataFrame:
+    """The kept-gram set (h) for the span/winnow postings joins, derived from
+    the corpus's own postings spectrum (the derive_df_cap doctrine applied to
+    the gram family — r6 verdict item 3). Per gram: pn = TOTAL postings
+    (every position in every doc) and df = distinct docs. The postings
+    self-join emits ≤ pn·(pn−1)/2 pairs PER GRAM — counting within-doc
+    multiplicity, which a df-only cap misses: a df=2 gram repeated 50× in
+    each doc emits 2 500 pair rows (ADVICE r6, medium). So the cap is
+    derived over the pn spectrum (largest pn level whose cumulative pair
+    mass fits PAIR_BUDGET_PER_POSTING × total postings, floored at
+    DF_CAP_FLOOR) and a gram is kept iff df ≥ 2 AND pn ≤ cap — total
+    candidate volume linear in postings by construction, within-doc
+    repetition included. Caller caches `grams`; the per-gram stats relation
+    is aggregated once here and reused for the keep filter."""
+    gpr = scoped_cache(
+        grams.groupBy("h").agg(
+            F.count("*").alias("pn"), F.countDistinct("doc_id").alias("df")
+        )
+    )
+    cap = _cap_from_count_relation(gpr, "pn")
+    return gpr.filter((F.col("df") >= 2) & (F.col("pn") <= cap)).select("h")
+
+
+def derive_gram_cap(grams: DataFrame) -> int:
+    """The postings cap in force for _gram_keep, as a scalar —
+    definitionally the `cap` column of gram_cap_recommendation
+    (tests/test_gram_cap.py pins the equality, mirroring test_df_cap)."""
+    return _cap_from_count_relation(
+        grams.groupBy("h").agg(F.count("*").alias("pn")), "pn"
+    )
+
+
 # the same postings relation in DuckDB: toks + grams CTE bodies shared by
-# _SHARED_SPANS_SQL and _WINNOW_SQL
+# _SHARED_SPANS_SQL, _WINNOW_SQL, _WINNOW_SPANS_SQL and _GRAM_CAP_RECO_SQL
 _GRAMS_CTES = rf"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 grams AS (
   SELECT doc_id, s AS pos, md5(array_to_string(t[s + 1 : s + {SPAN_GRAM_K}], ' ')) AS h
   FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - {SPAN_GRAM_K})) AS s
         FROM toks WHERE len(t) >= {SPAN_GRAM_K})
 )"""
+
+# per-gram stats + derived postings cap + keep set — the SQL replay of
+# _gram_keep, all-integer so both engines cap identically on any data
+_GRAM_KEEP_CTES = f"""gpr AS (
+  SELECT h, count(*) AS pn, count(DISTINCT doc_id) AS df FROM grams GROUP BY h
+),
+bypn AS (SELECT pn, count(*) AS n_g FROM gpr GROUP BY pn),
+gcum AS (SELECT pn, sum(n_g * (pn * (pn - 1) // 2)) OVER (ORDER BY pn) AS cum_pairs
+         FROM bypn),
+gcap AS (SELECT greatest({DF_CAP_FLOOR}, coalesce(max(pn), {DF_CAP_FLOOR})) AS cap
+         FROM gcum
+         WHERE cum_pairs <= {PAIR_BUDGET_PER_POSTING} * (SELECT coalesce(sum(pn), 0) FROM gpr)),
+keep AS (SELECT h FROM gpr, gcap WHERE df >= 2 AND pn <= cap)"""
 
 
 def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,10 +1036,13 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g consecutive matching grams is a shared substring of g + K - 1 tokens.
     Output: the SPAN_TOP_N longest shared spans with both start offsets.
 
-    Scale design: gram fan-out is the df² hazard every postings self-join
-    has, so grams are DF-capped (df in [2, SPAN_GRAM_DF_CAP]) exactly like
-    the capped shingle family — boilerplate grams (the high-df mass that
-    makes the join superlinear; measured in SCALING.md) belong to
+    Scale design: gram fan-out is the pn² hazard every postings self-join
+    has, so grams are capped by the EVIDENCE-DERIVED postings cap
+    (_gram_keep: df ≥ 2 and total postings ≤ the cap from the corpus's own
+    pn spectrum — within-doc repetition counts, so a separator run repeated
+    inside two docs can't explode the join; ADVICE r6) exactly like the
+    capped shingle family — boilerplate grams (the high-pn mass that makes
+    the join superlinear; measured in SCALING.md) belong to
     boilerplate_report, not here, at the documented cost of splitting runs
     at boilerplate grams. The postings join is a hash equi-join on md5 keys
     (uniform, no skew); diagonal windows partition by (doc_a, doc_b, diag)
@@ -989,15 +1052,17 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-deterministic)."""
     docs = prepared(spark, sf_dir).table("documents")
     grams = scoped_cache(_span_grams(docs))
-    df_ok = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_GRAM_DF_CAP))
-        .select("h")
-    )
-    capped = grams.join(df_ok, "h")
+    capped = grams.join(_gram_keep(grams), "h")
+    return _span_runs(_gram_pairs(capped)).orderBy(
+        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(SPAN_TOP_N)
+
+
+def _gram_pairs(capped: DataFrame) -> DataFrame:
+    """Cross-doc gram-position pairs with their alignment diagonal, from a
+    kept-gram postings relation."""
     a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
+    return (
         a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -1008,10 +1073,16 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.pos") - F.col("b.pos")).alias("diag"),
         )
     )
+
+
+def _span_runs(pairs: DataFrame) -> DataFrame:
+    """Gaps-and-islands over each (doc_a, doc_b, diagonal): chain consecutive
+    matching gram positions into maximal runs; a run of g grams is a shared
+    substring of g + SPAN_GRAM_K - 1 tokens."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
+    return (
         pairs.withColumn("rid", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "rid")
         .agg(
@@ -1027,18 +1098,12 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_grams") + SPAN_GRAM_K - 1).alias("span_tokens"),
         )
     )
-    return runs.orderBy(
-        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
-    ).limit(SPAN_TOP_N)
 
 
 _SHARED_SPANS_SQL = rf"""
 WITH {_GRAMS_CTES},
-df_ok AS (
-  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM grams GROUP BY h)
-  WHERE df >= 2 AND df <= {SPAN_GRAM_DF_CAP}
-),
-capped AS (SELECT * FROM grams WHERE h IN (SELECT h FROM df_ok)),
+{_GRAM_KEEP_CTES},
+capped AS (SELECT * FROM grams WHERE h IN (SELECT h FROM keep)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
          a.pos - b.pos AS diag
@@ -1081,34 +1146,18 @@ def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     same brute/LSH split as the ANN family.
 
     Scale shape: one scan + per-doc windowed min (partitioned by doc_id —
-    never a global window), DISTINCT on (doc, hash), the same df-cap as the
-    spans postings join ([2, SPAN_GRAM_DF_CAP] — boilerplate fingerprints
-    are excluded before pairing), a hash equi-join on md5 keys, and a
-    TakeOrderedAndProject top-N on a unique ordering key. End-of-doc
-    windows shorter than W still pick their min (frame truncates) — extra
-    fingerprints only strengthen the guarantee, and both engines truncate
-    frames identically."""
-    from pyspark.sql import Window
-
+    never a global window), DISTINCT on (doc, hash), then the SAME kept-gram
+    set as the spans postings join (_gram_keep — derived postings cap, so a
+    fingerprint the spans join keeps is never excluded here: the winnowing
+    guarantee needs exclusion sets to agree, and sharing the set makes that
+    structural), a hash equi-join on md5 keys (per-gram fan-out ≤ cap²
+    because fps-df ≤ pn ≤ cap for kept grams), and a TakeOrderedAndProject
+    top-N on a unique ordering key. End-of-doc windows shorter than W still
+    pick their min (frame truncates) — extra fingerprints only strengthen
+    the guarantee, and both engines truncate frames identically."""
     docs = prepared(spark, sf_dir).table("documents")
-    grams = _span_grams(docs)
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    fps = (
-        grams.select("doc_id", F.min("h").over(w).alias("h"))
-        .distinct()
-    )
-    fps = scoped_cache(fps)
-    df_ok = (
-        fps.groupBy("h")
-        .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_GRAM_DF_CAP))
-        .select("h")
-    )
-    capped = fps.join(df_ok, "h")
+    grams = scoped_cache(_span_grams(docs))
+    capped = _winnow_fps(grams).join(_gram_keep(grams), "h")
     pairs = (
         capped.alias("a")
         .join(capped.alias("b"), "h")
@@ -1121,24 +1170,193 @@ def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(SPAN_TOP_N)
 
 
-_WINNOW_SQL = rf"""
-WITH {_GRAMS_CTES},
-fps AS (
+def _winnow_fps(grams: DataFrame) -> DataFrame:
+    """Winnowed fingerprint selection: per doc, the min gram hash of every
+    WINNOW_W-window of consecutive positions, deduplicated — ~2/(W+1) of the
+    grams (density measured in SCALING.md)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return grams.select("doc_id", F.min("h").over(w).alias("h")).distinct()
+
+
+_FPS_CTE = f"""fps AS (
   SELECT DISTINCT doc_id,
          min(h) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS h
   FROM grams
-),
-df_ok AS (
-  SELECT h FROM (SELECT h, count(*) AS df FROM fps GROUP BY h)
-  WHERE df >= 2 AND df <= {SPAN_GRAM_DF_CAP}
-)
+)"""
+
+_WINNOW_SQL = rf"""
+WITH {_GRAMS_CTES},
+{_GRAM_KEEP_CTES},
+{_FPS_CTE}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
 FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-WHERE a.h IN (SELECT h FROM df_ok)
+WHERE a.h IN (SELECT h FROM keep)
 GROUP BY 1, 2
 ORDER BY n_shared DESC, doc_a, doc_b
 LIMIT {SPAN_TOP_N}
+"""
+
+
+def winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed substring-dedup scale path the two operators above
+    promise (r6 verdict item 2): winnowing fingerprints NAME the candidate
+    doc pairs sublinearly, then the exact spans machinery localizes each
+    match — the postings join runs RESTRICTED to candidate pairs instead of
+    globally, the same index→verify split as ann_lsh_topk vs brute force.
+    At 100 TB you never run the global capped postings join when the index
+    already names the pairs: the candidate set bounds both sides of the
+    spans join to documents known to share a fingerprint.
+
+    Output schema and ordering match shared_substring_spans; every reported
+    span is by construction also a span of the standalone operator
+    (⊆-consistency pinned by test_winnow_spans_subset_of_spans), and every
+    standalone span of >= WINNOW_W + SPAN_GRAM_K - 1 tokens survives the
+    restriction (the winnowing guarantee names its pair).
+
+    Scale shape: one gram scan feeds both the fingerprint index and the
+    postings (cached); candidate pairs come from the winnowed (~2/(W+1)
+    density) capped fingerprint join — DISTINCT (doc_a, doc_b), no top-N
+    truncation, this is the index, not the report; the spans pair join then
+    equi-joins kept grams and semi-joins the candidate pair set on
+    (doc_a, doc_b) — fan-out bounded by cap × |candidate docs|, and the
+    probe side of every join is the derived-cap-bounded relation."""
+    docs = prepared(spark, sf_dir).table("documents")
+    grams = scoped_cache(_span_grams(docs))
+    keep = scoped_cache(_gram_keep(grams))
+    fkept = _winnow_fps(grams).join(keep, "h")
+    cand = (
+        fkept.alias("a")
+        .join(fkept.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pairs = _gram_pairs(grams.join(keep, "h")).join(cand, ["doc_a", "doc_b"])
+    return _span_runs(pairs).orderBy(
+        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(SPAN_TOP_N)
+
+
+_WINNOW_SPANS_SQL = rf"""
+WITH {_GRAMS_CTES},
+{_GRAM_KEEP_CTES},
+{_FPS_CTE},
+fkept AS (SELECT * FROM fps WHERE h IN (SELECT h FROM keep)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fkept a JOIN fkept b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+capped AS (SELECT * FROM grams WHERE h IN (SELECT h FROM keep)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) + {SPAN_GRAM_K} - 1 AS span_tokens
+  FROM (
+    SELECT *, pa - row_number() OVER (
+      PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS rid
+    FROM pairs
+  )
+  GROUP BY doc_a, doc_b, diag, rid
+)
+SELECT doc_a, doc_b, cast(start_a AS BIGINT) AS start_a,
+       cast(start_b AS BIGINT) AS start_b,
+       cast(span_tokens AS BIGINT) AS span_tokens
+FROM runs
+ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
+LIMIT {SPAN_TOP_N}
+"""
+
+
+def gram_cap_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evidence behind the gram-postings cap, as an oracle-checked
+    relation — df_cap_recommendation's analogue for the span/winnow family
+    (r6 verdict item 3): one row per distinct TOTAL-postings level pn with
+    its gram count, the cumulative candidate-pair mass Σ pn·(pn−1)/2 through
+    that level, the pair budget (PAIR_BUDGET_PER_POSTING × total postings),
+    whether the level fits, and the resulting cap — max(DF_CAP_FLOOR,
+    largest within-budget pn). The `cap` column is definitionally what
+    derive_gram_cap returns and what _gram_keep runs under
+    (tests/test_gram_cap.py pins both), so the driver record proves the cap
+    the span/winnow joins actually used. Counting TOTAL postings (not
+    distinct docs) is the point: within-doc multiplicity is pair fan-out too
+    (ADVICE r6).
+
+    Scale shape: one shuffle on h (the postings count), then an agg to the
+    per-pn level histogram — ≤ #distinct pn values ≤ O(√postings) rows —
+    and windows over that tiny relation. All integer; engine-exact."""
+    from pyspark.sql import Window
+
+    docs = prepared(spark, sf_dir).table("documents")
+    bypn = (
+        _span_grams(docs)
+        .groupBy("h")
+        .agg(F.count("*").alias("pn"))
+        .groupBy("pn")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    cum_w = Window.orderBy("pn").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    return (
+        bypn.withColumn(
+            "cum_pairs",
+            F.sum(F.expr("n_grams * (pn * (pn - 1) div 2)")).over(cum_w),
+        )
+        .withColumn(
+            "budget_pairs",
+            F.lit(PAIR_BUDGET_PER_POSTING)
+            * F.sum(F.expr("n_grams * pn")).over(all_w),
+        )
+        .withColumn("within_budget", F.col("cum_pairs") <= F.col("budget_pairs"))
+        .withColumn(
+            "cap",
+            F.greatest(
+                F.lit(DF_CAP_FLOOR).cast("long"),
+                F.coalesce(
+                    F.max(F.when(F.col("within_budget"), F.col("pn"))).over(all_w),
+                    F.lit(DF_CAP_FLOOR).cast("long"),
+                ),
+            ),
+        )
+        .select(
+            "pn", "n_grams", "cum_pairs", "budget_pairs", "within_budget", "cap"
+        )
+    )
+
+
+_GRAM_CAP_RECO_SQL = rf"""
+WITH {_GRAMS_CTES},
+gpr AS (SELECT h, count(*) AS pn FROM grams GROUP BY h),
+bypn AS (SELECT pn, count(*) AS n_grams FROM gpr GROUP BY pn),
+cum AS (
+  SELECT pn, n_grams,
+         cast(sum(n_grams * (pn * (pn - 1) // 2)) OVER (ORDER BY pn) AS BIGINT)
+           AS cum_pairs,
+         cast({PAIR_BUDGET_PER_POSTING}
+              * (SELECT coalesce(sum(pn), 0) FROM gpr) AS BIGINT) AS budget_pairs
+  FROM bypn
+)
+SELECT pn, n_grams, cum_pairs, budget_pairs,
+       cum_pairs <= budget_pairs AS within_budget,
+       greatest(
+         {DF_CAP_FLOOR},
+         coalesce(
+           max(CASE WHEN cum_pairs <= budget_pairs THEN pn END) OVER (),
+           {DF_CAP_FLOOR})) AS cap
+FROM cum
 """
 
 
@@ -1874,6 +2092,8 @@ QUERIES = {
     "span_dedup": span_dedup,
     "shared_substring_spans": shared_substring_spans,
     "winnow_candidates": winnow_candidates,
+    "winnow_spans": winnow_spans,
+    "gram_cap_recommendation": gram_cap_recommendation,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
     "cross_source_duplication": cross_source_duplication,
@@ -1900,6 +2120,8 @@ ORACLES = {
     "span_dedup": _SPAN_DEDUP_SQL,
     "shared_substring_spans": _SHARED_SPANS_SQL,
     "winnow_candidates": _WINNOW_SQL,
+    "winnow_spans": _WINNOW_SPANS_SQL,
+    "gram_cap_recommendation": _GRAM_CAP_RECO_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,
     "cross_source_duplication": _CROSS_SOURCE_SQL,

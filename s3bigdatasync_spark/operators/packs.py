@@ -46,6 +46,7 @@ from . import (
     limits,
     multimodal,
     pq,
+    relational,
     resolve,
     similarity,
     stats,
@@ -58,6 +59,7 @@ from ..plans import llm_corpus  # noqa: E402  (plans never import packs)
 
 _SOURCE_MODULES = [
     limits,
+    relational,
     stats,
     windows,
     joins,
@@ -84,7 +86,18 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
-    # round-6 additions, FIRST among the packs (forward-ordering): the
+    # round-7 additions, FIRST among the packs (forward-ordering): the
+    # evidence-derived gram-postings cap relation (derive_gram_cap's proof,
+    # within-doc multiplicity counted — ADVICE r6) and the winnow→spans
+    # composition (fingerprint index names the pairs, exact spans localize),
+    # plus size_deciles (folded from standalone to keep the driver at 50 —
+    # the order_limit/status_recode precedent)
+    "pack_r7": [
+        "gram_cap_recommendation",
+        "winnow_spans",
+        "size_deciles",
+    ],
+    # round-6 additions: the
     # evidence-driven df-cap derivation (the relation derive_df_cap is
     # definitionally equal to) and the k-center greedy coreset, plus
     # order_limit (folded from standalone to keep the driver registry at 50
@@ -331,6 +344,27 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("start_a", "int"),
         ("start_b", "int"),
         ("span_tokens", "int"),
+    ],
+    "winnow_spans": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("start_a", "int"),
+        ("start_b", "int"),
+        ("span_tokens", "int"),
+    ],
+    "gram_cap_recommendation": [
+        ("pn", "int"),
+        ("n_grams", "int"),
+        ("cum_pairs", "int"),
+        ("budget_pairs", "int"),
+        ("within_budget", "bool"),
+        ("cap", "int"),
+    ],
+    "size_deciles": [
+        ("decile", "int"),
+        ("n_objects", "int"),
+        ("min_size", "int"),
+        ("max_size", "int"),
     ],
     "winnow_candidates": [
         ("doc_a", "int"),

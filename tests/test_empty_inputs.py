@@ -108,6 +108,8 @@ EMPTY_SAFE = [
     "hybrid_search",
     "shared_substring_spans",
     "winnow_candidates",
+    "winnow_spans",
+    "gram_cap_recommendation",
     "dsir_importance",
     "label_margin_audit",
     "corpus_release_manifest",

@@ -1,0 +1,139 @@
+"""Adversarial pins for the span/winnow gram family's evidence-derived
+postings cap (r6 verdict item 3 + ADVICE medium).
+
+The r6 ADVICE pathology: the old df-only cap let a gram repeated many times
+WITHIN two docs (df=2, e.g. a separator run — common web boilerplate) emit
+n_a*n_b pair rows in the postings self-join, so 'df-capped, fan-out bounded'
+did not hold for within-doc multiplicity. The cap now derives from the
+per-gram TOTAL-postings (pn) spectrum; this file pins:
+
+  * cap-in-use equality: _gram_keep / derive_gram_cap run under exactly the
+    `cap` column of the oracle-checked gram_cap_recommendation relation
+    (mirror of tests/test_df_cap.py), clean AND skewed;
+  * the within-doc pathology is excluded: two docs sharing a massively
+    repeated 8-gram produce NO span from it, while a planted ordinary span
+    in the same corpus still surfaces;
+  * the span family stays oracle-green (Spark == DuckDB) on the skewed
+    corpus — the cap is applied identically in both engines;
+  * winnow_spans ⊆ shared_substring_spans (the composition reports only
+    spans the standalone operator reports) and ⊇ at the guarantee length
+    (every standalone span of >= WINNOW_W + SPAN_GRAM_K - 1 tokens appears,
+    with identical offsets/length).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import s3bigdatasync_spark.operators as ops
+from s3bigdatasync_spark.operators import dedup, prepared
+from tests.oracle_utils import compare
+
+SRC = Path("/root/testdata/sf0.001")
+
+# one 8-gram repeated 400x inside each of TWO docs: df=2 but pn=800 per
+# rotation — the ADVICE pathology (the old df-cap kept it: 400*400=160k pair
+# rows PER rotated gram from two docs; the pn-spectrum derivation excludes it
+# because its pair mass alone exceeds the corpus's linear budget)
+REPEAT_BLOCK = " ".join(["r0 r1 r2 r3 r4 r5 r6 r7"] * 400)
+PLANTED = " ".join(f"p{i}" for i in range(24))  # ordinary 24-token shared run
+RPT_ID0 = 80_000_000
+
+
+@pytest.fixture(scope="module")
+def repeat_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("gramskew")
+    for f in SRC.glob("*.parquet"):
+        if f.name != "documents.parquet":
+            shutil.copy(f, out / f.name)
+    schema = pq.read_schema(SRC / "documents.parquet")
+    rows = pq.read_table(SRC / "documents.parquet").to_pylist()
+    rows.append(
+        {
+            "doc_id": RPT_ID0,
+            "text": "ax0 ax1 " + REPEAT_BLOCK + " " + PLANTED + " ax2",
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": 10,
+        }
+    )
+    rows.append(
+        {
+            "doc_id": RPT_ID0 + 1,
+            "text": "bz0 " + REPEAT_BLOCK + " bz1 bz2 " + PLANTED,
+            "lang": "en",
+            "source": "synthetic",
+            "n_chars": 10,
+        }
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), out / "documents.parquet")
+    yield str(out)
+    ops._PREPARED.clear()
+
+
+def _cap_in_use(spark, sf_dir):
+    docs = prepared(spark, sf_dir).table("documents")
+    return dedup.derive_gram_cap(dedup._span_grams(docs))
+
+
+@pytest.mark.parametrize("which", ["clean", "skewed"])
+def test_gram_cap_in_use_equals_recommendation(spark, repeat_dir, which):
+    sf_dir = str(SRC) if which == "clean" else repeat_dir
+    in_use = _cap_in_use(spark, sf_dir)
+    reco = (
+        dedup.gram_cap_recommendation(spark, sf_dir)
+        .select("cap")
+        .distinct()
+        .collect()
+    )
+    assert len(reco) == 1
+    assert in_use == reco[0]["cap"]
+    assert in_use >= dedup.DF_CAP_FLOOR
+
+
+def test_within_doc_repetition_excluded_planted_span_kept(spark, repeat_dir):
+    """The repeated block's grams (pn=800, df=2) must sit above the derived
+    cap — no span between the two synthetic docs may come from it — while
+    the ordinary planted 24-token run still surfaces with exact length."""
+    assert _cap_in_use(spark, repeat_dir) < 800
+    rows = [
+        r
+        for r in dedup.shared_substring_spans(spark, repeat_dir).collect()
+        if r["doc_a"] == RPT_ID0 and r["doc_b"] == RPT_ID0 + 1
+    ]
+    assert rows, "planted span must be found"
+    assert max(r["span_tokens"] for r in rows) == len(PLANTED.split())
+    # the repeat block is 320 tokens long: any span from it would dwarf 24
+    assert all(r["span_tokens"] <= len(PLANTED.split()) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["shared_substring_spans", "winnow_candidates", "winnow_spans"]
+)
+def test_span_family_oracle_green_under_repetition_skew(spark, repeat_dir, name):
+    r = compare(dedup.QUERIES[name](spark, repeat_dir), dedup.ORACLES[name], repeat_dir)
+    assert r["ok"], {k: v for k, v in r.items() if k != "first_diffs"}
+
+
+def test_winnow_spans_subset_of_spans(spark):
+    """⊆: every winnow_spans row is a shared_substring_spans row (same
+    offsets and length). ⊇ at the guarantee length: every standalone span of
+    >= WINNOW_W + SPAN_GRAM_K - 1 tokens appears in winnow_spans (the
+    winnowing guarantee names its pair, and the restricted join then finds
+    the identical run). Both on sf0.001, where top-N truncation does not
+    bind (fixture pair count < SPAN_TOP_N)."""
+    key = lambda r: (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+    full = {key(r) for r in dedup.shared_substring_spans(spark, str(SRC)).collect()}
+    comp = {key(r) for r in dedup.winnow_spans(spark, str(SRC)).collect()}
+    assert comp, "fixture must yield composed spans"
+    assert comp <= full, comp - full
+    t = dedup.WINNOW_W + dedup.SPAN_GRAM_K - 1
+    guaranteed = {k for k in full if k[4] >= t}
+    assert guaranteed, "fixture must contain runs above the guarantee length"
+    missing = guaranteed - comp
+    assert not missing, missing
