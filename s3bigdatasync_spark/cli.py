@@ -239,8 +239,16 @@ def _cmd_layout_rewrite(spark: SparkSession, args) -> int:
     clustered parquet + a saved per-file manifest that lets
     with_global_order skip boundary discovery)."""
     from .operators import prepared
-    from .operators.prefix import collect_range_manifest, save_range_manifest
+    from .operators.prefix import (
+        _source_fingerprint,
+        collect_range_manifest,
+        save_range_manifest,
+    )
 
+    # capture BEFORE the rewrite reads the source (r6 ADVICE): if the live
+    # tables change while the rewrite runs, save_range_manifest re-takes the
+    # fingerprint and refuses — never a fresh-looking manifest on stale data
+    fp_before = _source_fingerprint(args.sf_dir)
     df = prepared(spark, args.sf_dir).table(args.table)
     keys = args.keys.split(",")
     if args.mode == "bucketed":
@@ -266,6 +274,7 @@ def _cmd_layout_rewrite(spark: SparkSession, args) -> int:
             keys=keys,
             sum_col=args.sum_col,
             source_dir=args.sf_dir,
+            source_fp=fp_before,
         )
         print(
             f"range layout: {args.n} write-ranges -> {len(manifest)} manifest"

@@ -157,6 +157,7 @@ def save_range_manifest(
     keys: list[str] | None = None,
     sum_col: str | None = None,
     source_dir: str | None = None,
+    source_fp: list | None = None,
 ) -> str:
     """Persist a collect_range_manifest result as JSON beside the layout
     (the poor man's table-format manifest). Bounds serialize as scalars or
@@ -164,9 +165,30 @@ def save_range_manifest(
     record what the manifest was collected over, so auto-consult can refuse
     a manifest that doesn't match a query's order columns; `source_dir`
     (the sf_dir the layout was derived from) records a source fingerprint so
-    auto-consult can refuse a layout whose live tables have since changed."""
+    auto-consult can refuse a layout whose live tables have since changed.
+
+    `source_fp` is the fingerprint captured BEFORE the rewrite job read the
+    source (r6 ADVICE: fingerprinting only at save time records the NEW file
+    state against layout data computed from the OLD files, so a mid-rewrite
+    source change would pass the freshness gate while serving stale ranges).
+    When given, the live fingerprint is re-taken here and the save REFUSES
+    on mismatch — the layout is torn, not subtly wrong. Callers that read
+    and save atomically (tests, single-shot scripts) may still pass only
+    source_dir; cli layout-rewrite always passes the pre-read capture."""
     import json
     from pathlib import Path
+
+    if source_fp is not None:
+        if source_dir is None:
+            raise ValueError("source_fp requires source_dir to re-verify against")
+        live = _source_fingerprint(source_dir)
+        if live != source_fp:
+            raise RuntimeError(
+                "save_range_manifest: source tables changed between the "
+                f"rewrite's read and save ({source_dir}) — the layout was "
+                "computed from files that no longer exist in that state; "
+                "re-run the rewrite"
+            )
 
     def enc(v):
         if isinstance(v, (list, tuple)):
@@ -180,7 +202,11 @@ def save_range_manifest(
             {
                 "keys": keys,
                 "sum_col": sum_col,
-                "source_fp": _source_fingerprint(source_dir) if source_dir else None,
+                "source_fp": (
+                    source_fp
+                    if source_fp is not None
+                    else (_source_fingerprint(source_dir) if source_dir else None)
+                ),
                 "ranges": ranges,
             }
         )

@@ -777,8 +777,11 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str, k: int = CORESET_K) -> Dat
     Spark-first iterative shape (the kmeans_lloyd contract): per-round state
     is the grown center matrix (≤ K×64, broadcast); each round is ONE Arrow
     GEMM pass computing min-d2 per vector (distances never shuffle) plus a
-    top-1 TakeOrderedAndProject — K bounded rounds total, the same
-    model-state driver loop as Lloyd iterations / BPE merges. Engine-exact
+    top-1 TakeOrderedAndProject that CARRIES the winner's embedding — the
+    next center comes out of the same collect, so each round is exactly one
+    job (r6 verdict item 7 removed the per-pick full-table re-scan) — K
+    bounded rounds total, the same model-state driver loop as Lloyd
+    iterations / BPE merges. Engine-exact
     because center values and squared distances round to 6dp before the
     argmax and vec_id breaks ties (the ivf_assign float contract); the
     DuckDB oracle replays all K−1 rounds as unrolled CTEs."""
@@ -786,24 +789,19 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str, k: int = CORESET_K) -> Dat
 
     emb = prepared(spark, sf_dir).table("embeddings")
     out_schema = "rank int, vec_id long, label int, radius double"
-    seed = emb.orderBy("vec_id").limit(1).select("vec_id", "label").collect()
+    seed = (
+        emb.orderBy("vec_id").limit(1).select("vec_id", "label", "embedding").collect()
+    )
     if not seed:
         return spark.createDataFrame([], out_schema)
 
-    def center_vec(vid: int) -> "np.ndarray":
-        rows = (
-            emb.filter(F.col("vec_id") == vid)
-            .select(F.posexplode("embedding").alias("dim", "val"))
-            .select("dim", F.round(F.col("val").cast("double"), 6).alias("cv"))
-            .collect()
-        )
-        v = np.zeros(max(r["dim"] for r in rows) + 1)
-        for r in rows:
-            v[r["dim"]] = r["cv"]
-        return v
+    def _center(row) -> "np.ndarray":
+        # centers enter the GEMM 6dp-rounded (the ivf_assign float contract —
+        # the oracle's cen CTEs round the same way)
+        return np.round(np.asarray(row["embedding"], dtype=np.float64), 6)
 
     picked = [(0, int(seed[0]["vec_id"]), int(seed[0]["label"]), 0.0)]
-    centers = [center_vec(picked[0][1])]
+    centers = [_center(seed[0])]
     for rank in range(1, k):
         bc = spark.sparkContext.broadcast(np.vstack(centers))
 
@@ -826,18 +824,22 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str, k: int = CORESET_K) -> Dat
                         "vec_id": pdf["vec_id"],
                         "label": pdf["label"],
                         "mind2": d2.min(axis=1),
+                        "embedding": pdf["embedding"],
                     }
                 )
 
         top = (
             emb.select("vec_id", "label", "embedding")
-            .mapInPandas(kernel, "vec_id long, label int, mind2 double")
+            .mapInPandas(
+                kernel,
+                "vec_id long, label int, mind2 double, embedding array<double>",
+            )
             .orderBy(F.desc("mind2"), "vec_id")
             .limit(1)
             .collect()
         )[0]
         picked.append((rank, int(top["vec_id"]), int(top["label"]), float(top["mind2"])))
-        centers.append(center_vec(int(top["vec_id"])))
+        centers.append(_center(top))
     return spark.createDataFrame(picked, out_schema)
 
 

@@ -457,7 +457,11 @@ def seq_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. doc_chunks/token_shards EXECUTE a packing; this relation is the
     measurement that picks L before committing a 100 TB tokenization run —
     the truncation-loss-vs-padding-waste tradeoff read directly off the
-    corpus's own token histogram instead of guessed.
+    corpus's own token histogram instead of guessed. NULL text counts as a
+    zero-token doc (coalesced to '' in BOTH engines — Spark's
+    size(regexp_extract_all(NULL)) is -1 while DuckDB drops NULL from sums,
+    so an uncoalesced NULL is a cross-engine divergence AND a negative
+    token count; tests/test_new_ops.py pins the NULL-text corpus).
 
     Scale shape: one scan computing each doc's BPE token count (pure Catalyst
     regexp, no Python), an 8-way literal-array explode (zero exchange), and
@@ -466,7 +470,11 @@ def seq_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cross-engine-determinism contract). A zero-token doc still costs one
     all-pad sequence in both modes (n_seqs >= 1 per doc)."""
     docs = prepared(spark, sf_dir).table("documents")
-    t = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0)))
+    t = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(_BPE_TOKEN), F.lit(0)
+        )
+    )
     configs = F.array(
         *[
             F.struct(F.lit(mode).alias("mode"), F.lit(L).alias("max_seq_len"))
@@ -534,7 +542,7 @@ per_doc AS (
          CASE WHEN mode = 'truncate' THEN 1
               ELSE greatest((t + max_seq_len - 1) // max_seq_len, 1) END AS n_seqs,
          CASE WHEN mode = 'truncate' THEN least(t, max_seq_len) ELSE t END AS kept
-  FROM (SELECT cast(len(regexp_extract_all(text, '{_BPE_TOKEN}')) AS BIGINT) AS t
+  FROM (SELECT cast(len(regexp_extract_all(coalesce(text, ''), '{_BPE_TOKEN}')) AS BIGINT) AS t
         FROM documents), cfg
 )
 SELECT mode, cast(max_seq_len AS BIGINT) AS max_seq_len,

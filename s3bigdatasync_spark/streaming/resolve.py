@@ -59,13 +59,57 @@ _LOG_SCHEMA = (
 )
 
 
+def _staged_dir(log_dir: str) -> str:
+    return log_dir.rstrip("/") + "_migrating"
+
+
 def read_match_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    """The accumulated match log; fails LOUDLY if an interrupted
+    migrate_legacy_log left a `{log_dir}_migrating` staging dir behind — the
+    live log may be mid-overwrite (truncated), and silently serving it would
+    re-match already-logged records on the next redelivery (r6 ADVICE). Run
+    recover_migration(spark, log_dir) to finish or roll back, then retry."""
+    from pathlib import Path
+
+    if Path(_staged_dir(log_dir)).exists():
+        raise RuntimeError(
+            f"match log at {log_dir} has a leftover migration staging dir "
+            f"({_staged_dir(log_dir)}): a migrate_legacy_log run was "
+            "interrupted and the live log may be partially overwritten. "
+            f"Run recover_migration(spark, {log_dir!r}) to finish (staged "
+            "copy complete) or roll back (staged copy partial), then retry."
+        )
     try:
         return spark.read.schema(_LOG_SCHEMA).parquet(log_dir)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         return spark.createDataFrame([], _LOG_SCHEMA)
+
+
+def recover_migration(spark: SparkSession, log_dir: str) -> str:
+    """Crash recovery for an interrupted migrate_legacy_log. The staging dir
+    is the witness of every crash window: (a) crash mid-STAGE write → staged
+    copy has no _SUCCESS marker, the live log was never touched → discard
+    the partial stage ('rolled_back'); (b) crash mid-FINAL overwrite (or
+    before cleanup) → staged copy is complete (_SUCCESS present), the live
+    log may be truncated → replay the overwrite from the staged copy, which
+    is idempotent, then remove the stage ('completed'). Returns 'noop' when
+    no staging dir exists. Single-writer admin step, like the migration."""
+    import shutil
+    from pathlib import Path
+
+    staged = Path(_staged_dir(log_dir))
+    if not staged.exists():
+        return "noop"
+    if (staged / "_SUCCESS").exists():
+        spark.read.schema(_LOG_SCHEMA).parquet(str(staged)).write.mode(
+            "overwrite"
+        ).parquet(log_dir)
+        shutil.rmtree(staged)
+        return "completed"
+    shutil.rmtree(staged)
+    return "rolled_back"
 
 
 def migrate_legacy_log(
@@ -89,9 +133,15 @@ def migrate_legacy_log(
     kept, not recomputed. Single-writer admin step (run while no stream
     writes), like any table migration; the rewrite stages through
     `{log_dir}_migrating` — required anyway (Spark cannot overwrite a path
-    it is reading) and it doubles as the recovery copy if the final
-    overwrite crashes mid-write (re-read the staged dir). Returns True if a
-    migration happened."""
+    it is reading) and it is the recovery copy if the final overwrite
+    crashes mid-write. The staging dir is removed only AFTER the final
+    overwrite succeeds, so its presence is a durable incompleteness marker:
+    read_match_log refuses to serve a possibly-truncated log while it
+    exists, and recover_migration finishes or rolls back from it (r6
+    ADVICE — without the marker, recovery was manual and the partial log
+    was served silently). A leftover stage from a previous crash is
+    recovered on entry. Returns True if a migration happened."""
+    recover_migration(spark, log_dir)
     log = read_match_log(spark, log_dir)
     legacy_ids = (
         log.where(F.col("dirty_name").isNull()).select("dirty_id").distinct()
@@ -112,11 +162,14 @@ def migrate_legacy_log(
             "batch_id", F.lit(-1).cast("long")
         )
     )
-    staged = log_dir.rstrip("/") + "_migrating"
+    staged = _staged_dir(log_dir)
     migrated.write.mode("overwrite").parquet(staged)
     spark.read.schema(_LOG_SCHEMA).parquet(staged).write.mode("overwrite").parquet(
         log_dir
     )
+    import shutil
+
+    shutil.rmtree(staged)
     return True
 
 

@@ -205,3 +205,52 @@ def test_unlistable_source_is_never_trusted(spark, tmp_path):
         load_table_layout(spark, str(root), "inventory_src", ["key", "size"])
         is None
     )
+
+
+def test_mid_rewrite_source_change_refuses_save(spark, tmp_path):
+    """r6 ADVICE: the fingerprint must witness the file state the rewrite
+    READ, not the state at save time. Simulate the race — capture fp, read,
+    then the source changes before save — and assert save_range_manifest
+    refuses (RuntimeError), never recording a fresh-looking manifest over
+    stale layout data. The no-race path with an explicit pre-read fp must
+    still save and be consultable."""
+    import shutil
+
+    import pytest
+
+    from s3bigdatasync_spark.operators.prefix import _source_fingerprint
+
+    root = tmp_path / "sf_clone"
+    root.mkdir()
+    for f in Path(SF_SMALL).glob("*.parquet"):
+        shutil.copy(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+    _PREPARED.clear()
+    fp_before = _source_fingerprint(str(root))
+    inv = prepared(spark, str(root)).table("inventory_src")
+    inv.repartitionByRange(8, "key", "size").write.mode("overwrite").parquet(str(out))
+    manifest = collect_range_manifest(
+        spark.read.parquet(str(out)), ["key", "size"], sum_col="size"
+    )
+
+    # no race: pre-read fp verifies against the unchanged live state
+    save_range_manifest(
+        manifest, str(out), keys=["key", "size"], sum_col="size",
+        source_dir=str(root), source_fp=fp_before,
+    )
+    assert (
+        load_table_layout(spark, str(root), "inventory_src", ["key", "size"])
+        is not None
+    )
+
+    # race: the source changes between the rewrite's read and the save
+    (root / "lineitem.parquet").touch()
+    with pytest.raises(RuntimeError, match="changed between"):
+        save_range_manifest(
+            manifest, str(out), keys=["key", "size"], sum_col="size",
+            source_dir=str(root), source_fp=fp_before,
+        )
+    # source_fp without source_dir is a caller bug, not a silent pass
+    with pytest.raises(ValueError, match="source_dir"):
+        save_range_manifest(manifest, str(out), source_fp=fp_before)
+    _PREPARED.clear()

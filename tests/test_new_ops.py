@@ -467,8 +467,8 @@ def test_shared_substring_spans_ground_truth(spark):
     tokens[start_a : start_a+span] of doc_a equals the same-length window of
     doc_b, and the run is maximal on both sides (the token just before /
     just after differs or runs off the document — valid to assert directly
-    here because the fixture's max gram df is far below SPAN_GRAM_DF_CAP, so
-    no boundary gram is cap-excluded)."""
+    here because the fixture's max gram postings count is far below the
+    evidence-derived cap, so no boundary gram is cap-excluded)."""
     rows = dedup.shared_substring_spans(spark, SF).collect()
     assert rows, "fixture is known to contain shared prefixes"
     docs = dict(
@@ -565,8 +565,9 @@ def test_label_margin_audit_semantics(spark):
 def test_shared_substring_spans_planted_corpus(spark):
     """Constructed corpus: docs 1 and 2 share exactly one planted 20-token
     run at different offsets (10 vs 3); a 12-token boilerplate block is
-    stamped into 20 other docs so its grams' df (20) exceeds
-    SPAN_GRAM_DF_CAP (16) and must be cap-excluded — the planted span is
+    stamped into 20 other docs so its grams' postings count (20) exceeds
+    the evidence-derived cap (8 on this corpus: the pn=20 level's pair mass
+    blows the linear budget) and must be cap-excluded — the planted span is
     the ONLY output, recovered with exact offsets and length."""
     import os
     import tempfile
@@ -681,3 +682,58 @@ def test_winnowing_guarantee_vs_spans(spark):
     }
     missing = long_pairs - cands
     assert not missing, missing
+
+
+def test_seq_packing_plan_null_text(spark, tmp_path):
+    """ADVICE r6: a NULL text must count as a zero-token doc in BOTH engines.
+    Uncoalesced, Spark's size(regexp_extract_all(NULL)) = -1 (negative
+    kept/trunc sums) while DuckDB drops the NULL from sums — a silent
+    cross-engine divergence. Corpus = sf0.001 documents plus one NULL-text
+    row; pins oracle parity, n_docs counting the NULL doc, and the
+    zero-token-doc accounting (one all-pad sequence, no negatives)."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import s3bigdatasync_spark.operators as ops
+    from tests.oracle_utils import compare
+
+    src = Path(SF)
+    out = tmp_path / "nulltext"
+    out.mkdir()
+    for f in src.glob("*.parquet"):
+        if f.name != "documents.parquet":
+            shutil.copy(f, out / f.name)
+    schema = pq.read_schema(src / "documents.parquet")
+    rows = pq.read_table(src / "documents.parquet").to_pylist()
+    n_base = len(rows)
+    rows.append(
+        {"doc_id": 90_000_000, "text": None, "lang": "en", "source": "synthetic", "n_chars": 0}
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), out / "documents.parquet")
+    try:
+        r = compare(
+            text.QUERIES["seq_packing_plan"](spark, str(out)),
+            text.ORACLES["seq_packing_plan"],
+            str(out),
+        )
+        assert r["ok"], {k: v for k, v in r.items() if k != "first_diffs"}
+        got = {
+            (row["mode"], row["max_seq_len"]): row
+            for row in text.seq_packing_plan(spark, str(out)).collect()
+        }
+        base = {
+            (row["mode"], row["max_seq_len"]): row
+            for row in text.seq_packing_plan(spark, SF).collect()
+        }
+        for k, row in got.items():
+            assert row["n_docs"] == n_base + 1
+            assert row["kept_tokens"] == base[k]["kept_tokens"]
+            assert row["trunc_tokens"] == base[k]["trunc_tokens"] >= 0
+            # the NULL doc costs exactly one all-pad sequence
+            assert row["n_seqs"] == base[k]["n_seqs"] + 1
+            assert row["pad_tokens"] == base[k]["pad_tokens"] + k[1]
+    finally:
+        ops._PREPARED.clear()

@@ -325,3 +325,80 @@ def test_null_name_record_does_not_brick_or_duplicate(spark, tmp_path):
         assert len(null_rows) == 1
         assert null_rows[0]["dirty_name"] == ""
         assert null_rows[0]["n_candidates"] == 0
+
+
+def test_migration_crash_windows_detected_and_recovered(spark, tmp_path):
+    """r6 ADVICE: a crash during migrate_legacy_log's final overwrite used
+    to leave the live log truncated with nothing detecting it. The staging
+    dir is now a durable incompleteness marker — removed only after the
+    overwrite succeeds. Three windows:
+
+      (a) staged complete + live log truncated (crash mid-overwrite):
+          read_match_log refuses; recover_migration replays the overwrite
+          from the staged copy and the log equals the batch matcher;
+      (b) staged partial, no _SUCCESS (crash mid-stage): live log was never
+          touched; recover_migration rolls the stage back and the original
+          log serves intact;
+      (c) a successful migration leaves NO staging dir (the marker cannot
+          false-positive on the happy path)."""
+    import shutil
+    from pathlib import Path
+
+    import pytest
+
+    from s3bigdatasync_spark.streaming.resolve import (
+        _staged_dir,
+        migrate_legacy_log,
+        recover_migration,
+    )
+
+    dirty_dir = str(tmp_path / "dirty")
+    log_dir = str(tmp_path / "log")
+    cat = _catalog_df(spark)
+    feed = [
+        _drop("amber bronze copper dim", 0),
+        _drop("lavender rose mint sky", 1),
+    ]
+    spark.createDataFrame(feed, DIRTY_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirty_dir)
+    batch_equivalent(spark, dirty_dir, cat).drop("dirty_name").withColumn(
+        "batch_id", F.lit(0).cast("long")
+    ).coalesce(1).write.mode("append").parquet(log_dir)
+
+    # (c) happy path: migration leaves no stage behind
+    assert migrate_legacy_log(spark, log_dir, dirty_dir, cat) is True
+    staged = Path(_staged_dir(log_dir))
+    assert not staged.exists()
+    want = sorted(
+        tuple(r)
+        for r in read_match_log(spark, log_dir).drop("batch_id").collect()
+    )
+
+    # (a) crash mid-FINAL-overwrite: staged copy complete, live log torn
+    shutil.copytree(log_dir, staged)  # a complete stage (has _SUCCESS)
+    for f in list(Path(log_dir).glob("*.parquet"))[:1]:
+        f.unlink()  # the overwrite died partway: a data file is gone
+    with pytest.raises(RuntimeError, match="recover_migration"):
+        read_match_log(spark, log_dir)
+    assert recover_migration(spark, log_dir) == "completed"
+    assert not staged.exists()
+    got = sorted(
+        tuple(r)
+        for r in read_match_log(spark, log_dir).drop("batch_id").collect()
+    )
+    assert got == want
+
+    # (b) crash mid-STAGE-write: no _SUCCESS, live log untouched
+    staged.mkdir()
+    (staged / "part-00000.parquet").write_bytes(b"torn")
+    with pytest.raises(RuntimeError, match="recover_migration"):
+        read_match_log(spark, log_dir)
+    assert recover_migration(spark, log_dir) == "rolled_back"
+    assert not staged.exists()
+    got = sorted(
+        tuple(r)
+        for r in read_match_log(spark, log_dir).drop("batch_id").collect()
+    )
+    assert got == want
+    assert recover_migration(spark, log_dir) == "noop"
