@@ -86,7 +86,12 @@ def stream_trending_types(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # append mode ⇒ every window in this batch is closed AND complete,
-        # so a per-window rank over the batch is the exact global rank
+        # so a per-window rank over the batch is the exact global rank.
+        # CRASH WINDOW: a kill after this append but before the checkpoint
+        # commit replays the batch — the same closed windows append again,
+        # byte-identical (closed windows are final, the rank deterministic).
+        # read_trending() dedups on (window_start, event_type), which is
+        # exact for replays; out_dir raw is at-least-once by design.
         _rank_windows(batch_df, k).write.mode("append").parquet(out_dir)
 
     return (
@@ -96,6 +101,22 @@ def stream_trending_types(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_trending(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exactly-once view of the trending sink. The foreachBatch append
+    is at-least-once under a crash between the parquet append and the
+    checkpoint commit (the replayed batch re-appends the SAME closed
+    windows); (window_start, event_type) is a unique key of the final
+    output — append mode emits each window once and complete, and the rank
+    within it is deterministic — so dedup here removes only replay
+    re-appends, never two genuinely different rows
+    (tests/test_stream_trending.py::test_crash_replay_double_append).
+    Implemented as full-row distinct(): equivalent here (replays are
+    byte-identical and the key is unique in committed output) and it avoids
+    the Deduplicate-with-first() plan shape that trips Catalyst attribute
+    binding under downstream exceptAll (see ack_join.read_matches)."""
+    return spark.read.parquet(out_dir).distinct()
 
 
 def batch_equivalent(

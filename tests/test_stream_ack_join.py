@@ -72,3 +72,38 @@ def test_left_outer_surfaces_unacked_dispatches(spark, tmp_path):
     # (both streams advanced to 12:00), so all 8 must be emitted with NULLs
     keys = {r["key"] for r in unmatched.collect()}
     assert {f"k{i:02d}" for i in range(12, 20)} <= keys
+
+
+def test_crash_replay_double_append(spark, tmp_path):
+    """Kill window: the match append landed, the checkpoint commit did not —
+    the replayed batch re-appends the same matches. Simulated with a
+    byte-identical re-append (the joined row is a pure function of the
+    (dispatch, ack) pair). read_matches — the exactly-once view keyed on
+    (key, dispatched_at, acked_at) — must still equal the batch join, for
+    both inner matches and left-outer never-acked rows (r6 item 5)."""
+    from s3bigdatasync_spark.streaming.ack_join import read_matches
+
+    d, a = _fixture(tmp_path)
+    out = str(tmp_path / "out3")
+    q = stream_ack_join(
+        spark, str(d), str(a), out, str(tmp_path / "ck3"), how="left_outer"
+    )
+    q.awaitTermination(180)
+
+    committed = spark.read.parquet(out)
+    n_committed = committed.count()
+    assert n_committed > 0
+    committed.write.mode("append").parquet(out)
+    assert spark.read.parquet(out).count() == 2 * n_committed
+
+    got = read_matches(spark, out)
+    assert got.count() == n_committed
+    matched = got.filter("status IS NOT NULL")
+    assert matched.count() == 12
+    batch_d = spark.read.schema(DISPATCH_SCHEMA).json(str(d))
+    batch_a = spark.read.schema(ACK_SCHEMA).json(str(a))
+    want = joined_frame(batch_d, batch_a, "inner")
+    assert matched.exceptAll(want).count() == 0
+    assert want.exceptAll(matched).count() == 0
+    keys = {r["key"] for r in got.filter("status IS NULL").collect()}
+    assert {f"k{i:02d}" for i in range(12, 20)} <= keys

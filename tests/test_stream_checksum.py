@@ -61,3 +61,90 @@ def test_duplicate_batch_is_skipped(spark, tmp_path):
     q2.awaitTermination(120)
     after = read_state(spark, state_dir)
     assert after == before  # no new files, no re-application
+
+
+def test_crash_between_state_commit_and_checkpoint_commit(spark, tmp_path):
+    """The sink's kill window (r6 verdict item 5, the drift pattern): state
+    v1 fully written — last_batch_id recorded — but the process dies BEFORE
+    the streaming checkpoint commits batch 1. A restart redelivers batch 1
+    with the SAME batch_id; the guard must skip it (the state already
+    includes it) and the final fingerprint must equal one batch pass —
+    no double-count."""
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.streaming.checksum import (
+        _STATE_SCHEMA,
+        CHECKSUM_MOD,
+        checksum_chunk,
+        checksum_sum,
+    )
+
+    inv_dir = str(tmp_path / "inv")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_mk_rows("a", 40), INVENTORY_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(inv_dir)
+    q = stream_table_checksum(spark, inv_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+    state = read_state(spark, state_dir)
+    assert state["last_batch_id"] == 0
+
+    # drop B lands; hand-apply EXACTLY the sink's state write for batch 1
+    # (the stream never runs, so the checkpoint still only knows batch 0 —
+    # the restart below redelivers B under batch_id 1, like a real kill
+    # after the state overwrite)
+    rows_b = _mk_rows("b", 25)
+    bdf = spark.createDataFrame(rows_b, INVENTORY_STREAM_SCHEMA)
+    bdf.coalesce(1).write.mode("append").parquet(inv_dir)
+    part = bdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("size"), F.lit(0)).alias("s"),
+        F.coalesce(checksum_sum(checksum_chunk()), F.lit(0)).alias("c"),
+    ).collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                state["n_rows"] + part["n"],
+                state["total_size"] + part["s"],
+                (state["checksum"] + part["c"]) % CHECKSUM_MOD,
+                1,
+            )
+        ],
+        _STATE_SCHEMA,
+    ).write.mode("overwrite").parquet(state_dir)
+    # CRASH here: checkpoint never committed batch 1
+
+    q2 = stream_table_checksum(spark, inv_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    got = read_state(spark, state_dir)
+    expect = batch_equivalent(spark, inv_dir)
+    assert got["n_rows"] == expect["n_rows"] == 65
+    assert got["total_size"] == expect["total_size"]
+    assert got["checksum"] == expect["checksum"]
+    assert got["last_batch_id"] == 1
+
+
+def test_torn_state_dir_fails_loudly(spark, tmp_path):
+    """A crash INSIDE the state overwrite leaves a torn dir (data files
+    gone/garbage). read_state must propagate the read error — treating it
+    as 'no state' would silently reset the fingerprint AND the batch guard,
+    double-applying all history on the retry."""
+    from pathlib import Path
+
+    import pytest
+
+    inv_dir = str(tmp_path / "inv")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_mk_rows("a", 10), INVENTORY_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(inv_dir)
+    q = stream_table_checksum(spark, inv_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    for f in Path(state_dir).glob("*.parquet"):
+        f.unlink()
+    (Path(state_dir) / "part-torn.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        read_state(spark, state_dir)

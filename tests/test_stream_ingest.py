@@ -192,3 +192,66 @@ def test_read_corpus_survives_replayed_append(spark, tmp_path):
         sorted(r["doc_id"] for r in read_corpus(spark, corpus_dir).collect())
         == rows_before
     )
+
+
+def test_crash_between_corpus_append_and_seen_commit(spark, tmp_path):
+    """The sink's documented kill window: admitted docs appended to the
+    corpus, killed BEFORE the seen-log commit. The checkpoint never saw the
+    batch either, so a restart REDELIVERS it in full: the same admitted
+    rows append again (at-least-once raw), the seen-log commits once, and
+    read_corpus() — the exactly-once view — must equal the batch oracle
+    with no doc admitted twice and no doc lost (r6 verdict item 5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.streaming.ingest import (
+        DOC_STREAM_SCHEMA,
+        _gated,
+        _seen_hashes,
+        read_corpus,
+    )
+
+    inc = tmp_path / "incoming"
+    _write(inc, [_doc(0, GOOD), _doc(1, BAD)], "a.json")
+    _drain(spark, tmp_path)
+
+    # drop B lands; hand-run the sink's FIRST write only (corpus append),
+    # exactly as the real sink computes it — then "crash" before the
+    # seen-log write. doc 10 = cross-batch dup (stays out), 12 = new good.
+    docs_b = [_doc(10, GOOD), _doc(12, GOOD2)]
+    _write(inc, docs_b, "b.json")
+    bdf = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["lang"], d["source"]) for d in docs_b],
+        DOC_STREAM_SCHEMA,
+    )
+    seen = _seen_hashes(spark, str(tmp_path / "seen"))
+    gated = _gated(bdf)
+    first = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy("content_hash")
+    )
+    fresh = (
+        gated.withColumn("batch_first", first)
+        .filter("batch_first")
+        .drop("batch_first")
+        .join(seen.select("content_hash"), "content_hash", "left_anti")
+    )
+    admitted = fresh.filter(F.col("quality_keep") & (F.col("pred_lang") != "und"))
+    admitted.drop("quality_keep").write.mode("append").parquet(
+        str(tmp_path / "corpus")
+    )
+    # CRASH here: no seen-log row for batch 1, checkpoint knows nothing
+
+    _drain(spark, tmp_path)  # restart: full redelivery of drop B
+
+    raw = spark.read.parquet(str(tmp_path / "corpus"))
+    # the replay re-appended doc 12: raw corpus is at-least-once...
+    assert raw.filter(F.col("doc_id") == 12).count() == 2
+    # ...and the exactly-once view equals the batch oracle
+    got = sorted(
+        r["doc_id"] for r in read_corpus(spark, str(tmp_path / "corpus")).collect()
+    )
+    expect = sorted(r["doc_id"] for r in batch_equivalent(spark, str(inc)).collect())
+    assert got == expect == [0, 12]
+    # the seen-log committed batch 1 exactly once (GOOD2's one fresh hash)
+    seen_after = spark.read.parquet(str(tmp_path / "seen"))
+    assert seen_after.groupBy("content_hash").count().filter("count > 1").count() == 0
