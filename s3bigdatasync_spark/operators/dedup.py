@@ -137,6 +137,47 @@ def _cap_from_count_relation(dfr: DataFrame, count_col: str = "df") -> int:
     return _cap_from_level_histogram(levels)
 
 
+def _cap_relation(dfr: DataFrame, count_col: str = "df") -> DataFrame:
+    """_cap_from_count_relation as a 1-row (cap) DataFrame computed INSIDE
+    the plan: windows over the ≤O(√postings)-row per-level histogram, then a
+    global argmax — the Spark transcription of the oracles' cap CTEs. Used
+    by the hot-key filters via a 1-row broadcast join so deriving the cap
+    costs NO extra Spark job (a driver collect is one more job per query;
+    the fixed overhead measured 1.4–1.9 s/query at sf0.1 on the span/winnow
+    family — the ivf_pq job-count lesson). Monotonicity of the cumulative
+    pair mass in the count makes max(within-budget level) identical to the
+    collect-based first-over-budget break; all-integer, engine-exact."""
+    from pyspark.sql import Window
+
+    byc = dfr.groupBy(count_col).agg(F.count("*").alias("n_k"))
+    cum_w = Window.orderBy(count_col).rowsBetween(Window.unboundedPreceding, 0)
+    floor = F.lit(DF_CAP_FLOOR).cast("long")
+    return (
+        byc.withColumn(
+            "cum",
+            F.sum(
+                F.expr(f"n_k * ({count_col} * ({count_col} - 1) div 2)")
+            ).over(cum_w),
+        )
+        .withColumn(
+            "budget",
+            F.lit(PAIR_BUDGET_PER_POSTING)
+            * F.sum(F.expr(f"n_k * {count_col}")).over(Window.partitionBy()),
+        )
+        .agg(
+            F.greatest(
+                floor,
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("cum") <= F.col("budget"), F.col(count_col))
+                    ),
+                    floor,
+                ),
+            ).alias("cap")
+        )
+    )
+
+
 def derive_df_cap(sh: DataFrame) -> int:
     """The evidence-driven df cap for a (doc_id, shingle) relation:
     max(DF_CAP_FLOOR, largest df d with Σ_{df≤d} df·(df−1)/2 ≤
@@ -163,15 +204,19 @@ def _df_capped(sh: DataFrame) -> DataFrame:
     size (a fractional cutoff like boilerplate_report's 5% is not: 0.05N
     still grows with N, and a fixed absolute cap bounds per-shingle fan-out
     but not how much mass sits under it). The df relation is aggregated ONCE
-    and cached: the cap derivation reads its level histogram and the
-    hot-shingle anti-join probe filters the same DataFrame (bloom/semi prune
-    at corpus scale) — the heaviest shuffle of the capped family is not paid
-    twice (ADVICE r6). Under Zipf the hot set is a tiny fraction of the
+    and cached: the in-plan cap derivation (_cap_relation, no driver
+    collect, no extra job) reads its level histogram and the hot-shingle
+    anti-join probe filters the same DataFrame (bloom/semi prune at corpus
+    scale) — the heaviest shuffle of the capped family is not paid twice
+    (ADVICE r6). Under Zipf the hot set is a tiny fraction of the
     vocabulary, so the anti-join is cheap."""
     sh = scoped_cache(sh)  # two readers: the df aggregation and the join
     dfr = scoped_cache(sh.groupBy("shingle").agg(F.count("*").alias("df")))
-    cap = _cap_from_count_relation(dfr)
-    hot = dfr.filter(F.col("df") > cap).select("shingle")
+    hot = (
+        dfr.crossJoin(F.broadcast(_cap_relation(dfr)))
+        .filter(F.col("df") > F.col("cap"))
+        .select("shingle")
+    )
     return sh.join(hot, "shingle", "left_anti")
 
 
@@ -982,14 +1027,21 @@ def _gram_keep(grams: DataFrame) -> DataFrame:
     DF_CAP_FLOOR) and a gram is kept iff df ≥ 2 AND pn ≤ cap — total
     candidate volume linear in postings by construction, within-doc
     repetition included. Caller caches `grams`; the per-gram stats relation
-    is aggregated once here and reused for the keep filter."""
+    is aggregated once here and reused for the keep filter.
+
+    The cap comes from _cap_relation (in-plan, no driver collect, no extra
+    job — the ivf_pq job-count lesson; the collect-based derive_gram_cap
+    stays as the test-facing scalar, pinned equal by test_gram_cap)."""
     gpr = scoped_cache(
         grams.groupBy("h").agg(
             F.count("*").alias("pn"), F.countDistinct("doc_id").alias("df")
         )
     )
-    cap = _cap_from_count_relation(gpr, "pn")
-    return gpr.filter((F.col("df") >= 2) & (F.col("pn") <= cap)).select("h")
+    return (
+        gpr.crossJoin(F.broadcast(_cap_relation(gpr, "pn")))
+        .filter((F.col("df") >= 2) & (F.col("pn") <= F.col("cap")))
+        .select("h")
+    )
 
 
 def derive_gram_cap(grams: DataFrame) -> int:
