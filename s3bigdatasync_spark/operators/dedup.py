@@ -1031,15 +1031,23 @@ def _gram_keep(grams: DataFrame) -> DataFrame:
 
     The cap comes from _cap_relation (in-plan, no driver collect, no extra
     job — the ivf_pq job-count lesson; the collect-based derive_gram_cap
-    stays as the test-facing scalar, pinned equal by test_gram_cap)."""
+    stays as the test-facing scalar, pinned equal by test_gram_cap). df ≥ 2
+    is evaluated as min(doc_id) != max(doc_id): exactly the same predicate,
+    but min/max are single-phase partial aggs where countDistinct is a
+    2-phase expand — measurably cheaper on the long df=1 tail. (The df
+    filter itself is pruning, not semantics: a df=1 gram emits no cross-doc
+    pair anyway — but under Zipf MOST grams are df=1, so dropping them
+    before the self-join is what keeps the join input small.)"""
     gpr = scoped_cache(
         grams.groupBy("h").agg(
-            F.count("*").alias("pn"), F.countDistinct("doc_id").alias("df")
+            F.count("*").alias("pn"),
+            F.min("doc_id").alias("d_lo"),
+            F.max("doc_id").alias("d_hi"),
         )
     )
     return (
         gpr.crossJoin(F.broadcast(_cap_relation(gpr, "pn")))
-        .filter((F.col("df") >= 2) & (F.col("pn") <= F.col("cap")))
+        .filter((F.col("d_lo") != F.col("d_hi")) & (F.col("pn") <= F.col("cap")))
         .select("h")
     )
 
