@@ -359,9 +359,10 @@ BOILER_QUERIES = [
     "ngram_jaccard_pairs_capped",
     "split_leakage_check",
     "boilerplate_report",
-    "shared_substring_spans",  # gram-df-capped postings join: boiler grams
-    # exceed SPAN_GRAM_DF_CAP as copies grow and drop OUT of the pairing
+    "shared_substring_spans",  # derived-cap postings join: boiler grams
+    # exceed the pn cap as copies grow and drop OUT of the pairing
     "winnow_candidates",  # the 2/(W+1)-density fingerprint index, same cap
+    "winnow_spans",  # index->exact composition: candidate-restricted spans
 ]
 
 
@@ -392,7 +393,29 @@ def run_docs_boiler(
     base = measure(spark, base_dir, names)
     scaled = measure(spark, out_dir, names)
     ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
-    return {"boiler_frac": boiler_frac, "base1x": base, "scaled": scaled, "ratio": ratio}
+    # winnow index density AT SCALE: fingerprints / postings should hold the
+    # theoretical 2/(W+1) regardless of corpus size (r6 measured it on the
+    # real corpus only; the scaled corpus re-confirms under boiler skew)
+    from s3bigdatasync_spark.operators import _PREPARED, dedup, prepared
+
+    _PREPARED.clear()
+    docs = prepared(spark, out_dir).table("documents")
+    postings = dedup._span_grams(docs).count()
+    fps = dedup._winnow_fps(dedup._span_grams(docs)).count()
+    _PREPARED.clear()
+    density = {
+        "postings": postings,
+        "fingerprints": fps,
+        "density": round(fps / postings, 4) if postings else None,
+        "theory": round(2 / (dedup.WINNOW_W + 1), 4),
+    }
+    return {
+        "boiler_frac": boiler_frac,
+        "base1x": base,
+        "scaled": scaled,
+        "ratio": ratio,
+        "winnow_density_scaled": density,
+    }
 
 
 def run_resolve(spark, out_dir: str, copies: int) -> dict:
