@@ -43,6 +43,11 @@ def stream_dedup_tasks(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # CRASH WINDOW: a kill after this append but before the checkpoint
+        # commit replays the batch — dropDuplicatesWithinWatermark's state
+        # restores with the checkpoint, so the replay emits the same unique
+        # tasks again, byte-identical. read_tasks() dedups on msg_id;
+        # out_dir raw is at-least-once by design.
         batch_df.write.mode("append").parquet(out_dir)
 
     return (
@@ -52,3 +57,13 @@ def stream_dedup_tasks(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_tasks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exactly-once view of the unique-task sink: full-row distinct()
+    (replays are byte-identical, and msg_id is unique in committed output
+    within the watermark horizon by construction) — removes only
+    crash-replay re-appends. Same reader contract as trending/sessions/
+    ack_join; see ack_join.read_matches for why full-row distinct beats
+    dropDuplicates(subset) here."""
+    return spark.read.parquet(out_dir).distinct()

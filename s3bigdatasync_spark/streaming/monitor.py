@@ -80,6 +80,10 @@ def stream_time_rollup(
     stat = _windowed_stat(stream, minutes)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # CRASH WINDOW: a kill after this append but before the checkpoint
+        # commit replays the batch — append mode re-emits the SAME closed
+        # windows with identical totals (they were final when the watermark
+        # closed them). read_stats() dedups; out_dir raw is at-least-once.
         batch_df.write.mode("append").partitionBy("time_unit").parquet(out_dir)
 
     return (
@@ -89,6 +93,15 @@ def stream_time_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The exactly-once view of the stat table: full-row distinct() —
+    (time_unit, start_time, status) is unique in committed output (append
+    mode emits each closed window once) and crash-replayed rows are
+    byte-identical, so this removes only replay re-appends. See
+    ack_join.read_matches for the reader-contract rationale."""
+    return spark.read.parquet(out_dir).distinct()
 
 
 def batch_equivalent(spark: SparkSession, copy_log_dir: str, minutes: int = 1) -> DataFrame:

@@ -287,3 +287,47 @@ def test_stream_parity_at_sf01_with_late_tercile(spark, tmp_path):
     emitted = got.agg(F.sum("total_num")).collect()[0][0]
     on_time_closed = expected.agg(F.sum("total_num")).collect()[0][0]
     assert emitted == on_time_closed  # none of the n_dropped late rows leaked in
+
+
+def test_crash_replay_double_append(spark, tmp_path):
+    """Kill window: the closed-window stat append landed but the checkpoint
+    commit did not — the replayed batch re-appends the same finalized
+    windows. Simulated with a byte-identical re-append; read_stats — the
+    exactly-once view — must still equal the batch rollup on the closed
+    span (r6 verdict item 5 applied to the monitor module)."""
+    from s3bigdatasync_spark.streaming.monitor import read_stats
+
+    log_dir = str(tmp_path / "log2")
+    out_dir = str(tmp_path / "stat2")
+    ckpt = str(tmp_path / "ckpt2")
+    spark.createDataFrame(_mk_rows(0, 40), COPY_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q = stream_time_rollup(spark, log_dir, out_dir, ckpt, minutes=1, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    # a far-future append closes the first batch's windows
+    spark.createDataFrame(_mk_rows(600, 5), COPY_LOG_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(log_dir)
+    q = stream_time_rollup(spark, log_dir, out_dir, ckpt, minutes=1, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    committed = spark.read.parquet(out_dir)
+    n_committed = committed.count()
+    assert n_committed > 0
+    committed.write.mode("append").partitionBy("time_unit").parquet(out_dir)
+    assert spark.read.parquet(out_dir).count() == 2 * n_committed
+
+    got = {
+        (r["time_unit"], r["start_time"], r["status"], r["total_size"], r["total_num"])
+        for r in read_stats(spark, out_dir).collect()
+    }
+    assert len(got) == n_committed
+    closed_max = max(st for _, st, *_ in got)
+    expected = {
+        tuple(r)
+        for r in batch_equivalent(spark, log_dir, minutes=1)
+        .filter(f"start_time <= {closed_max}")
+        .collect()
+    }
+    assert got == expected
