@@ -113,6 +113,7 @@ HEADLINE = [
     # round-7 additions
     "winnow_spans",          # index->exact composition (winnow names, spans localize)
     "gram_cap_recommendation", # evidence-derived gram-postings cap relation
+    "hard_negative_mining",  # cross-label same-LSH-bucket confusable pairs
     "dsir_importance",       # target-domain importance weights (DSIR)
     "label_margin_audit",    # centroid-margin label-noise triage
     "corpus_release_manifest", # survivors x cluster-splits x DSIR manifest

@@ -95,6 +95,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_r7": [
         "gram_cap_recommendation",
         "winnow_spans",
+        "hard_negative_mining",
         "size_deciles",
     ],
     # round-6 additions: the
@@ -365,6 +366,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_objects", "int"),
         ("min_size", "int"),
         ("max_size", "int"),
+    ],
+    "hard_negative_mining": [
+        ("vec_a", "int"),
+        ("vec_b", "int"),
+        ("label_a", "int"),
+        ("label_b", "int"),
+        ("cosine", "num"),
     ],
     "winnow_candidates": [
         ("doc_a", "int"),

@@ -1002,6 +1002,76 @@ LIMIT {HYBRID_TOP_N}
 """
 
 
+HARDNEG_TOP_N = 50
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative pairs for contrastive/retriever training (the DPR /
+    ANCE / SimCSE recipe): cross-LABEL vector pairs that land in the same
+    sign-LSH bucket, ranked by cosine — semantically confusable examples a
+    random-negative sampler almost never draws, and exactly the negatives
+    that sharpen an embedding model's decision boundary. The same-bucket
+    restriction is the miner's point at scale: it asks "which pairs does the
+    ANN index itself confuse?", so the mined negatives target the retrieval
+    structure that will serve the model. Output: the HARDNEG_TOP_N highest-
+    cosine cross-label same-bucket pairs (vec_a < vec_b; rounded cosine +
+    vec ids as the deterministic ordering key).
+
+    Scale shape: one scan computes the N_PLANES sign-LSH bucket per vector
+    (the lsh_buckets layout); the self-join is a hash EQUI-join on bucket —
+    candidate volume is Σ_bucket n_b·(n_b−1)/2, the same bounded quantity
+    lsh_buckets audits and embedding_neardup already pays, never all-pairs —
+    and the exact cosine runs only inside the join. TakeOrderedAndProject
+    keeps top-N. On a bucket-partitioned table (the lsh_buckets layout) the
+    join is shuffle-free; label skew doesn't concentrate because the join
+    key is the bucket, not the label."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    b = emb.select(
+        "vec_id", "label", "embedding", _bucket_spark("embedding").alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = F.round(
+        _dot("a.embedding", "b.embedding")
+        / (
+            F.sqrt(_dot("a.embedding", "a.embedding"))
+            * F.sqrt(_dot("b.embedding", "b.embedding"))
+        ),
+        6,
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(HARDNEG_TOP_N)
+    )
+
+
+_HARDNEG_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       a.label AS label_a, c.label AS label_b,
+       {_cos_sql('a.embedding', 'c.embedding')} AS cosine
+FROM b a JOIN b c
+  ON a.bucket = c.bucket AND a.vec_id < c.vec_id AND a.label <> c.label
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT {HARDNEG_TOP_N}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_recall_audit": ann_recall_audit,
@@ -1016,6 +1086,7 @@ QUERIES = {
     "coreset_kcenter": coreset_kcenter,
     "hybrid_search": hybrid_search,
     "label_margin_audit": label_margin_audit,
+    "hard_negative_mining": hard_negative_mining,
 }
 
 _IVF_ASSIGN_SQL = f"""
@@ -1052,4 +1123,5 @@ ORACLES = {
     "coreset_kcenter": _coreset_sql(),
     "hybrid_search": _hybrid_sql(),
     "label_margin_audit": _LABEL_MARGIN_SQL,
+    "hard_negative_mining": _HARDNEG_SQL,
 }

@@ -110,6 +110,7 @@ EMPTY_SAFE = [
     "winnow_candidates",
     "winnow_spans",
     "gram_cap_recommendation",
+    "hard_negative_mining",
     "dsir_importance",
     "label_margin_audit",
     "corpus_release_manifest",

