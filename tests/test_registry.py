@@ -138,8 +138,16 @@ def test_pack_member_cols_match_schema(spark, sf_dir):
 def test_doc_counts_match_registry():
     """README.md and the registry docstring state the inventory sizes; pin
     them to the live registry so they can never go stale again (VERDICT r4/r5
-    item: '139/144/8 packs' remnants)."""
+    item: '139/144/8 packs' remnants). All pins are whitespace-insensitive
+    (VERDICT r7 item 1: a prose reflow must never redden the suite)."""
+    import re
     from pathlib import Path
+
+    def pin(text, phrase):
+        # Match the phrase with any run of whitespace (incl. newlines)
+        # wherever the phrase has a space, so line re-wraps can't break it.
+        pat = r"\s+".join(re.escape(w) for w in phrase.split())
+        assert re.search(pat, text), phrase
 
     full = registry.full_queries()
     n_full = len(full)
@@ -147,16 +155,16 @@ def test_doc_counts_match_registry():
     n_members = sum(len(v) for v in packs.PACK_SPECS.values())
     n_individual = n_full - n_packs
     readme = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
-    assert f"{n_individual} individual contract queries" in readme
-    assert f"so {n_members} small queries fold into {n_packs} \"packs\"" in readme
-    assert f"{n_full} entries)" in readme
+    pin(readme, f"{n_individual} individual contract queries")
+    pin(readme, f"so {n_members} small queries fold into {n_packs} \"packs\"")
+    pin(readme, f"{n_full} entries)")
     doc = registry.__doc__
-    assert f"{n_members} small, individually-proven queries" in doc
-    assert f"({n_full} entries)" in doc
+    pin(doc, f"{n_members} small, individually-proven queries")
+    pin(doc, f"({n_full} entries)")
     cov = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
-    assert f"{n_members} small, individually-proven queries into {n_packs} packs" in cov
-    assert f"`registry.full_queries()` ({n_full} entries)" in cov
-    assert f"all {n_members}\nfolded members" in cov
+    pin(cov, f"{n_members} small, individually-proven queries into {n_packs} packs")
+    pin(cov, f"`registry.full_queries()` ({n_full} entries)")
+    pin(cov, f"all {n_members} folded members")
 
 
 def test_coverage_pack_table_matches_specs():
