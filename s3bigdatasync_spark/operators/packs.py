@@ -86,7 +86,16 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
-    # round-7 additions, FIRST among the packs (forward-ordering): the
+    # round-8 additions, FIRST among the packs (forward-ordering): the
+    # multi-band hard-negative recall audit (the measured number that
+    # justifies HARDNEG_BANDS — r7 verdict item 7), plus ivf_assign (folded
+    # from standalone to keep the driver at 50 — the size_deciles precedent;
+    # thematically it joins the recall audit's ANN-index family)
+    "pack_r8": [
+        "hard_negative_recall",
+        "ivf_assign",
+    ],
+    # round-7 additions: the
     # evidence-derived gram-postings cap relation (derive_gram_cap's proof,
     # within-doc multiplicity counted — ADVICE r6) and the winnow→spans
     # composition (fingerprint index names the pairs, exact spans localize),
@@ -263,6 +272,17 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "hard_negative_recall": [
+        ("p_id", "int"),
+        ("n_exact", "int"),
+        ("n_hit", "int"),
+        ("recall", "num"),
+    ],
+    "ivf_assign": [
+        ("vec_id", "int"),
+        ("label", "int"),
+        ("assigned", "int"),
+    ],
     "ngram_jaccard_pairs_capped": [
         ("doc_a", "int"),
         ("doc_b", "int"),

@@ -281,3 +281,56 @@ def test_cli_layout_rewrite_bucketed(spark, tmp_path):
     )
     assert "Exchange hashpartitioning(key" not in plan
     spark.sql("DROP TABLE IF EXISTS t_bucketed_cli")
+
+
+def test_cli_layout_rewrite_interrupted_by_source_change(
+    spark, tmp_path, monkeypatch
+):
+    """The crash-window adversarial test for the BATCH CLI (r7 verdict item
+    8, the streaming kill-test pattern applied to `layout-rewrite`): the
+    source tables change inside the rewrite's read→save window — injected by
+    wrapping collect_range_manifest, which runs strictly after the rewrite
+    read the source and strictly before save_range_manifest re-verifies.
+    The end-to-end CLI invocation must REFUSE (RuntimeError from the
+    pre-read fingerprint mismatch), and the convention layout path must be
+    left without a consultable manifest — auto-consult can never be served
+    layout data computed from files that no longer exist."""
+    import shutil
+    from pathlib import Path
+
+    from s3bigdatasync_spark.cli import build_parser
+    from s3bigdatasync_spark.operators import _PREPARED
+    from s3bigdatasync_spark.operators import prefix
+    from s3bigdatasync_spark.operators.prefix import (
+        LAYOUTS_DIR,
+        load_table_layout,
+    )
+
+    root = tmp_path / "sf_clone"
+    root.mkdir()
+    for f in Path(SF).glob("*.parquet"):
+        shutil.copy(f, root / f.name)
+    out = root / LAYOUTS_DIR / "inventory_src"
+
+    real_collect = prefix.collect_range_manifest
+
+    def racing_collect(df, keys, sum_col=None):
+        # the interruption: source mutates after the rewrite's read
+        (root / "lineitem.parquet").touch()
+        return real_collect(df, keys, sum_col=sum_col)
+
+    monkeypatch.setattr(prefix, "collect_range_manifest", racing_collect)
+    _PREPARED.clear()
+    args = build_parser().parse_args(
+        [
+            "layout-rewrite", "--mode", "range", "--table", "inventory_src",
+            "--keys", "key,size", "--n", "8", "--sum-col", "size",
+            "--sf-dir", str(root), "--out", str(out),
+        ]
+    )
+    with pytest.raises(RuntimeError, match="changed between"):
+        args.fn(spark, args)
+    # the torn layout is never consultable: parquet may exist, manifest no
+    assert not (out / "_range_manifest.json").exists()
+    assert load_table_layout(spark, str(root), "inventory_src", ["key", "size"]) is None
+    _PREPARED.clear()

@@ -114,6 +114,8 @@ EMPTY_SAFE = [
     "dsir_importance",
     "label_margin_audit",
     "corpus_release_manifest",
+    # round-8 batch
+    "hard_negative_recall",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

@@ -739,14 +739,38 @@ def test_seq_packing_plan_null_text(spark, tmp_path):
         ops._PREPARED.clear()
 
 
-def test_hard_negative_mining_semantics(spark):
-    """Every mined pair is cross-label, same-sign-LSH-bucket, ordered by
-    rounded cosine desc with (vec_a, vec_b) tiebreak, vec_a < vec_b; and the
-    top mined pair's cosine is at least that of any brute-force cross-label
-    same-bucket pair (the miner misses nothing within the index's own
-    candidate structure — exactness within buckets, by construction)."""
-    from pyspark.sql import functions as F
+def _band_keys_np(spark):
+    """Independent numpy re-derivation of every vector's HARDNEG_BANDS
+    band keys (the _hardneg_keys relation) for semantic cross-checks."""
+    import numpy as np
 
+    from s3bigdatasync_spark.operators import prepared
+    from s3bigdatasync_spark.operators.vector_lsh import planes_matrix
+
+    emb = prepared(spark, SF).table("embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    P = planes_matrix(similarity.HARDNEG_BANDS * similarity.N_PLANES)
+    weights = 2 ** np.arange(similarity.N_PLANES)
+    out = {}
+    for r in rows:
+        bits = (np.asarray(r["embedding"], dtype=np.float64) @ P.T) > 0
+        out[r["vec_id"]] = {
+            b: int(
+                bits[b * similarity.N_PLANES : (b + 1) * similarity.N_PLANES]
+                @ weights
+            )
+            for b in range(similarity.HARDNEG_BANDS)
+        }
+    return out
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Every mined pair is cross-label, collides in at least one of the
+    HARDNEG_BANDS band buckets at Hamming distance ≤ 1 (numpy
+    re-derivation of the keys + flip expansion), is ordered by rounded
+    cosine desc with (vec_a, vec_b) tiebreak, vec_a < vec_b, and carries no
+    duplicate pair (multi-band/multi-flip collisions collapse to one
+    row)."""
     rows = similarity.hard_negative_mining(spark, SF).collect()
     assert rows
     assert len(rows) <= similarity.HARDNEG_TOP_N
@@ -756,14 +780,63 @@ def test_hard_negative_mining_semantics(spark):
         assert -1.0 <= r["cosine"] <= 1.0
     keys = [(r["cosine"], r["vec_a"], r["vec_b"]) for r in rows]
     assert keys == sorted(keys, key=lambda k: (-k[0], k[1], k[2]))
-    # bucket agreement re-derived independently for the reported pairs
-    from s3bigdatasync_spark.operators import prepared
-    from s3bigdatasync_spark.operators.similarity import _bucket_spark
-
-    emb = prepared(spark, SF).table("embeddings")
-    buckets = {
-        r["vec_id"]: r["b"]
-        for r in emb.select("vec_id", _bucket_spark("embedding").alias("b")).collect()
-    }
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    bands = _band_keys_np(spark)
     for r in rows:
-        assert buckets[r["vec_a"]] == buckets[r["vec_b"]]
+        ka, kb = bands[r["vec_a"]], bands[r["vec_b"]]
+        assert any(
+            bin(ka[b] ^ kb[b]).count("1") <= 1 for b in ka
+        ), (r["vec_a"], r["vec_b"])
+
+
+def test_hard_negative_multiband_recall(spark):
+    """The r8 multi-band miner's reason to exist (r7 verdict item 7): its
+    candidate set strictly contains the r7 single-bucket one (band 0 IS the
+    lsh_buckets layout), and the measured probe recall — exact top-K
+    cross-label neighbors visible to the index — is strictly higher for
+    8 bands × Hamming-radius-1 flips than for band 0 alone. Measured at
+    sf0.001: multi 0.60 vs single-band 0.02 (the exact cross-label
+    neighbors sit at cosine 0.26-0.43 → ~2% per plain 8-bit band, which is
+    exactly why the r7 single-bucket miner needed the multi-probe rebuild).
+    Pins: multi ≥ 0.5, single ≤ 0.45 — the ordering can't flip on
+    data-regeneration noise."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from s3bigdatasync_spark.operators import prepared
+
+    audit = similarity.hard_negative_recall(spark, SF).collect()
+    assert [r["p_id"] for r in audit] == sorted(r["p_id"] for r in audit)
+    for r in audit:
+        assert r["n_exact"] <= similarity.HARDNEG_PROBE_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
+    multi = sum(r["n_hit"] for r in audit) / sum(r["n_exact"] for r in audit)
+
+    # single-band (band 0) recall over the SAME exact neighbor sets, numpy
+    emb = prepared(spark, SF).table("embeddings")
+    vecs = {
+        r["vec_id"]: (np.asarray(r["embedding"], dtype=np.float64), r["label"])
+        for r in emb.collect()
+    }
+    bands = _band_keys_np(spark)
+    n_exact = n_hit0 = 0
+    for p in range(similarity.HARDNEG_PROBES):
+        pv, plabel = vecs[p]
+        scored = []
+        for v, (xv, xlabel) in vecs.items():
+            if v == p or xlabel == plabel:
+                continue
+            c = round(
+                float(pv @ xv / (np.linalg.norm(pv) * np.linalg.norm(xv))), 6
+            )
+            scored.append((-c, v))
+        for _, v in sorted(scored)[: similarity.HARDNEG_PROBE_K]:
+            n_exact += 1
+            if bands[p][0] == bands[v][0]:
+                n_hit0 += 1
+    single = n_hit0 / n_exact
+    assert multi > single
+    assert multi >= 0.5, multi
+    assert single <= 0.45, single

@@ -59,15 +59,27 @@ t("label_centroids.toPandas", lambda: label_centroids(spark, sf_dir).toPandas())
 t("ivf_assign.count", lambda: ivf_assign(spark, sf_dir).count())
 t("assign_codes.count", lambda: P._assign_codes(emb, spark, C).count())
 
-# sub-stages of train_codebook
-t("  train: ids collect", lambda: emb.select("vec_id").orderBy("vec_id").limit(P.PQ_K).collect())
-v = P._exploded(emb)
-ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(P.PQ_K).collect()]
-cid_map = spark.createDataFrame([(int(x), i) for i, x in enumerate(ids)], "vec_id long, cid int")
-c0 = v.join(F.broadcast(cid_map), "vec_id").select("cid", "dim", F.round("val", 6).alias("cv"))
-t("  train: c0 collect", lambda: c0.collect())
-C0 = P._collect_codebook(c0, len(ids))
-a1 = P._assign_codes(emb, spark, C0).select("vec_id", "sub", F.col("code").alias("cid"))
-t("  train: c1 groupBy collect", lambda: v.join(a1, ["vec_id", "sub"]).groupBy("cid", "dim").agg(F.round(F.avg("val"), 6).alias("cv")).collect())
+# sub-stages of train_codebook (the shipped r7 path: one head collect with
+# engine-side 6dp slices, then _assign_partials' map-side partial sums)
+def _head():
+    return (
+        emb.orderBy("vec_id")
+        .limit(P.PQ_K)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr("transform(embedding, x -> round(cast(x AS double), 6))").alias("emb6"),
+        )
+        .collect()
+    )
+
+head = t("  train: head collect (init+emb6)", _head)
+C0 = np.array([list(r["emb6"]) for r in head], dtype=np.float64)
+c1 = (
+    P._assign_partials(emb, spark, C0)
+    .groupBy("cid", "dim")
+    .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+)
+t("  train: c1 partials groupBy collect", lambda: c1.collect())
 
 spark.stop()
