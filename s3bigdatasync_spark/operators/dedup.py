@@ -318,7 +318,13 @@ def signatures_for(docs: DataFrame) -> DataFrame:
     hash functions as min(md5(seed || shingle)) — string minima are portable
     across engines. One groupBy over the shingle set; no per-row Python.
     Docs with fewer than SHINGLE_N tokens have no shingles and drop out."""
-    sh = _shingles(docs)
+    return _signatures_from(_shingles(docs))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """signatures_for over an existing shingle relation — the factoring that
+    lets a caller holding a cached `sh` (lsh_band_plan, minhash_calibration)
+    build signatures without a second shingle scan."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
         for seed in range(MINHASH_K)
@@ -1547,14 +1553,19 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6dp — deterministic cross-engine."""
     docs = prepared(spark, sf_dir).table("documents")
     sh = _shingles(docs).transform(scoped_cache)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle")))).alias(f"mh{seed}")
-        for seed in range(MINHASH_K)
-    ]
     # cache-pin: the signature relation feeds FOUR subtrees (both sides of
     # the banded self-join, and the sa/sb agreement probes) — without the pin
     # the 12-way min-agg over the shingle set executes four times
-    sigs = sh.groupBy("doc_id").agg(*aggs).transform(scoped_cache)
+    sigs = _signatures_from(sh).transform(scoped_cache)
+    return _calibration_from(sh, sigs)
+
+
+def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
+    """minhash_calibration over caller-supplied (cached) shingle + signature
+    relations — lsh_band_plan passes its own pinned `sh`/`sigs` so the
+    shingle scan and the 12-way min-agg run ONCE per query, not once for the
+    volume side and again inside the calibration subtree (r8: this double
+    computation was ~2.4 s of lsh_band_plan's 9 s at sf0.1)."""
     banded = _banded(sigs)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -1698,65 +1709,77 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, a defensible conservative default that this relation lets a
     deployment revisit per corpus.
 
-    Scale shape: one signature computation (cache-pinned, reused by all 6
-    configs), per config one groupBy over ≤12·n band rows to bucket counts
-    (map-side combinable) + a 1-row agg; recall is a ≤|candidate|-row scan.
-    The 6-row result ranks with a window over 6 rows. All volume math is
-    integer; recall rounds at 6dp element-wise then 6dp after the mean."""
+    Scale shape: one signature computation (cache-pinned), then ONE fused
+    banded exchange for all 6 configs — every band row carries its
+    (bands, rows_per_band) tag, Σb = 28 rows/doc total, and a single
+    two-phase agg (map-side combinable) yields every config's candidate
+    volume in one shuffle (r8: previously 6 separate groupBy exchanges over
+    the same cached signatures); recall is six 1-row aggs over the tiny
+    cached calibration relation. The 6-row result ranks with a window over
+    6 rows. All volume math is integer; recall rounds at 6dp element-wise
+    then 6dp after the mean."""
     from pyspark.sql import Window
 
     docs = prepared(spark, sf_dir).table("documents")
-    # signatures_for IS the signature scheme minhash_lsh_pairs ships — a
+    # _signatures_from IS the signature scheme minhash_lsh_pairs ships — a
     # local re-derivation here could drift and this plan's volume numbers
-    # would describe a different scheme than the one in production. (The
-    # shingle relation itself is not cache-pinned: it has exactly one
-    # reader, the signature groupBy.)
-    sigs = signatures_for(docs).transform(scoped_cache)
+    # would describe a different scheme than the one in production. The
+    # shingle relation is pinned because TWO subtrees read it (the signature
+    # groupBy and the calibration's exact-jaccard side), and the SAME pinned
+    # signatures feed both the fused volume exchange and the calibration's
+    # four signature subtrees — one shingle scan, one 12-way min-agg per
+    # query (r8; previously minhash_calibration rebuilt both internally).
+    sh = _shingles(docs).transform(scoped_cache)
+    sigs = _signatures_from(sh).transform(scoped_cache)
     dups = (
-        minhash_calibration(spark, sf_dir)
+        _calibration_from(sh, sigs)
         .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)
         .select("exact_jaccard")
         .transform(scoped_cache)
     )
 
-    per_config = []
+    # ONE banded exchange for all 6 configs (r8: the per-config loop ran six
+    # groupBy shuffles over the same cached signatures — same total band-row
+    # mass, Σb = 28 rows/doc, but 6 exchanges and 6 stage sets; fused, the
+    # band rows carry their (bands, rows_per_band) tag and a single
+    # two-phase agg produces every config's candidate volume in one shuffle)
+    structs = [
+        F.struct(
+            F.lit(b).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            F.lit(i).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"mh{i * r + j}") for j in range(r)])
+            ).alias("sig"),
+        )
+        for b, r in _LSH_CONFIGS
+        for i in range(b)
+    ]
+    vols = (
+        sigs.select(F.explode(F.array(*structs)).alias("x"))
+        .select("x.*")
+        .groupBy("bands", "rows_per_band", "band", "sig")
+        .agg(F.count("*").alias("c"))
+        .groupBy("bands", "rows_per_band")
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("v"))
+    )
+    # recall per config: 6 one-row aggs over the tiny cached dups relation —
+    # these also carry the 6-row config identity (one row per config even
+    # over an empty corpus, the EMPTY_COUNTS contract)
+    recs = None
     for b, r in _LSH_CONFIGS:
-        band_cols = [
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(
-                    F.concat(*[F.col(f"mh{i * r + j}") for j in range(r)])
-                ).alias("sig"),
-            )
-            for i in range(b)
-        ]
-        banded = sigs.select(F.explode(F.array(*band_cols)).alias("x")).select(
-            "x.band", "x.sig"
-        )
-        vol = (
-            banded.groupBy("band", "sig")
-            .agg(F.count("*").alias("c"))
-            .agg(
-                F.coalesce(
-                    F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)
-                ).cast("long").alias("n_cand_pairs")
-            )
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_cand_pairs",
-            )
-        )
         rec = dups.agg(
             F.coalesce(
                 F.round(F.avg(_lsh_p_expr(F.col("exact_jaccard"), r, b)), 6),
                 F.lit(0.0),
             ).alias("recall")
+        ).select(
+            F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"), "recall"
         )
-        per_config.append(vol.crossJoin(rec))  # two 1-row sides — deliberate
-    out = per_config[0]
-    for p in per_config[1:]:
-        out = out.unionByName(p)
+        recs = rec if recs is None else recs.unionByName(rec)
+    out = recs.join(vols, ["bands", "rows_per_band"], "left").withColumn(
+        "n_cand_pairs", F.coalesce(F.col("v"), F.lit(0)).cast("long")
+    )
     out = out.withColumn(
         "meets_target", F.col("recall") >= F.lit(LSH_RECALL_TARGET)
     )
