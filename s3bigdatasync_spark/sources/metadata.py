@@ -68,19 +68,32 @@ def _make_fake_fetcher() -> Fetcher:
 deterministic_fake_fetcher: Fetcher = _make_fake_fetcher()
 
 
-def make_s3_head_fetcher(region: str | None = None) -> Fetcher:
+def make_s3_head_fetcher(region: str | None = None, client=None) -> Fetcher:
     """Production fetcher — HEAD with PartNumber=1 (etag_app.py:68-90).
-    Import-gated: boto3 is absent in the test container."""
-    try:
-        import boto3  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "boto3 not available in this environment; use deterministic_fake_fetcher"
-        ) from e
 
-    client = boto3.client("s3", region_name=region)  # pragma: no cover
+    `client` is the test seam: anything exposing boto3's
+    `head_object(Bucket=, Key=, PartNumber=)` surface (a moto-mocked client,
+    or tests' file-backed FakeS3Client) — the returned closure then carries
+    it by value and the whole probe pipeline runs against it with no SDK
+    installed. Without `client`, boto3 is import-checked NOW (fail fast on
+    the driver) but the real client is constructed LAZILY per executor
+    worker: boto3 clients are not picklable, so building it at factory time
+    would crash the mapInPandas fan-out the moment the fetcher left the
+    driver."""
+    if client is None:
+        try:
+            import boto3  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "boto3 not available in this environment; use deterministic_fake_fetcher"
+            ) from e
 
-    def fetch(bucket: str, key: str) -> dict:  # pragma: no cover
+    def fetch(bucket: str, key: str) -> dict:
+        nonlocal client
+        if client is None:  # pragma: no cover — per-worker lazy boto3 init
+            import boto3
+
+            client = boto3.client("s3", region_name=region)
         head = client.head_object(Bucket=bucket, Key=key, PartNumber=1)
         parts = head.get("PartsCount", 1)
         return {
@@ -90,7 +103,36 @@ def make_s3_head_fetcher(region: str | None = None) -> Fetcher:
             "parts_count": parts,
         }
 
-    return fetch  # pragma: no cover
+    return fetch
+
+
+def make_s3_copy_fn(region: str | None = None, client=None):
+    """Production CopyFn for plans.pipeline.task_executor — boto3
+    managed server-side copy, the reference's copy semantics
+    (libs/s3_utils.py:17-35: copy_source={src_bucket, key} → dst bucket,
+    same key). Same seam/laziness contract as make_s3_head_fetcher:
+    `client` needs boto3's `copy(CopySource, Bucket, Key)`; without it
+    boto3 is import-checked at factory time and constructed per executor
+    worker (clients don't pickle). Returns False-by-exception is handled by
+    task_executor's per-row try (dead-letter routing, B8/B9)."""
+    if client is None:
+        try:
+            import boto3  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "boto3 not available in this environment; use a local-FS CopyFn"
+            ) from e
+
+    def copy(src_bucket: str, dst_bucket: str, key: str) -> bool:
+        nonlocal client
+        if client is None:  # pragma: no cover — per-worker lazy boto3 init
+            import boto3
+
+            client = boto3.client("s3", region_name=region)
+        client.copy({"Bucket": src_bucket, "Key": key}, dst_bucket, key)
+        return True
+
+    return copy
 
 
 def probe_metadata(
