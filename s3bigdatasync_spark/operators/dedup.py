@@ -1316,9 +1316,8 @@ def winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()  # one pass over the cached pair index, not two
     )
     restricted = grams.join(keep, "h").join(cand_docs, "doc_id", "left_semi")
     pairs = _gram_pairs(restricted).join(cand, ["doc_a", "doc_b"])
