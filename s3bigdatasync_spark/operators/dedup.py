@@ -1302,6 +1302,15 @@ def winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, c) where a and c each match some other doc but not each other).
     Fan-out is cap × |candidate docs| by construction, and the probe side
     of every join is the derived-cap-bounded relation."""
+    return _winnow_runs(spark, sf_dir).orderBy(
+        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(SPAN_TOP_N)
+
+
+def _winnow_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNTRUNCATED composed span relation winnow_spans reports the
+    top-N of — factored so span_removal_plan can consume every span (the
+    removal plan must cover the corpus, not a leaderboard)."""
     docs = prepared(spark, sf_dir).table("documents")
     grams = scoped_cache(_span_grams(docs))
     keep = scoped_cache(_gram_keep(grams))
@@ -1321,13 +1330,13 @@ def winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     restricted = grams.join(keep, "h").join(cand_docs, "doc_id", "left_semi")
     pairs = _gram_pairs(restricted).join(cand, ["doc_a", "doc_b"])
-    return _span_runs(pairs).orderBy(
-        F.desc("span_tokens"), "doc_a", "doc_b", "start_a", "start_b"
-    ).limit(SPAN_TOP_N)
+    return _span_runs(pairs)
 
 
-_WINNOW_SPANS_SQL = rf"""
-WITH {_GRAMS_CTES},
+# CTE chain through the untruncated composed span relation (`runs`) —
+# shared by _WINNOW_SPANS_SQL (top-N report) and _SPAN_REMOVAL_SQL (full
+# removal plan), the same factoring as _winnow_runs on the Spark side.
+_WINNOW_RUNS_CTES = rf"""{_GRAMS_CTES},
 {_GRAM_KEEP_CTES},
 {_FPS_CTE},
 fkept AS (SELECT * FROM fps WHERE h IN (SELECT h FROM keep)),
@@ -1356,13 +1365,99 @@ runs AS (
     FROM pairs
   )
   GROUP BY doc_a, doc_b, diag, rid
-)
+)"""
+
+_WINNOW_SPANS_SQL = rf"""
+WITH {_WINNOW_RUNS_CTES}
 SELECT doc_a, doc_b, cast(start_a AS BIGINT) AS start_a,
        cast(start_b AS BIGINT) AS start_b,
        cast(span_tokens AS BIGINT) AS span_tokens
 FROM runs
 ORDER BY span_tokens DESC, doc_a, doc_b, start_a, start_b
 LIMIT {SPAN_TOP_N}
+"""
+
+#: Guarantee length: every cross-doc shared run of at least this many tokens
+#: contains a full winnow window on both sides, so the fingerprint index
+#: names its pair and the composed relation contains the span (Schleimer,
+#: Wilkerson & Aiken 2003, theorem 1) — the removal plan is COMPLETE at and
+#: above this length by construction.
+SPAN_GUARANTEE_TOKENS = WINNOW_W + SPAN_GRAM_K - 1
+
+
+def span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of substring dedup (Lee et al. 2022 remove the
+    duplicated substrings, they don't just count them): per-document token
+    ranges to delete so that each shared span of ≥ SPAN_GUARANTEE_TOKENS
+    survives only in its lowest-doc_id occurrence. Consumes the UNTRUNCATED
+    composed span relation (_winnow_runs — index-complete at the guarantee
+    length), keeps the doc_a side of every pair (doc_a < doc_b, the
+    keep-lowest-id policy exact_dedup/dedup_canonical already use), and
+    merges the doc_b-side intervals per document with gaps-and-islands
+    (sort by start, island break where start exceeds the running max end).
+    Output: one row per merged removal interval — (doc_id, rm_start,
+    rm_end half-open, rm_tokens), ordered; a downstream mapInPandas slice
+    applies it to the text column in one pass.
+
+    Scale shape: everything through `runs` is winnow_spans' bounded plan;
+    the interval merge is a window partitioned by doc_id — millions of tiny
+    per-doc groups, never a global window — and the running max / island
+    sum are single-pass frame aggregates. Removal intervals are token
+    positions in _span_grams' 0-based coordinate system."""
+    spans = _winnow_runs(spark, sf_dir).filter(
+        F.col("span_tokens") >= SPAN_GUARANTEE_TOKENS
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).alias("e"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        iv.withColumn(
+            "new_isl",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("rm_start"), F.max("e").alias("rm_end"))
+        .select(
+            "doc_id",
+            "rm_start",
+            "rm_end",
+            (F.col("rm_end") - F.col("rm_start")).alias("rm_tokens"),
+        )
+        .orderBy("doc_id", "rm_start")
+    )
+
+
+_SPAN_REMOVAL_SQL = rf"""
+WITH {_WINNOW_RUNS_CTES},
+iv AS (
+  SELECT DISTINCT doc_b AS doc_id, cast(start_b AS BIGINT) AS s,
+         cast(start_b + span_tokens AS BIGINT) AS e
+  FROM runs WHERE span_tokens >= {SPAN_GUARANTEE_TOKENS}
+),
+marked AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+  FROM marked
+)
+SELECT doc_id, min(s) AS rm_start, max(e) AS rm_end,
+       max(e) - min(s) AS rm_tokens
+FROM islands
+GROUP BY doc_id, isl
+ORDER BY doc_id, rm_start
 """
 
 
@@ -2195,6 +2290,7 @@ QUERIES = {
     "shared_substring_spans": shared_substring_spans,
     "winnow_candidates": winnow_candidates,
     "winnow_spans": winnow_spans,
+    "span_removal_plan": span_removal_plan,
     "gram_cap_recommendation": gram_cap_recommendation,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
@@ -2223,6 +2319,7 @@ ORACLES = {
     "shared_substring_spans": _SHARED_SPANS_SQL,
     "winnow_candidates": _WINNOW_SQL,
     "winnow_spans": _WINNOW_SPANS_SQL,
+    "span_removal_plan": _SPAN_REMOVAL_SQL,
     "gram_cap_recommendation": _GRAM_CAP_RECO_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,

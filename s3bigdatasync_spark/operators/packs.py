@@ -93,6 +93,7 @@ PACK_SPECS: dict[str, list[str]] = {
     # thematically it joins the recall audit's ANN-index family)
     "pack_r8": [
         "hard_negative_recall",
+        "span_removal_plan",
         "ivf_assign",
     ],
     # round-7 additions: the
@@ -277,6 +278,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_exact", "int"),
         ("n_hit", "int"),
         ("recall", "num"),
+    ],
+    "span_removal_plan": [
+        ("doc_id", "int"),
+        ("rm_start", "int"),
+        ("rm_end", "int"),
+        ("rm_tokens", "int"),
     ],
     "ivf_assign": [
         ("vec_id", "int"),

@@ -116,6 +116,7 @@ EMPTY_SAFE = [
     "corpus_release_manifest",
     # round-8 batch
     "hard_negative_recall",
+    "span_removal_plan",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

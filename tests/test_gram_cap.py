@@ -137,3 +137,57 @@ def test_winnow_spans_subset_of_spans(spark):
     assert guaranteed, "fixture must contain runs above the guarantee length"
     missing = guaranteed - comp
     assert not missing, missing
+
+
+def test_span_removal_plan_semantics(spark):
+    """The removal plan's contract, re-derived from the span relation it
+    consumes: (1) intervals are per-doc disjoint AND non-adjacent (merged
+    maximally — no two intervals a gaps-and-islands pass should have
+    joined); (2) every guaranteed-length span's doc_b occurrence is fully
+    covered by some interval; (3) no doc_a-side-only doc carries an
+    interval (keep-lowest-id: a doc that is never the higher id of a pair
+    loses nothing); (4) interval bounds sit inside the doc's token count."""
+    from pyspark.sql import functions as F
+
+    plan = dedup.span_removal_plan(spark, str(SRC)).collect()
+    assert plan, "fixture must yield removal intervals"
+    by_doc: dict = {}
+    for r in plan:
+        assert r["rm_end"] > r["rm_start"] >= 0
+        assert r["rm_tokens"] == r["rm_end"] - r["rm_start"]
+        by_doc.setdefault(r["doc_id"], []).append((r["rm_start"], r["rm_end"]))
+    for doc, ivs in by_doc.items():
+        assert ivs == sorted(ivs), doc  # plan is ordered
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert s2 > e1, (doc, (s1, e1), (s2, e2))  # disjoint, gap > 0
+
+    t = dedup.SPAN_GUARANTEE_TOKENS
+    spans = [
+        r
+        for r in dedup._winnow_runs(spark, str(SRC)).collect()
+        if r["span_tokens"] >= t
+    ]
+    assert spans
+    docs_b = set()
+    for r in spans:
+        docs_b.add(r["doc_b"])
+        covered = any(
+            s <= r["start_b"] and r["start_b"] + r["span_tokens"] <= e
+            for s, e in by_doc.get(r["doc_b"], [])
+        )
+        assert covered, (r["doc_b"], r["start_b"], r["span_tokens"])
+    # only duplicate-side docs carry intervals
+    assert set(by_doc) == docs_b
+
+    # bounds: every interval fits inside its doc's whitespace token count
+    docs = prepared(spark, str(SRC)).table("documents")
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(r"\S+"), F.lit(0))).alias("n"),
+        ).collect()
+    }
+    for doc, ivs in by_doc.items():
+        assert ivs[-1][1] <= ntok[doc], (doc, ivs[-1], ntok[doc])
+    ops._PREPARED.clear()
