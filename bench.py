@@ -117,6 +117,9 @@ HEADLINE = [
     "dsir_importance",       # target-domain importance weights (DSIR)
     "label_margin_audit",    # centroid-margin label-noise triage
     "corpus_release_manifest", # survivors x cluster-splits x DSIR manifest
+    # round-8 additions
+    "hard_negative_recall",  # probe recall audit of the multi-band miner
+    "span_removal_plan",     # merged per-doc token ranges (substring dedup action)
 ]
 
 

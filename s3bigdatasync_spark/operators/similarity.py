@@ -1013,18 +1013,21 @@ HARDNEG_PROBE_K = 5  # exact cross-label neighbors audited per probe
 HARDNEG_FLIPS = [0] + [1 << j for j in range(N_PLANES)]
 
 
-def _hardneg_keys(emb: DataFrame) -> DataFrame:
+def _hardneg_keys(emb: DataFrame, band_bits: int = N_PLANES) -> DataFrame:
     """(vec_id, label, band, bkey, embedding) — HARDNEG_BANDS independent
-    8-bit sign-LSH band keys per vector, all HARDNEG_BANDS × N_PLANES plane
-    dots computed in ONE Arrow-batched GEMM (the embedding_neardup kernel
-    shape — vector math never enters Catalyst expression chains). Band 0
-    uses planes 0..N_PLANES-1, i.e. exactly the lsh_buckets/ann_lsh_topk
-    bucket layout, so the multi-band candidate set is a strict superset of
-    the single-bucket r7 miner's."""
+    band_bits-bit sign-LSH band keys per vector, all HARDNEG_BANDS ×
+    band_bits plane dots computed in ONE Arrow-batched GEMM (the
+    embedding_neardup kernel shape — vector math never enters Catalyst
+    expression chains). At the default band_bits = N_PLANES, band 0 uses
+    planes 0..N_PLANES-1, i.e. exactly the lsh_buckets/ann_lsh_topk bucket
+    layout, so the multi-band candidate set is a strict superset of the
+    single-bucket r7 miner's. band_bits is the SCALE dial (log2(n), the
+    embedding_neardup doctrine): per-band bucket count 2^bits must track
+    corpus size or Σ n_b² turns quadratic — measured in SCALING.md."""
     from .vector_lsh import planes_matrix
 
-    P = planes_matrix(HARDNEG_BANDS * N_PLANES)
-    n_bands, band_bits = HARDNEG_BANDS, N_PLANES
+    P = planes_matrix(HARDNEG_BANDS * band_bits)
+    n_bands = HARDNEG_BANDS
 
     def kernel(batches):
         import numpy as _np
@@ -1057,7 +1060,9 @@ def _hardneg_keys(emb: DataFrame) -> DataFrame:
     )
 
 
-def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, band_bits: int = N_PLANES
+) -> DataFrame:
     """Hard-negative pairs for contrastive/retriever training (the DPR /
     ANCE / SimCSE recipe): cross-LABEL vector pairs that collide in ANY of
     HARDNEG_BANDS sign-LSH band buckets, ranked by cosine — semantically
@@ -1087,11 +1092,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, and a distinct collapses pairs that collide in several
     bands/flips (their cosines are bit-identical — computed from the same
     two vectors). TakeOrderedAndProject keeps top-N. Label skew doesn't
-    concentrate because the join key is the band bucket, not the label."""
+    concentrate because the join key is the band bucket, not the label.
+    `band_bits` is the scale dial (log2 n — the registered query uses the
+    default so the static oracle replays it; the scale probe measures the
+    knob)."""
     emb = prepared(spark, sf_dir).table("embeddings")
-    keys = _hardneg_keys(emb)
+    keys = _hardneg_keys(emb, band_bits)
+    flips = [0] + [1 << j for j in range(band_bits)]
     probe = keys.withColumn(
-        "f", F.explode(F.array(*[F.lit(f) for f in HARDNEG_FLIPS]))
+        "f", F.explode(F.array(*[F.lit(f) for f in flips]))
     ).withColumn("pkey", F.col("bkey").bitwiseXOR(F.col("f")))
     a, c = probe.alias("a"), keys.alias("b")
     cos = F.round(

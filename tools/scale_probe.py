@@ -323,11 +323,17 @@ def run_docs_knobs(spark, out_dir: str, copies: int) -> dict:
 
     from s3bigdatasync_spark.operators import _PREPARED
     from s3bigdatasync_spark.operators.dedup import EMB_BAND_BITS, embedding_neardup
-    from s3bigdatasync_spark.operators.similarity import KMEANS_K, semantic_dedup
+    from s3bigdatasync_spark.operators.similarity import (
+        KMEANS_K,
+        N_PLANES,
+        hard_negative_mining,
+        semantic_dedup,
+    )
 
     build_scaled_docs_dir(spark, out_dir, copies)
     scaled_bits = EMB_BAND_BITS + math.ceil(math.log2(copies))
     scaled_k = KMEANS_K * copies
+    hardneg_scaled_bits = N_PLANES + math.ceil(math.log2(copies))
 
     def steady(mk) -> float:
         mk().write.format("noop").mode("overwrite").save()
@@ -347,6 +353,11 @@ def run_docs_knobs(spark, out_dir: str, copies: int) -> dict:
         "sem_default_k_s": steady(lambda: semantic_dedup(spark, out_dir)),
         "sem_scaled_k": scaled_k,
         "sem_scaled_k_s": steady(lambda: semantic_dedup(spark, out_dir, k=scaled_k)),
+        "hardneg_default_bits_s": steady(lambda: hard_negative_mining(spark, out_dir)),
+        "hardneg_scaled_bits": hardneg_scaled_bits,
+        "hardneg_scaled_bits_s": steady(
+            lambda: hard_negative_mining(spark, out_dir, band_bits=hardneg_scaled_bits)
+        ),
     }
     _PREPARED.clear()
     return res
