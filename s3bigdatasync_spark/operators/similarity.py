@@ -1014,13 +1014,17 @@ HARDNEG_FLIPS = [0] + [1 << j for j in range(N_PLANES)]
 
 
 def _hardneg_keys(emb: DataFrame, band_bits: int = N_PLANES) -> DataFrame:
-    """(vec_id, label, band, bkey, embedding) — HARDNEG_BANDS independent
-    band_bits-bit sign-LSH band keys per vector, all HARDNEG_BANDS ×
-    band_bits plane dots computed in ONE Arrow-batched GEMM (the
-    embedding_neardup kernel shape — vector math never enters Catalyst
-    expression chains). At the default band_bits = N_PLANES, band 0 uses
-    planes 0..N_PLANES-1, i.e. exactly the lsh_buckets/ann_lsh_topk bucket
-    layout, so the multi-band candidate set is a strict superset of the
+    """(vec_id, label, band, bkey) — HARDNEG_BANDS independent band_bits-bit
+    sign-LSH band keys per vector, all HARDNEG_BANDS × band_bits plane dots
+    computed in ONE Arrow-batched GEMM (the embedding_neardup kernel shape —
+    vector math never enters Catalyst expression chains). NARROW on purpose:
+    no embedding column rides the B× band fan-out or the 9× flip expansion
+    downstream — consumers re-join the base table by vec_id for surviving
+    pairs only (r8 probe lesson: carrying vectors through the fan-out made
+    Spark mis-broadcast a multi-hundred-MB relation at 30× and OOM the
+    driver). At the default band_bits = N_PLANES, band 0 uses planes
+    0..N_PLANES-1, i.e. exactly the lsh_buckets/ann_lsh_topk bucket layout,
+    so the multi-band candidate set is a strict superset of the
     single-bucket r7 miner's. band_bits is the SCALE dial (log2(n), the
     embedding_neardup doctrine): per-band bucket count 2^bits must track
     corpus size or Σ n_b² turns quadratic — measured in SCALING.md."""
@@ -1049,14 +1053,13 @@ def _hardneg_keys(emb: DataFrame, band_bits: int = N_PLANES) -> DataFrame:
                             "label": pdf["label"],
                             "band": _np.full(len(pdf), b, dtype="int32"),
                             "bkey": keys.astype("int32"),
-                            "embedding": pdf["embedding"],
                         }
                     )
                 )
             yield _pd.concat(frames, ignore_index=True)
 
     return emb.select("vec_id", "label", "embedding").mapInPandas(
-        kernel, "vec_id long, label int, band int, bkey int, embedding array<float>"
+        kernel, "vec_id long, label int, band int, bkey int"
     )
 
 
@@ -1081,21 +1084,22 @@ def hard_negative_mining(
     contains the r7 one.
 
     Scale shape: one scan computes all B×8 plane signs in one Arrow GEMM
-    (mapInPandas, B rows out per vector — a B× fan-out of a 256-byte row,
-    the embedding_neardup key relation); ONE side posts its key plus the 8
-    one-bit flips (a further 9× fan-out of (band, key, id) — the embedding
-    itself is not duplicated into the flip rows' shuffle on the probe side
-    relation, which carries it once per band); the self-join is a hash
-    EQUI-join on (band, flipped key) — candidate volume is
+    (mapInPandas, B NARROW (vec_id, label, band, key) rows per vector — no
+    vector payload rides the fan-out); ONE side posts its key plus the 8
+    one-bit flips (a further 9× fan-out of ~20-byte rows); the self-join is
+    a hash EQUI-join on (band, flipped key) — candidate volume is
     Σ_band Σ_bucket (1+8)·n_b·(n_b−1)/2, bounded per band exactly as
-    lsh_buckets audits, never all-pairs; exact cosine runs only inside the
-    join, and a distinct collapses pairs that collide in several
-    bands/flips (their cosines are bit-identical — computed from the same
-    two vectors). TakeOrderedAndProject keeps top-N. Label skew doesn't
-    concentrate because the join key is the band bucket, not the label.
-    `band_bits` is the scale dial (log2 n — the registered query uses the
-    default so the static oracle replays it; the scale probe measures the
-    knob)."""
+    lsh_buckets audits, never all-pairs; a DISTINCT collapses pairs that
+    collide in several bands/flips BEFORE any vector math, and only the
+    surviving pair set re-joins the base embeddings table (twice, by
+    vec_id) for the exact cosine — the embedding_neardup rejoin doctrine,
+    which is also what keeps every relation in this plan either narrow or
+    the base table (r8: carrying embeddings through the fan-out
+    mis-broadcast at 30× and OOMed). TakeOrderedAndProject keeps top-N.
+    Label skew doesn't concentrate because the join key is the band
+    bucket, not the label. `band_bits` is the scale dial (log2 n — the
+    registered query uses the default so the static oracle replays it; the
+    scale probe measures the knob)."""
     emb = prepared(spark, sf_dir).table("embeddings")
     keys = _hardneg_keys(emb, band_bits)
     flips = [0] + [1 << j for j in range(band_bits)]
@@ -1103,15 +1107,7 @@ def hard_negative_mining(
         "f", F.explode(F.array(*[F.lit(f) for f in flips]))
     ).withColumn("pkey", F.col("bkey").bitwiseXOR(F.col("f")))
     a, c = probe.alias("a"), keys.alias("b")
-    cos = F.round(
-        _dot("a.embedding", "b.embedding")
-        / (
-            F.sqrt(_dot("a.embedding", "a.embedding"))
-            * F.sqrt(_dot("b.embedding", "b.embedding"))
-        ),
-        6,
-    )
-    return (
+    cand = (
         a.join(
             c,
             (F.col("a.band") == F.col("b.band"))
@@ -1124,22 +1120,33 @@ def hard_negative_mining(
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label_a"),
             F.col("b.label").alias("label_b"),
-            cos.alias("cosine"),
         )
         .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
+        6,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "label_a", "label_b", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(HARDNEG_TOP_N)
     )
 
 
 def _hardneg_keys_sql() -> str:
-    """The keys relation in DuckDB: one UNION ALL branch per band, each
-    band's 8-bit key from band_key_sql — the same planes (md5-derived ±1
-    literals) as the Spark GEMM by construction."""
+    """The NARROW keys relation in DuckDB: one UNION ALL branch per band,
+    each band's 8-bit key from band_key_sql — the same planes (md5-derived
+    ±1 literals) as the Spark GEMM by construction; no embedding column
+    (consumers re-join embeddings by vec_id, mirroring the Spark plan)."""
     from .vector_lsh import band_key_sql
 
     branches = [
-        f"SELECT vec_id, label, embedding, {b} AS band,"
+        f"SELECT vec_id, label, {b} AS band,"
         f" {band_key_sql('embedding', b, N_PLANES)} AS bkey FROM embeddings"
         for b in range(HARDNEG_BANDS)
     ]
@@ -1155,13 +1162,19 @@ WITH keys AS (
 probe AS (
   SELECT k.*, xor(k.bkey, f.f) AS pkey
   FROM keys k, (SELECT unnest({_FLIPS_SQL}) AS f) f
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         a.label AS label_a, c.label AS label_b
+  FROM probe a JOIN keys c
+    ON a.band = c.band AND a.pkey = c.bkey
+   AND a.vec_id < c.vec_id AND a.label <> c.label
 )
-SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       a.label AS label_a, c.label AS label_b,
-       {_cos_sql('a.embedding', 'c.embedding')} AS cosine
-FROM probe a JOIN keys c
-  ON a.band = c.band AND a.pkey = c.bkey
- AND a.vec_id < c.vec_id AND a.label <> c.label
+SELECT vec_a, vec_b, label_a, label_b,
+       {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.vec_a
+JOIN embeddings eb ON eb.vec_id = cand.vec_b
 ORDER BY cosine DESC, vec_a, vec_b
 LIMIT {HARDNEG_TOP_N}
 """
