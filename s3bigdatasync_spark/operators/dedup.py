@@ -1434,9 +1434,9 @@ def span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPAN_REMOVAL_SQL = rf"""
-WITH {_WINNOW_RUNS_CTES},
-iv AS (
+# removal-plan CTE chain on top of `runs` — shared by _SPAN_REMOVAL_SQL and
+# _SPAN_APPLY_SQL (rmplan = the merged intervals, unordered)
+_RMPLAN_CTES = f"""iv AS (
   SELECT DISTINCT doc_b AS doc_id, cast(start_b AS BIGINT) AS s,
          cast(start_b + span_tokens AS BIGINT) AS e
   FROM runs WHERE span_tokens >= {SPAN_GUARANTEE_TOKENS}
@@ -1452,12 +1452,99 @@ islands AS (
          sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
   FROM marked
-)
-SELECT doc_id, min(s) AS rm_start, max(e) AS rm_end,
-       max(e) - min(s) AS rm_tokens
-FROM islands
-GROUP BY doc_id, isl
+),
+rmplan AS (
+  SELECT doc_id, min(s) AS rm_start, max(e) AS rm_end,
+         max(e) - min(s) AS rm_tokens
+  FROM islands
+  GROUP BY doc_id, isl
+)"""
+
+_SPAN_REMOVAL_SQL = rf"""
+WITH {_WINNOW_RUNS_CTES},
+{_RMPLAN_CTES}
+SELECT doc_id, rm_start, rm_end, rm_tokens
+FROM rmplan
 ORDER BY doc_id, rm_start
+"""
+
+
+def span_removal_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the removal plan: for every document span_removal_plan
+    touches, the cleaned text with its merged intervals deleted, plus the
+    before/removed token accounting (n_tokens_before − n_tokens_removed =
+    tokens surviving, pinned in tests). Tokens rejoin with single spaces —
+    the plan's coordinates live in the whitespace-token space _span_grams
+    defined, so the rewrite is exact there (original inter-token whitespace
+    is not preserved; the reference point for downstream training data is
+    the token stream, not the byte stream).
+
+    Scale shape: the per-doc interval lists aggregate to ONE small struct
+    array per affected doc (collect_list over the merged plan — bounded by
+    the plan's own size), broadcast-joined to the documents scan; the
+    deletion itself is a higher-order `filter((tok, i) -> no interval
+    contains i)` inside whole-stage codegen — NO token explode, no Python,
+    one pass over each affected doc's token array. Output is one row per
+    affected doc; unaffected docs pass through a pipeline untouched (they
+    carry no plan row — the operator reports the delta, not the corpus)."""
+    plan = span_removal_plan(spark, sf_dir)
+    ivs = plan.groupBy("doc_id").agg(
+        F.collect_list(F.struct("rm_start", "rm_end")).alias("ivs"),
+        F.sum("rm_tokens").alias("n_tokens_removed"),
+    )
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["rm_start"]) & (i < v["rm_end"])
+        ),
+    )
+    return (
+        docs.join(ivs, "doc_id")
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.col("ivs"),
+            F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens_before"),
+            "n_tokens_removed",
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_APPLY_SQL = rf"""
+WITH {_WINNOW_RUNS_CTES},
+{_RMPLAN_CTES},
+affected AS (
+  SELECT doc_id, sum(rm_tokens) AS n_removed FROM rmplan GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, t[i + 1] AS tok, i AS p
+  FROM (SELECT t2.doc_id, t2.t, unnest(generate_series(0, len(t2.t) - 1)) AS i
+        FROM toks t2 JOIN affected a ON a.doc_id = t2.doc_id)
+),
+kept AS (
+  SELECT p.doc_id, p.p, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM rmplan r
+                    WHERE r.doc_id = p.doc_id
+                      AND p.p >= r.rm_start AND p.p < r.rm_end)
+)
+SELECT t.doc_id,
+       cast(len(t.t) AS BIGINT) AS n_tokens_before,
+       cast(a.n_removed AS BIGINT) AS n_tokens_removed,
+       coalesce(k.txt, '') AS clean_text
+FROM toks t
+JOIN affected a ON a.doc_id = t.doc_id
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt
+           FROM kept GROUP BY doc_id) k ON k.doc_id = t.doc_id
+ORDER BY t.doc_id
 """
 
 
@@ -2291,6 +2378,7 @@ QUERIES = {
     "winnow_candidates": winnow_candidates,
     "winnow_spans": winnow_spans,
     "span_removal_plan": span_removal_plan,
+    "span_removal_apply": span_removal_apply,
     "gram_cap_recommendation": gram_cap_recommendation,
     "cluster_sizes": cluster_sizes,
     "minhash_calibration": minhash_calibration,
@@ -2320,6 +2408,7 @@ ORACLES = {
     "winnow_candidates": _WINNOW_SQL,
     "winnow_spans": _WINNOW_SPANS_SQL,
     "span_removal_plan": _SPAN_REMOVAL_SQL,
+    "span_removal_apply": _SPAN_APPLY_SQL,
     "gram_cap_recommendation": _GRAM_CAP_RECO_SQL,
     "cluster_sizes": _CLUSTER_SIZES_SQL,
     "minhash_calibration": _CALIB_SQL,

@@ -94,6 +94,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_r8": [
         "hard_negative_recall",
         "span_removal_plan",
+        "span_removal_apply",
         "ivf_assign",
     ],
     # round-7 additions: the
@@ -284,6 +285,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("rm_start", "int"),
         ("rm_end", "int"),
         ("rm_tokens", "int"),
+    ],
+    "span_removal_apply": [
+        ("doc_id", "int"),
+        ("n_tokens_before", "int"),
+        ("n_tokens_removed", "int"),
+        ("clean_text", "str"),
     ],
     "ivf_assign": [
         ("vec_id", "int"),

@@ -117,6 +117,7 @@ EMPTY_SAFE = [
     # round-8 batch
     "hard_negative_recall",
     "span_removal_plan",
+    "span_removal_apply",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

@@ -191,3 +191,35 @@ def test_span_removal_plan_semantics(spark):
     for doc, ivs in by_doc.items():
         assert ivs[-1][1] <= ntok[doc], (doc, ivs[-1], ntok[doc])
     ops._PREPARED.clear()
+
+
+def test_span_removal_apply_consistency(spark):
+    """The apply step executes the plan exactly: per affected doc,
+    n_tokens_before − n_tokens_removed tokens survive into clean_text, the
+    cleaned token stream equals the original with the plan's intervals
+    deleted (numpy-free re-derivation from the plan itself), and the
+    affected-doc set matches the plan's."""
+    plan = dedup.span_removal_plan(spark, str(SRC)).collect()
+    applied = {r["doc_id"]: r for r in dedup.span_removal_apply(spark, str(SRC)).collect()}
+    by_doc: dict = {}
+    for r in plan:
+        by_doc.setdefault(r["doc_id"], []).append((r["rm_start"], r["rm_end"]))
+    assert set(applied) == set(by_doc)
+
+    docs = prepared(spark, str(SRC)).table("documents")
+    texts = {
+        r["doc_id"]: r["text"].split()
+        for r in docs.collect()
+        if r["doc_id"] in by_doc
+    }
+    for doc, row in applied.items():
+        toks = texts[doc]
+        ivs = by_doc[doc]
+        expect = [
+            t for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in ivs)
+        ]
+        assert row["n_tokens_before"] == len(toks)
+        assert row["n_tokens_before"] - row["n_tokens_removed"] == len(expect)
+        assert row["clean_text"].split() == expect, doc
+    ops._PREPARED.clear()
