@@ -1378,10 +1378,15 @@ LIMIT {SPAN_TOP_N}
 """
 
 #: Guarantee length: every cross-doc shared run of at least this many tokens
-#: contains a full winnow window on both sides, so the fingerprint index
-#: names its pair and the composed relation contains the span (Schleimer,
-#: Wilkerson & Aiken 2003, theorem 1) — the removal plan is COMPLETE at and
-#: above this length by construction.
+#: WHOSE GRAMS SURVIVE THE DERIVED pn CAP contains a full winnow window on
+#: both sides, so the fingerprint index names its pair and the composed
+#: relation contains the span (Schleimer, Wilkerson & Aiken 2003, theorem
+#: 1). The cap qualifier matters: _gram_keep excludes grams above the
+#: evidence-derived postings cap, so a passage duplicated across MANY
+#: documents (a license header in 10k docs — exactly boilerplate) falls out
+#: of the capped gram universe and out of this guarantee; that mass is
+#: boilerplate_report's jurisdiction, the documented split for the whole
+#: capped span family. Within the capped universe the guarantee is exact.
 SPAN_GUARANTEE_TOKENS = WINNOW_W + SPAN_GRAM_K - 1
 
 
@@ -1391,7 +1396,10 @@ def span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges to delete so that each shared span of ≥ SPAN_GUARANTEE_TOKENS
     survives only in its lowest-doc_id occurrence. Consumes the UNTRUNCATED
     composed span relation (_winnow_runs — index-complete at the guarantee
-    length), keeps the doc_a side of every pair (doc_a < doc_b, the
+    length WITHIN the capped gram universe; spans made of above-cap grams
+    are boilerplate by the cap's own evidence and belong to
+    boilerplate_report, see SPAN_GUARANTEE_TOKENS), keeps the doc_a side of
+    every pair (doc_a < doc_b, the
     keep-lowest-id policy exact_dedup/dedup_canonical already use), and
     merges the doc_b-side intervals per document with gaps-and-islands
     (sort by start, island break where start exceeds the running max end).

@@ -1101,7 +1101,11 @@ def hard_negative_mining(
     registered query uses the default so the static oracle replays it; the
     scale probe measures the knob)."""
     emb = prepared(spark, sf_dir).table("embeddings")
-    keys = _hardneg_keys(emb, band_bits)
+    # cache-pin: the key relation feeds BOTH self-join sides, which shuffle
+    # on different keys ((band, pkey) vs (band, bkey)) so no exchange reuse
+    # applies — without the pin the all-bands GEMM and the embeddings scan
+    # run twice (r8 self-review finding)
+    keys = scoped_cache(_hardneg_keys(emb, band_bits))
     flips = [0] + [1 << j for j in range(band_bits)]
     probe = keys.withColumn(
         "f", F.explode(F.array(*[F.lit(f) for f in flips]))
@@ -1210,6 +1214,13 @@ def hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "vec_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("p_id").orderBy(F.desc("cosine"), "vec_id")
+    # exact feeds TWO subtrees (the hit semi-join and the per-probe groupBy)
+    # but deliberately carries NO cache pin: both occurrences compile to
+    # identical exchange subtrees, so Catalyst's ReuseExchange rule already
+    # dedupes the brute-force scan — measured: pinning it made the query
+    # 1.33 → 2.38 s at sf0.1 (cache materialization latency for zero saved
+    # work). The r8 self-review flagged this as a double computation; the
+    # measurement says otherwise.
     exact = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= HARDNEG_PROBE_K)

@@ -76,10 +76,13 @@ def make_s3_head_fetcher(region: str | None = None, client=None) -> Fetcher:
     or tests' file-backed FakeS3Client) — the returned closure then carries
     it by value and the whole probe pipeline runs against it with no SDK
     installed. Without `client`, boto3 is import-checked NOW (fail fast on
-    the driver) but the real client is constructed LAZILY per executor
-    worker: boto3 clients are not picklable, so building it at factory time
-    would crash the mapInPandas fan-out the moment the fetcher left the
-    driver."""
+    the driver) but the real client is constructed LAZILY per process and
+    cached ON THE boto3 MODULE, never in the closure: boto3 clients are not
+    picklable, so a closure-cell cache would permanently poison the fetcher
+    the first time it ran on the driver (e.g. a sanity HEAD before the
+    mapInPandas fan-out) and crash the next task serialization — the
+    closure must stay client-free in the lazy path (r8 self-review
+    finding)."""
     if client is None:
         try:
             import boto3  # noqa: F401
@@ -89,12 +92,17 @@ def make_s3_head_fetcher(region: str | None = None, client=None) -> Fetcher:
             ) from e
 
     def fetch(bucket: str, key: str) -> dict:
-        nonlocal client
-        if client is None:  # pragma: no cover — per-worker lazy boto3 init
-            import boto3
+        c = client
+        if c is None:  # pragma: no cover — lazy per-process boto3 init,
+            import boto3  # cached on the boto3 module (never pickled; the
 
-            client = boto3.client("s3", region_name=region)
-        head = client.head_object(Bucket=bucket, Key=key, PartNumber=1)
+            cache = getattr(boto3, "_s3bigdatasync_clients", None)  # closure
+            if cache is None:  # stays client-free so it always serializes)
+                cache = boto3._s3bigdatasync_clients = {}
+            c = cache.get(region)
+            if c is None:
+                c = cache[region] = boto3.client("s3", region_name=region)
+        head = c.head_object(Bucket=bucket, Key=key, PartNumber=1)
         parts = head.get("PartsCount", 1)
         return {
             "mtime": int(head["LastModified"].timestamp()),
@@ -112,9 +120,11 @@ def make_s3_copy_fn(region: str | None = None, client=None):
     (libs/s3_utils.py:17-35: copy_source={src_bucket, key} → dst bucket,
     same key). Same seam/laziness contract as make_s3_head_fetcher:
     `client` needs boto3's `copy(CopySource, Bucket, Key)`; without it
-    boto3 is import-checked at factory time and constructed per executor
-    worker (clients don't pickle). Returns False-by-exception is handled by
-    task_executor's per-row try (dead-letter routing, B8/B9)."""
+    boto3 is import-checked at factory time and constructed lazily per
+    process, cached on the boto3 module — never in the closure, which must
+    stay picklable even after a driver-side call (see make_s3_head_fetcher).
+    Returns False-by-exception is handled by task_executor's per-row try
+    (dead-letter routing, B8/B9)."""
     if client is None:
         try:
             import boto3  # noqa: F401
@@ -124,12 +134,17 @@ def make_s3_copy_fn(region: str | None = None, client=None):
             ) from e
 
     def copy(src_bucket: str, dst_bucket: str, key: str) -> bool:
-        nonlocal client
-        if client is None:  # pragma: no cover — per-worker lazy boto3 init
+        c = client
+        if c is None:  # pragma: no cover — lazy per-process boto3 init
             import boto3
 
-            client = boto3.client("s3", region_name=region)
-        client.copy({"Bucket": src_bucket, "Key": key}, dst_bucket, key)
+            cache = getattr(boto3, "_s3bigdatasync_clients", None)
+            if cache is None:
+                cache = boto3._s3bigdatasync_clients = {}
+            c = cache.get(region)
+            if c is None:
+                c = cache[region] = boto3.client("s3", region_name=region)
+        c.copy({"Bucket": src_bucket, "Key": key}, dst_bucket, key)
         return True
 
     return copy

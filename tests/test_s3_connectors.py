@@ -213,3 +213,35 @@ def test_head_fetcher_against_moto():
             client.get_object(Bucket="moto-dst", Key="k1")["Body"].read()
             == b"hello world"
         )
+
+
+def test_lazy_connectors_stay_picklable_after_driver_call():
+    """The lazy-path contract (r8 self-review): a driver-side call (the
+    sanity-HEAD pattern) must NOT capture the live boto3 client into the
+    closure — the per-process cache lives on the boto3 module, so the
+    connector still serializes for a later executor fan-out."""
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    from pyspark.serializers import CloudPickleSerializer
+
+    ser = CloudPickleSerializer()
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="moto-lazy")
+        client.put_object(Bucket="moto-lazy", Key="k", Body=b"xy")
+        try:
+            fetch = make_s3_head_fetcher(region="us-east-1")
+            assert fetch("moto-lazy", "k")["size"] == 2  # driver-side use
+            assert ser.dumps(fetch)  # closure still client-free
+            copy_fn = make_s3_copy_fn(region="us-east-1")
+            client.create_bucket(Bucket="moto-lazy2")
+            assert copy_fn("moto-lazy", "moto-lazy2", "k") is True
+            assert ser.dumps(copy_fn)
+            assert (
+                client.get_object(Bucket="moto-lazy2", Key="k")["Body"].read()
+                == b"xy"
+            )
+        finally:
+            # don't leak the mocked client into other tests' lazy paths
+            if hasattr(boto3, "_s3bigdatasync_clients"):
+                del boto3._s3bigdatasync_clients
