@@ -44,10 +44,32 @@ def scoped_cache(df):
     return df
 
 
+_SCOPED_MEMO: dict = {}
+
+
+def scoped_memo(key, builder):
+    """Memoize a shared RELATION for the lifetime of one registry query
+    (released together with the scoped caches). When two members of a pack
+    — or any composition — build the same expensive sub-relation
+    (span_removal_plan and span_removal_apply both build the winnow-runs
+    chain), the second call returns the SAME DataFrame object, so the
+    scoped caches inside it (grams / keep / cand) are shared instead of
+    duplicated: one cache fill, not two per composition. The memo holds
+    lazy plans, not data; correctness is unaffected if it were cleared
+    early (recompute is deterministic)."""
+    with _SCOPED_LOCK:
+        if key in _SCOPED_MEMO:
+            return _SCOPED_MEMO[key]
+    df = builder()
+    with _SCOPED_LOCK:
+        return _SCOPED_MEMO.setdefault(key, df)
+
+
 def release_caches() -> int:
     """Unpersist every scoped cache from the previous query. Returns count."""
     with _SCOPED_LOCK:
         drained, _SCOPED_CACHES[:] = _SCOPED_CACHES[:], []
+        _SCOPED_MEMO.clear()
     n = 0
     for df in drained:
         try:

@@ -1310,7 +1310,18 @@ def winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnow_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNTRUNCATED composed span relation winnow_spans reports the
     top-N of — factored so span_removal_plan can consume every span (the
-    removal plan must cover the corpus, not a leaderboard)."""
+    removal plan must cover the corpus, not a leaderboard). Query-scoped
+    memo: when one registry query builds this twice (pack_r8 runs
+    span_removal_plan AND span_removal_apply), both get the same relation
+    and share its internal grams/keep/cand caches."""
+    from . import scoped_memo
+
+    return scoped_memo(
+        ("winnow_runs", sf_dir), lambda: _build_winnow_runs(spark, sf_dir)
+    )
+
+
+def _build_winnow_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = prepared(spark, sf_dir).table("documents")
     grams = scoped_cache(_span_grams(docs))
     keep = scoped_cache(_gram_keep(grams))
