@@ -120,6 +120,9 @@ HEADLINE = [
     # round-8 additions
     "hard_negative_recall",  # probe recall audit of the multi-band miner
     "span_removal_plan",     # merged per-doc token ranges (substring dedup action)
+    "ivf_recall_audit",      # compressed-path recall vs exact L2 top-k
+    "perplexity_buckets",    # per-lang CCNet perplexity terciles (NTILE)
+    "shard_rebalance_plan",  # rendezvous vs modulo reshard movement matrix
 ]
 
 

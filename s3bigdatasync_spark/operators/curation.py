@@ -668,6 +668,105 @@ FROM agg
 """
 
 
+# --- perplexity_buckets: CCNet's per-language quality terciles ---------------
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail split
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    every document by bits-per-token under ITS LANGUAGE's own unigram
+    distribution, then split each language into equal-count terciles —
+    head (lowest perplexity), middle, tail — and keep head+middle, CCNet's
+    published gate. CCNet scores against a per-language KenLM trained on
+    Wikipedia; `unigram_logprob` already established that the corpus's own
+    distribution works as the LM with no external artifact — this
+    conditions that model on `lang`, because a global LM would score every
+    non-dominant language as gibberish (the exact failure CCNet's
+    per-language models exist to avoid).
+
+    Bucket boundaries are RELATIVE (per-language terciles), not an absolute
+    bits cut like BITS_KEEP_MAX: CCNet's insight is that perplexity scales
+    shift per language, so the gate must rank within language.
+
+    Plan shape at 100 TB: the LM build is unigram_logprob's one
+    cache-pinned explode→count pass (keyed by lang,token); per-lang totals
+    broadcast (≤|langs| rows). The tercile split is NTILE over a window
+    partitioned by lang — the sort's payload is the doc-STAT relation
+    (4 narrow columns, ~30 B/row), never the corpus text, and Spark
+    range-partitions within the dominant language rather than sorting it on
+    one node. At extreme scale the same cut comes from a sampled quantile
+    (CCNet itself cuts on sampled quantiles); NTILE is the exact,
+    oracle-checkable form of that decision. Float contract: ln-sums are
+    summed raw and rounded to 6dp BEFORE the ordering, ties break by
+    doc_id (the unigram_logprob/word_entropy contract)."""
+    docs = prepared(spark, sf_dir).table("documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    dcnt = (
+        docs.select("doc_id", "lang", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("c"))
+        .transform(scoped_cache)
+    )
+    vocab = dcnt.groupBy("lang", "token").agg(F.sum("c").alias("cf"))
+    ltot = vocab.groupBy("lang").agg(F.sum("cf").alias("t"))
+    agg = (
+        dcnt.join(vocab, ["lang", "token"])
+        .join(F.broadcast(ltot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.log("cf") - F.log("t"))).alias("sll"),
+        )
+    )
+    bits = F.round(-(F.col("sll") / F.col("n_tokens")) / F.lit(LN2), 6)
+    scored = agg.select(
+        "doc_id", "lang", "n_tokens", bits.alias("bits_per_token")
+    )
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "bits_per_token",
+        F.ntile(PPL_BUCKETS).over(w).alias("ppl_bucket"),
+    ).withColumn("keep", F.col("ppl_bucket") < PPL_BUCKETS)
+
+
+_PPL_BUCKETS_SQL = rf"""
+WITH dcnt AS (
+  SELECT doc_id, lang, token, count(*) AS c
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS token
+        FROM documents)
+  GROUP BY doc_id, lang, token
+),
+vocab AS (SELECT lang, token, sum(c) AS cf FROM dcnt GROUP BY lang, token),
+ltot AS (SELECT lang, sum(cf) AS t FROM vocab GROUP BY lang),
+agg AS (
+  SELECT d.doc_id, d.lang, sum(d.c) AS n_tokens,
+         sum(d.c * (ln(v.cf) - ln(l.t))) AS sll
+  FROM dcnt d
+  JOIN vocab v ON v.lang = d.lang AND v.token = d.token
+  JOIN ltot l ON l.lang = d.lang
+  GROUP BY d.doc_id, d.lang
+),
+scored AS (
+  SELECT doc_id, lang, cast(n_tokens AS BIGINT) AS n_tokens,
+         round(-(sll / n_tokens) / {LN2}, 6) AS bits_per_token
+  FROM agg
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       cast(ntile({PPL_BUCKETS}) OVER
+            (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS INT)
+         AS ppl_bucket,
+       cast(ntile({PPL_BUCKETS}) OVER
+            (PARTITION BY lang ORDER BY bits_per_token, doc_id) AS INT)
+         < {PPL_BUCKETS} AS keep
+FROM scored
+"""
+
+
 # --- source_kl_divergence: corpus-mixture drift report ----------------------
 
 # A corpus refresh changes the source mixture; the operational question is
@@ -1119,6 +1218,7 @@ QUERIES = {
     "ewma_smooth": ewma_smooth,
     "group_sample": group_sample,
     "unigram_logprob": unigram_logprob,
+    "perplexity_buckets": perplexity_buckets,
     "source_kl_divergence": source_kl_divergence,
 }
 
@@ -1137,5 +1237,6 @@ ORACLES = {
     "ewma_smooth": _ewma_sql(),
     "group_sample": _GROUP_SAMPLE_SQL,
     "unigram_logprob": _UNIGRAM_SQL,
+    "perplexity_buckets": _PPL_BUCKETS_SQL,
     "source_kl_divergence": _SOURCE_KL_SQL,
 }

@@ -256,14 +256,128 @@ FROM per, m
 """
 
 
+# --- shard_rebalance_plan (round 8) ------------------------------------------
+
+# The reference assigns objects to sync workers round-robin
+# (AzureTaskProducer — G7 in SURVEY §2); round-robin is stateless but every
+# worker-count change reassigns ~everything, invalidating per-worker state
+# (HWMs, partial manifests, warm caches). Rendezvous / highest-random-weight
+# hashing (Thaler & Ravishankar 1998) is the standard fix: each key goes to
+# argmax_s hash(key, s), so growing OLD→NEW workers moves EXACTLY the keys
+# whose new-worker hash wins — an expected (NEW−OLD)/NEW of the corpus —
+# while modulo rehashing moves ~1−1/NEW of it.
+OLD_WORKERS = 8
+NEW_WORKERS = 10
+
+
+def _hrw_spark(key: str, n: int):
+    """Rendezvous assignment: argmax over workers of md5(key ':' s), ties
+    (impossible in practice, pinned for determinism) to the HIGHER s —
+    struct max compares (w, s) lexicographically in both engines."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.md5(F.concat(F.col(key), F.lit(f":{s}"))).alias("w"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n)
+            ]
+        )
+    )["s"]
+
+
+def _hrw_sql(key: str, n: int) -> str:
+    terms = ", ".join(
+        f"{{'w': md5({key} || ':{s}'), 's': {s}}}" for s in range(n)
+    )
+    return f"list_max([{terms}]).s"
+
+
+def shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker-shard movement matrix for scaling OLD_WORKERS → NEW_WORKERS,
+    under two assignment policies side by side: `rendezvous` (HRW — the
+    minimal-movement upgrade) and `modulo` (hash mod N — what naive
+    resharding does). One row per (policy, old_shard, new_shard) cell with
+    object count, byte mass, and a moved flag; the test pins that HRW's
+    moved byte fraction sits near (NEW−OLD)/NEW while modulo's is several
+    times larger — the measured evidence for adopting stable assignment
+    before a fleet resize reshuffles 100 TB of per-worker state.
+
+    Scale shape: the per-key assignment is a pure projection (18 md5s per
+    key, whole-stage codegen, zero shuffle — at 1000 executors it rides the
+    scan); the only exchange is the final groupBy to ≤ 2·OLD·NEW cells.
+    Portable md5 everywhere (not Spark's Murmur3) so the oracle checks the
+    exact assignment, the bucket_skew_audit precedent."""
+    inv = prepared(spark, sf_dir).table("inventory_src")
+    mod_hash = F.conv(F.substring(F.md5(F.col("key")), 1, 4), 16, 10).cast("long")
+    assigned = inv.select(
+        "size",
+        _hrw_spark("key", OLD_WORKERS).alias("rv_old"),
+        _hrw_spark("key", NEW_WORKERS).alias("rv_new"),
+        (mod_hash % OLD_WORKERS).cast("int").alias("mod_old"),
+        (mod_hash % NEW_WORKERS).cast("int").alias("mod_new"),
+    )
+    cells = assigned.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("rendezvous").alias("policy"),
+                    F.col("rv_old").alias("old_shard"),
+                    F.col("rv_new").alias("new_shard"),
+                ),
+                F.struct(
+                    F.lit("modulo").alias("policy"),
+                    F.col("mod_old").alias("old_shard"),
+                    F.col("mod_new").alias("new_shard"),
+                ),
+            )
+        ).alias("a"),
+        "size",
+    )
+    return (
+        cells.groupBy("a.policy", "a.old_shard", "a.new_shard")
+        .agg(F.count("*").alias("n_objects"), F.sum("size").alias("total_bytes"))
+        .withColumn("moved", F.col("old_shard") != F.col("new_shard"))
+        .orderBy("policy", "old_shard", "new_shard")
+    )
+
+
+_SHARD_REBALANCE_SQL = oracle_cte("inventory_src") + f"""
+, assigned AS (
+  SELECT size,
+         {_hrw_sql('key', OLD_WORKERS)} AS rv_old,
+         {_hrw_sql('key', NEW_WORKERS)} AS rv_new,
+         ({_BUCKET_HEX}) % {OLD_WORKERS} AS mod_old,
+         ({_BUCKET_HEX}) % {NEW_WORKERS} AS mod_new
+  FROM inventory_src
+),
+cells AS (
+  SELECT 'rendezvous' AS policy, rv_old AS old_shard, rv_new AS new_shard, size
+  FROM assigned
+  UNION ALL
+  SELECT 'modulo', mod_old, mod_new, size FROM assigned
+)
+SELECT policy, cast(old_shard AS INT) AS old_shard,
+       cast(new_shard AS INT) AS new_shard,
+       count(*) AS n_objects, cast(sum(size) AS BIGINT) AS total_bytes,
+       old_shard <> new_shard AS moved
+FROM cells
+GROUP BY policy, old_shard, new_shard
+ORDER BY policy, old_shard, new_shard
+"""
+
+
 QUERIES = {
     "zorder_layout": zorder_layout,
     "bloom_semi_prune": bloom_semi_prune,
     "bucket_skew_audit": bucket_skew_audit,
+    "shard_rebalance_plan": shard_rebalance_plan,
 }
 
 ORACLES = {
     "zorder_layout": _ZORDER_SQL,
     "bloom_semi_prune": _BLOOM_SQL,
     "bucket_skew_audit": _BUCKET_SKEW_SQL,
+    "shard_rebalance_plan": _SHARD_REBALANCE_SQL,
 }

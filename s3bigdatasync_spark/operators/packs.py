@@ -95,6 +95,9 @@ PACK_SPECS: dict[str, list[str]] = {
         "hard_negative_recall",
         "span_removal_plan",
         "span_removal_apply",
+        "ivf_recall_audit",
+        "perplexity_buckets",
+        "shard_rebalance_plan",
         "ivf_assign",
     ],
     # round-7 additions: the
@@ -296,6 +299,29 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("vec_id", "int"),
         ("label", "int"),
         ("assigned", "int"),
+    ],
+    "ivf_recall_audit": [
+        ("k", "int"),
+        ("nprobe", "int"),
+        ("n_exact", "int"),
+        ("n_hit", "int"),
+        ("recall", "num"),
+    ],
+    "perplexity_buckets": [
+        ("doc_id", "int"),
+        ("lang", "str"),
+        ("n_tokens", "int"),
+        ("bits_per_token", "num"),
+        ("ppl_bucket", "int"),
+        ("keep", "bool"),
+    ],
+    "shard_rebalance_plan": [
+        ("policy", "str"),
+        ("old_shard", "int"),
+        ("new_shard", "int"),
+        ("n_objects", "int"),
+        ("total_bytes", "int"),
+        ("moved", "bool"),
     ],
     "ngram_jaccard_pairs_capped": [
         ("doc_a", "int"),

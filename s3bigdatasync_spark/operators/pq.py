@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import prepared
+from . import prepared, scoped_cache
 from .similarity import QUERY_VEC_ID
 
 DIM = 64
@@ -555,14 +555,102 @@ LIMIT {PQ_TOP_K}"""
     )
 
 
+# --- ivf_recall_audit: the measured-recall yardstick for the compressed path
+
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of `ivf_pq_search` against the EXACT L2 top-k over the raw
+    float vectors — the compressed path's counterpart to `ann_recall_audit`
+    (which audits the sign-LSH path against cosine brute force). IVF-PQ
+    loses recall two ways: nprobe pruning drops true neighbors whose cell
+    wasn't probed, and ADC quantization reranks near-ties; this audit
+    measures the COMBINED loss, the number a deployment quotes when it
+    swaps the exact scan for the compressed layout (Jégou et al. 2011
+    report exactly this curve). The exact side uses L2 — the metric PQ
+    approximates — not cosine, so the audit isolates index error from
+    metric mismatch.
+
+    One-row output: (k, nprobe, n_exact, n_hit, recall). Scale shape: the
+    exact side is one broadcast-query scan + TakeOrderedAndProject (run it
+    over a sampled probe set in production — the hard_negative_recall
+    protocol); the approx side is the audited query itself; the overlap is
+    a k-row semi-join. Determinism: d2 rounds to 6dp before ranking, ties
+    break by vec_id — the ivf_assign contract."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    from .dedup import _dot
+
+    # ||e - q||^2 expanded as e·e − 2·e·q + q·q: each dot is the shared
+    # sequential left-fold (_dot), so DuckDB's replay agrees bitwise
+    d2 = F.round(
+        _dot("embedding", "embedding")
+        - F.lit(2.0) * _dot("embedding", "qv")
+        + _dot("qv", "qv"),
+        6,
+    )
+    exact = scoped_cache(
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(PQ_TOP_K)
+    )
+    approx = ivf_pq_search(spark, sf_dir).select(F.col("vec_id").alias("aid"))
+    n_hit = exact.join(approx, exact.vec_id == approx.aid, "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(n_hit)
+        .select(
+            F.lit(PQ_TOP_K).alias("k"),
+            F.lit(IVF_NPROBE).alias("nprobe"),
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_recall_sql() -> str:
+    from .dedup import _DOT_SQL
+
+    dee = _DOT_SQL.format(a="embedding", b="embedding")
+    deq = _DOT_SQL.format(a="embedding", b="qv")
+    dqq = _DOT_SQL.format(a="qv", b="qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+exact AS (
+  SELECT vec_id, round({dee} - 2.0 * {deq} + {dqq}, 6) AS d2
+  FROM embeddings, q
+  WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY d2, vec_id
+  LIMIT {PQ_TOP_K}
+),
+approx AS (
+  SELECT vec_id FROM ({_ivf_pq_sql()})
+)
+SELECT {PQ_TOP_K} AS k, {IVF_NPROBE} AS nprobe, n_exact, n_hit,
+       round(n_hit / greatest(n_exact, 1), 6) AS recall
+FROM (SELECT count(*) AS n_exact FROM exact),
+     (SELECT count(*) AS n_hit FROM exact
+      WHERE vec_id IN (SELECT vec_id FROM approx))
+"""
+
+
 QUERIES = {
     "pq_encode": pq_encode,
     "pq_search": pq_search,
     "ivf_pq_search": ivf_pq_search,
+    "ivf_recall_audit": ivf_recall_audit,
 }
 
 ORACLES = {
     "pq_encode": _PQ_ENCODE_SQL,
     "pq_search": _PQ_SEARCH_SQL,
     "ivf_pq_search": _ivf_pq_sql(),
+    "ivf_recall_audit": _ivf_recall_sql(),
 }

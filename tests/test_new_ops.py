@@ -840,3 +840,68 @@ def test_hard_negative_multiband_recall(spark):
     assert multi > single
     assert multi >= 0.5, multi
     assert single <= 0.45, single
+
+
+def test_ivf_recall_audit_bounds(spark):
+    """The compressed-path recall yardstick: one row, k exact neighbors
+    found (the corpus is far larger than k), hits bounded by exacts, recall
+    arithmetic exact, and the index is better than nothing (recall > 0 —
+    the measured sf0.001/sf0.01 number is 0.30 at nprobe=2)."""
+    from s3bigdatasync_spark.operators import pq
+
+    rows = pq.ivf_recall_audit(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == pq.PQ_TOP_K
+    assert r["nprobe"] == pq.IVF_NPROBE
+    assert r["n_exact"] == pq.PQ_TOP_K
+    assert 0 < r["n_hit"] <= r["n_exact"]
+    assert abs(r["recall"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
+
+
+def test_perplexity_buckets_semantics(spark):
+    """CCNet tercile gate: every document bucketed exactly once, per-lang
+    bucket sizes balanced to ±1 (NTILE's contract), buckets ordered by
+    bits-per-token within lang, keep == head+middle (≈2/3 of each lang)."""
+    from collections import defaultdict
+
+    rows = curation.perplexity_buckets(spark, SF).collect()
+    docs = curation.prepared(spark, SF).table("documents")
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        assert 1 <= r["ppl_bucket"] <= curation.PPL_BUCKETS
+        assert r["keep"] == (r["ppl_bucket"] < curation.PPL_BUCKETS)
+        by_lang[r["lang"]][r["ppl_bucket"]].append(r["bits_per_token"])
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets[b]) for b in sorted(buckets)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for b in sorted(buckets)[:-1]:
+            # ordered split: a lower bucket never holds higher bits
+            assert max(buckets[b]) <= min(buckets[b + 1]), (lang, b)
+
+
+def test_shard_rebalance_minimal_movement(spark):
+    """Rendezvous vs modulo under a fleet resize OLD→NEW: both policies
+    account for every object under both shard maps; HRW's moved fraction
+    sits at the theoretical (NEW−OLD)/NEW (±5pp), modulo's is ~1−gcd-cycle
+    (several times larger) — the operator's entire reason to exist."""
+    from s3bigdatasync_spark.operators import layout, prepared
+
+    rows = layout.shard_rebalance_plan(spark, SF).collect()
+    n_inv = prepared(spark, SF).table("inventory_src").count()
+    stats = {}
+    for policy in ("rendezvous", "modulo"):
+        cells = [r for r in rows if r["policy"] == policy]
+        assert sum(c["n_objects"] for c in cells) == n_inv
+        for c in cells:
+            assert 0 <= c["old_shard"] < layout.OLD_WORKERS
+            assert 0 <= c["new_shard"] < layout.NEW_WORKERS
+            assert c["moved"] == (c["old_shard"] != c["new_shard"])
+        stats[policy] = (
+            sum(c["n_objects"] for c in cells if c["moved"]) / n_inv
+        )
+    theory = (layout.NEW_WORKERS - layout.OLD_WORKERS) / layout.NEW_WORKERS
+    assert abs(stats["rendezvous"] - theory) < 0.05, stats
+    assert stats["modulo"] > 3 * stats["rendezvous"], stats
