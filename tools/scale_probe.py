@@ -61,6 +61,9 @@ DOC_QUERIES = [
     "split_leakage_check",
     "temperature_mix_weights",
     "boilerplate_report",
+    # round-8 batch
+    "perplexity_buckets",
+    "ivf_recall_audit",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
@@ -100,6 +103,8 @@ PROBE_QUERIES = [
     "mpu_orphan_sweep",
     "lifecycle_transition_plan",
     "bucket_skew_audit",
+    # round-8 batch
+    "shard_rebalance_plan",
 ]
 
 
@@ -825,6 +830,13 @@ def main() -> None:
         " in boiler df — hours at 100x; the capped family is the claim under test)",
     )
     ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the mode's query list to measure"
+        " (names outside the list are rejected — the scaled fixture only"
+        " supports its mode's tables)",
+    )
+    ap.add_argument(
         "--mode",
         choices=["inventory", "docs", "docs-knobs", "docs-boilerplate", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
         default="inventory",
@@ -877,6 +889,12 @@ def main() -> None:
     else:
         build_scaled_dir(spark, args.out, args.copies)
         names = PROBE_QUERIES
+    if args.queries:
+        want = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = [q for q in want if q not in names]
+        if unknown:
+            raise SystemExit(f"--queries not in {args.mode} list: {unknown}")
+        names = want
     base = measure(spark, BASE_SF, names)
     scaled = measure(spark, args.out, names)
     ratio = {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base}
