@@ -673,6 +673,54 @@ FROM agg
 PPL_BUCKETS = 3  # CCNet's head / middle / tail split
 
 
+def doc_lang_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, token, c) per-doc token counts of any
+    (doc_id, lang, text) relation — what both the batch tercile operator and
+    the streaming admission gate score from."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    return (
+        docs.select("doc_id", "lang", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def lang_token_counts(docs: DataFrame) -> DataFrame:
+    """(lang, token, c) unigram counts — the per-language LM's sufficient
+    statistic (merges by addition; the streaming state in
+    streaming/ppl_gate.py is exactly this relation)."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+    return (
+        docs.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def bits_against_lm(dcnt: DataFrame, lm: DataFrame) -> DataFrame:
+    """Score per-doc counts (doc_id, lang, token, c) against a per-language
+    unigram LM (lang, token, cf): (doc_id, lang, n_tokens, bits_per_token).
+    Every scored token must be inside the LM's support — true whenever the
+    docs are part of the corpus the LM was counted from, which both callers
+    (perplexity_buckets; the streaming gate, which merges a batch's counts
+    into the state BEFORE scoring it) guarantee. Float contract: ln-sums
+    raw, 6dp round at the end (the unigram_logprob/word_entropy contract)."""
+    ltot = lm.groupBy("lang").agg(F.sum("cf").alias("t"))
+    agg = (
+        dcnt.join(lm, ["lang", "token"])
+        .join(F.broadcast(ltot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * (F.log("cf") - F.log("t"))).alias("sll"),
+        )
+    )
+    bits = F.round(-(F.col("sll") / F.col("n_tokens")) / F.lit(LN2), 6)
+    return agg.select(
+        "doc_id", "lang", "n_tokens", bits.alias("bits_per_token")
+    )
+
+
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
     every document by bits-per-token under ITS LANGUAGE's own unigram
@@ -701,28 +749,11 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed raw and rounded to 6dp BEFORE the ordering, ties break by
     doc_id (the unigram_logprob/word_entropy contract)."""
     docs = prepared(spark, sf_dir).table("documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
-    dcnt = (
-        docs.select("doc_id", "lang", F.explode(toks).alias("token"))
-        .groupBy("doc_id", "lang", "token")
-        .agg(F.count("*").alias("c"))
-        .transform(scoped_cache)
-    )
-    vocab = dcnt.groupBy("lang", "token").agg(F.sum("c").alias("cf"))
-    ltot = vocab.groupBy("lang").agg(F.sum("cf").alias("t"))
-    agg = (
-        dcnt.join(vocab, ["lang", "token"])
-        .join(F.broadcast(ltot), "lang")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.sum(F.col("c") * (F.log("cf") - F.log("t"))).alias("sll"),
-        )
-    )
-    bits = F.round(-(F.col("sll") / F.col("n_tokens")) / F.lit(LN2), 6)
-    scored = agg.select(
-        "doc_id", "lang", "n_tokens", bits.alias("bits_per_token")
-    )
+    # ONE cache-pinned per-doc count pass; the LM is a re-agg of the pin
+    # (not a second lang_token_counts scan of the text)
+    dcnt = doc_lang_token_counts(docs).transform(scoped_cache)
+    lm = dcnt.groupBy("lang", "token").agg(F.sum("c").alias("cf"))
+    scored = bits_against_lm(dcnt, lm)
     w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
     return scored.select(
         "doc_id",

@@ -113,13 +113,23 @@ def _read_meta(spark: SparkSession, state_dir: str) -> int:
     return _scan_latest_complete(state_dir)
 
 
+def read_versioned_counts(
+    spark: SparkSession, state_dir: str, counts_schema: str
+) -> DataFrame:
+    """The running count state — the version the meta points at (empty
+    relation before the first applied batch). Schema-parametric: the same
+    versioned protocol backs differently-keyed count states (source-drift's
+    (source, token), ppl_gate's (lang, token))."""
+    last = _read_meta(spark, state_dir)
+    if last < 0:
+        return spark.createDataFrame([], counts_schema)
+    return spark.read.schema(counts_schema).parquet(f"{state_dir}/counts_v{last}")
+
+
 def read_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     """The running (source, token, c) state — the version the meta points at
     (empty relation before the first applied batch)."""
-    last = _read_meta(spark, state_dir)
-    if last < 0:
-        return spark.createDataFrame([], _COUNTS_SCHEMA)
-    return spark.read.schema(_COUNTS_SCHEMA).parquet(f"{state_dir}/counts_v{last}")
+    return read_versioned_counts(spark, state_dir, _COUNTS_SCHEMA)
 
 
 def _gc_versions(state_dir: str, keep: set[int]) -> None:
@@ -171,6 +181,24 @@ def stream_source_drift(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(docs_dir)
     )
+    sink = versioned_count_sink(
+        state_dir, _COUNTS_SCHEMA, ["source", "token"], source_token_counts
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def versioned_count_sink(state_dir: str, counts_schema: str, key_cols, count_fn):
+    """foreachBatch sink maintaining an addition-merged count state under
+    the versioned exactly-once protocol this module documents — parametric
+    over the count key so differently-keyed states (source-drift here, the
+    ppl_gate LM in streaming/ppl_gate.py) share ONE implementation of the
+    crash-window machinery instead of cloning it."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -188,10 +216,10 @@ def stream_source_drift(
         # rows from already-applied files must contribute nothing
         tagged = batch_df.withColumn("file_path", F.input_file_name())
         fresh = tagged.join(applied, "file_path", "left_anti")
-        old = read_counts(sp, state_dir)
+        old = read_versioned_counts(sp, state_dir, counts_schema)
         merged = (
-            old.unionByName(source_token_counts(fresh))
-            .groupBy("source", "token")
+            old.unionByName(count_fn(fresh))
+            .groupBy(*key_cols)
             .agg(F.sum("c").alias("c"))
         )
         files = applied.unionByName(fresh.select("file_path").distinct()).distinct()
@@ -205,13 +233,7 @@ def stream_source_drift(
         ).parquet(f"{state_dir}/meta")
         _gc_versions(state_dir, keep={version})
 
-    return (
-        stream.writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return sink
 
 
 def batch_equivalent(spark: SparkSession, docs_dir: str) -> DataFrame:
