@@ -123,6 +123,9 @@ HEADLINE = [
     "ivf_recall_audit",      # compressed-path recall vs exact L2 top-k
     "perplexity_buckets",    # per-lang CCNet perplexity terciles (NTILE)
     "shard_rebalance_plan",  # rendezvous vs modulo reshard movement matrix
+    "dedup_yield_curve",     # pairs/docs implicated per Jaccard threshold
+    "mix_temperature_sweep", # tempered source shares across the T dial
+    "pq_distortion",         # PQ reconstruction-error decile spectrum
 ]
 
 

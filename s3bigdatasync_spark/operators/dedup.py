@@ -220,10 +220,13 @@ def _df_capped(sh: DataFrame) -> DataFrame:
     return sh.join(hot, "shingle", "left_anti")
 
 
-def _jaccard_pairs_from(sh: DataFrame) -> DataFrame:
-    """Jaccard pair core over any distinct (doc_id, shingle) relation:
-    |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|. No cross
-    join anywhere: pairs sharing zero shingles never materialize."""
+def _jaccard_scores_from(sh: DataFrame) -> DataFrame:
+    """Jaccard score core over any distinct (doc_id, shingle) relation,
+    UNFILTERED (every pair sharing ≥1 shingle, with its score): |A∩B| from
+    the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|. No cross join
+    anywhere: pairs sharing zero shingles never materialize. Callers apply
+    their own operating point (JACCARD_THRESHOLD for the dedup pair ops,
+    the sweep spine for dedup_yield_curve)."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -241,9 +244,13 @@ def _jaccard_pairs_from(sh: DataFrame) -> DataFrame:
             "jaccard",
             F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def _jaccard_pairs_from(sh: DataFrame) -> DataFrame:
+    """_jaccard_scores_from at the dedup operating point."""
+    return _jaccard_scores_from(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +318,110 @@ WHERE round(ix / (ca.n + cb.n - ix), 6) >= {JACCARD_THRESHOLD}
 
 _NGRAM_JACCARD_SQL = _jaccard_sql(_UNCAPPED_SH_CTE)
 _NGRAM_JACCARD_CAPPED_SQL = _jaccard_sql(_CAPPED_SH_CTE)
+
+
+# --- dedup_yield_curve: the threshold dial's evidence relation ---------------
+
+# JACCARD_THRESHOLD = 0.5 is an operating point, not a law of nature; the
+# question a curation run actually asks is "how much of the corpus does each
+# candidate threshold implicate?". Sweep points span loose (0.25) to strict
+# (0.9) around the operating point.
+YIELD_THRESHOLDS = (0.25, 0.4, 0.5, 0.6, 0.75, 0.9)
+
+
+def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield as a function of the Jaccard threshold: for each sweep
+    point, how many near-dup pairs fire and how many distinct documents they
+    implicate (the upper bound on removals). The evidence relation for
+    choosing JACCARD_THRESHOLD — the same role lsh_band_plan plays for the
+    banding knob and df_cap_recommendation for the postings cap: the knob's
+    consequence measured in-plan, not asserted.
+
+    Scale shape: ONE capped-shingle pair join (the ngram_jaccard_pairs_capped
+    plan, budget-bounded fan-out) computes all scores ≥ min(sweep); the
+    sweep itself is a 6-row broadcast spine joined on `jaccard >= threshold`
+    over the cached score relation — thresholds cost one tiny pass each,
+    never a re-join. Zero-pair thresholds still report (left join from the
+    spine), so the curve is always complete."""
+    docs = prepared(spark, sf_dir).table("documents")
+    total = docs.agg(F.count("*").alias("n_docs"))
+    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    scores = (
+        _jaccard_scores_from(sh)
+        .filter(F.col("jaccard") >= min(YIELD_THRESHOLDS))
+        .transform(scoped_cache)
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in YIELD_THRESHOLDS])
+        ).alias("threshold")
+    )
+    swept = spine.join(scores, scores.jaccard >= spine.threshold)
+    pr = swept.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    da = (
+        swept.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_docs_affected"))
+    )
+    return (
+        spine.join(pr, "threshold", "left")
+        .join(da, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.round(
+                F.coalesce("n_docs_affected", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("affected_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_YIELD_SPINE = ", ".join(f"{t}::DOUBLE" for t in YIELD_THRESHOLDS)
+
+_YIELD_CURVE_SQL = rf"""
+WITH {_CAPPED_SH_CTE},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT doc_a, doc_b, round(ix / (ca.n + cb.n - ix), 6) AS jaccard
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE round(ix / (ca.n + cb.n - ix), 6) >= {min(YIELD_THRESHOLDS)}
+),
+spine AS (SELECT unnest([{_YIELD_SPINE}]) AS threshold),
+swept AS (
+  SELECT s.threshold, sc.doc_a, sc.doc_b
+  FROM spine s JOIN scores sc ON sc.jaccard >= s.threshold
+),
+pr AS (SELECT threshold, count(*) AS n_pairs FROM swept GROUP BY 1),
+da AS (
+  SELECT threshold, count(*) AS n_docs_affected
+  FROM (SELECT DISTINCT threshold, d
+        FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM swept))
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT s.threshold,
+       coalesce(pr.n_pairs, 0) AS n_pairs,
+       coalesce(da.n_docs_affected, 0) AS n_docs_affected,
+       round(coalesce(da.n_docs_affected, 0) / tot.n_docs, 6) AS affected_frac
+FROM spine s
+LEFT JOIN pr ON pr.threshold = s.threshold
+LEFT JOIN da ON da.threshold = s.threshold
+CROSS JOIN tot
+ORDER BY s.threshold
+"""
 
 
 def signatures_for(docs: DataFrame) -> DataFrame:
@@ -2383,6 +2494,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
+    "dedup_yield_curve": dedup_yield_curve,
     "containment_pairs_capped": containment_pairs_capped,
     "df_spectrum": df_spectrum,
     "df_cap_recommendation": df_cap_recommendation,
@@ -2413,6 +2525,7 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "ngram_jaccard_pairs_capped": _NGRAM_JACCARD_CAPPED_SQL,
+    "dedup_yield_curve": _YIELD_CURVE_SQL,
     "containment_pairs_capped": _CONTAINMENT_CAPPED_SQL,
     "df_spectrum": _DF_SPECTRUM_SQL,
     "df_cap_recommendation": _DF_CAP_RECO_SQL,

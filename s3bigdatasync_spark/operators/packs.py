@@ -98,6 +98,9 @@ PACK_SPECS: dict[str, list[str]] = {
         "ivf_recall_audit",
         "perplexity_buckets",
         "shard_rebalance_plan",
+        "dedup_yield_curve",
+        "mix_temperature_sweep",
+        "pq_distortion",
         "ivf_assign",
     ],
     # round-7 additions: the
@@ -322,6 +325,26 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_objects", "int"),
         ("total_bytes", "int"),
         ("moved", "bool"),
+    ],
+    "dedup_yield_curve": [
+        ("threshold", "num"),
+        ("n_pairs", "int"),
+        ("n_docs_affected", "int"),
+        ("affected_frac", "num"),
+    ],
+    "mix_temperature_sweep": [
+        ("temperature", "num"),
+        ("source", "str"),
+        ("total_tokens", "int"),
+        ("share", "num"),
+        ("boost", "num"),
+        ("epochs_at_budget", "num"),
+    ],
+    "pq_distortion": [
+        ("decile", "int"),
+        ("n_vectors", "int"),
+        ("mean_err", "num"),
+        ("max_err", "num"),
     ],
     "ngram_jaccard_pairs_capped": [
         ("doc_a", "int"),

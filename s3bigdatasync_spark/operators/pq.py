@@ -555,6 +555,64 @@ LIMIT {PQ_TOP_K}"""
     )
 
 
+# --- pq_distortion: the compression dial's error spectrum --------------------
+
+PQ_DECILES = 10
+
+
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ reconstruction error (the quantization distortion Jégou
+    et al. trade against memory), summarized as a decile spectrum: vectors
+    ranked by total squared subspace error, NTILE(10), per-decile count /
+    mean / max. Complements ivf_recall_audit: recall says what the
+    compressed index MISSES, distortion says WHY — a fat tail decile means
+    the codebook under-represents part of the space and K/M need turning
+    before nprobe does. The dial-evidence pattern (dedup_yield_curve,
+    lsh_band_plan) applied to the compression knob.
+
+    Scale shape: the per-(vector, subspace) errors already exist in the
+    encode pass (`enc`'s d2 column — no extra GEMM); the spectrum adds one
+    groupBy(vec_id) map-side-combinable sum and a global NTILE over the
+    narrow (vec_id, err) relation — at extreme scale the same deciles come
+    from sampled quantiles, NTILE is the exact oracle-checkable form
+    (the perplexity_buckets argument). Float contract: d2 values are
+    6dp-rounded at encode; their 8-term sum rounds to 6dp before ranking,
+    ties break by vec_id."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(spark, sf_dir)
+    per_vec = enc.groupBy("vec_id").agg(F.round(F.sum("d2"), 6).alias("err"))
+    w = Window.orderBy("err", "vec_id")
+    dec = per_vec.select(
+        "vec_id", "err", F.ntile(PQ_DECILES).over(w).alias("decile")
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("err"), 6).alias("mean_err"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .orderBy("decile")
+    )
+
+
+_PQ_DISTORTION_SQL = (
+    "WITH "
+    + _PQ_TRAIN_CTES
+    + f""",
+per_vec AS (SELECT vec_id, round(sum(d2), 6) AS err FROM enc GROUP BY vec_id),
+dec AS (
+  SELECT vec_id, err,
+         cast(ntile({PQ_DECILES}) OVER (ORDER BY err, vec_id) AS INT) AS decile
+  FROM per_vec
+)
+SELECT decile, count(*) AS n_vectors,
+       round(avg(err), 6) AS mean_err, round(max(err), 6) AS max_err
+FROM dec GROUP BY decile ORDER BY decile"""
+)
+
+
 # --- ivf_recall_audit: the measured-recall yardstick for the compressed path
 
 def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,6 +704,7 @@ QUERIES = {
     "pq_search": pq_search,
     "ivf_pq_search": ivf_pq_search,
     "ivf_recall_audit": ivf_recall_audit,
+    "pq_distortion": pq_distortion,
 }
 
 ORACLES = {
@@ -653,4 +712,5 @@ ORACLES = {
     "pq_search": _PQ_SEARCH_SQL,
     "ivf_pq_search": _ivf_pq_sql(),
     "ivf_recall_audit": _ivf_recall_sql(),
+    "pq_distortion": _PQ_DISTORTION_SQL,
 }

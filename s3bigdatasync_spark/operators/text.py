@@ -1376,6 +1376,107 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mix_temperature_sweep: the mixing dial's evidence relation --------------
+
+# Sweep points chosen so every weight is an EXACT cross-engine computation:
+# T=0 is uniform (w=1), T=1 is natural (w=tokens, integer), and T=0.5 /
+# T=0.25 compose sqrt — the one power IEEE-754 requires correctly rounded —
+# with the same floor(·1e6) fixed-point trick temperature_mix_weights proved.
+# General pow() is NOT correctly rounded and would flap the oracle hash.
+MIX_TEMPERATURES = (0.0, 0.25, 0.5, 1.0)
+
+
+def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temperature_mix_weights across the whole temperature dial: per
+    (temperature, source), the tempered share, its boost over the natural
+    share, and epochs-at-budget — the decision surface for choosing T
+    (the dedup_yield_curve / lsh_band_plan pattern applied to the mixing
+    knob). T=0 shows the uniform extreme (max upsampling of small sources),
+    T=1 the natural extreme (no reweighting); the published recipes sit
+    between. Scale: ONE token-count scan (shared, cache-pinned), then a
+    |temperatures × sources|-row derivation — all broadcast arithmetic."""
+    docs = prepared(spark, sf_dir).table("documents")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN), F.lit(0)))
+    per_src = (
+        docs.select("source", bpe.cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("total_tokens"))
+        .transform(scoped_cache)
+    )
+    tok_d = F.col("total_tokens").cast("double")
+    w_of = {
+        0.0: F.lit(1).cast("long"),
+        0.25: F.floor(F.sqrt(F.sqrt(tok_d)) * 1e6).cast("long"),
+        0.5: F.floor(F.sqrt(tok_d) * 1e6).cast("long"),
+        1.0: F.col("total_tokens").cast("long"),
+    }
+    weights = None
+    for t in MIX_TEMPERATURES:
+        part = per_src.select(
+            F.lit(float(t)).alias("temperature"),
+            "source",
+            "total_tokens",
+            w_of[t].alias("w"),
+        )
+        weights = part if weights is None else weights.unionByName(part)
+    totals = weights.groupBy("temperature").agg(F.sum("w").alias("all_w"))
+    tot0 = per_src.agg(F.sum("total_tokens").alias("all_tokens"))
+    share = F.col("w") / F.col("all_w")
+    nat = F.col("total_tokens") / F.col("all_tokens")
+    return (
+        weights.join(F.broadcast(totals), "temperature")
+        .crossJoin(F.broadcast(tot0))
+        .select(
+            "temperature",
+            "source",
+            "total_tokens",
+            F.round(share, 6).alias("share"),
+            F.round(share / nat, 6).alias("boost"),
+            F.round(
+                F.lit(MIX_BUDGET_TOKENS) * share / F.col("total_tokens"), 6
+            ).alias("epochs_at_budget"),
+        )
+        .orderBy("temperature", "source")
+    )
+
+
+def _mix_sweep_sql() -> str:
+    tok_d = "cast(total_tokens AS DOUBLE)"
+    w_of = {
+        0.0: "1",
+        0.25: f"cast(floor(sqrt(sqrt({tok_d})) * 1e6) AS BIGINT)",
+        0.5: f"cast(floor(sqrt({tok_d}) * 1e6) AS BIGINT)",
+        1.0: "total_tokens",
+    }
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {t}::DOUBLE AS temperature, source, total_tokens,"
+        f" cast({w_of[t]} AS BIGINT) AS w FROM per_src"
+        for t in MIX_TEMPERATURES
+    )
+    return rf"""
+WITH per_src AS (
+  SELECT source,
+         cast(sum(len(regexp_extract_all(text, '{_BPE_TOKEN}'))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+weights AS (
+{arms}
+),
+totals AS (SELECT temperature, cast(sum(w) AS BIGINT) AS all_w
+           FROM weights GROUP BY temperature),
+tot0 AS (SELECT cast(sum(total_tokens) AS BIGINT) AS all_tokens FROM per_src)
+SELECT w.temperature, w.source, w.total_tokens,
+       round(w.w / t.all_w, 6) AS share,
+       round((w.w / t.all_w) / (w.total_tokens / tot0.all_tokens), 6) AS boost,
+       round({MIX_BUDGET_TOKENS} * (w.w / t.all_w) / w.total_tokens, 6)
+         AS epochs_at_budget
+FROM weights w
+JOIN totals t ON t.temperature = w.temperature
+CROSS JOIN tot0
+ORDER BY w.temperature, w.source
+"""
+
+
 _TEMPERATURE_MIX_SQL = rf"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
@@ -1400,6 +1501,7 @@ FROM sq, totals
 QUERIES = {
     "bpe_merges": bpe_merges,
     "temperature_mix_weights": temperature_mix_weights,
+    "mix_temperature_sweep": mix_temperature_sweep,
     "bpe_tokenize": bpe_tokenize,
     "tokenizer_fertility": tokenizer_fertility,
     "vocab_coverage": vocab_coverage,
@@ -1424,6 +1526,7 @@ QUERIES = {
 ORACLES = {
     "bpe_merges": _bpe_sql(),
     "temperature_mix_weights": _TEMPERATURE_MIX_SQL,
+    "mix_temperature_sweep": _mix_sweep_sql(),
     "bpe_tokenize": _bpe_tokenize_sql(),
     "tokenizer_fertility": _fertility_sql(),
     "vocab_coverage": _VOCAB_COVERAGE_SQL,

@@ -905,3 +905,71 @@ def test_shard_rebalance_minimal_movement(spark):
     theory = (layout.NEW_WORKERS - layout.OLD_WORKERS) / layout.NEW_WORKERS
     assert abs(stats["rendezvous"] - theory) < 0.05, stats
     assert stats["modulo"] > 3 * stats["rendezvous"], stats
+
+
+def test_dedup_yield_curve_monotone(spark):
+    """The threshold dial: every sweep point present (zero-pair points
+    included), and raising the threshold can only shrink the yield — pairs
+    and affected docs are non-increasing in the threshold; the operating
+    point's pair count matches the committed pair operator."""
+    rows = dedup.dedup_yield_curve(spark, SF).collect()
+    assert [r["threshold"] for r in rows] == sorted(dedup.YIELD_THRESHOLDS)
+    pairs = [r["n_pairs"] for r in rows]
+    affected = [r["n_docs_affected"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert affected == sorted(affected, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["affected_frac"] <= 1.0
+        assert r["n_docs_affected"] <= 2 * r["n_pairs"]
+    at_op = {r["threshold"]: r["n_pairs"] for r in rows}[dedup.JACCARD_THRESHOLD]
+    assert at_op == dedup.ngram_jaccard_pairs_capped(spark, SF).count()
+
+
+def test_mix_temperature_sweep_flattens(spark):
+    """The mixing dial: at T=1 shares are the natural token shares
+    (boost==1); lowering T moves every source's share toward uniform —
+    small sources' boost grows monotonically as T falls, the largest
+    source's share shrinks; T=0 is exactly uniform."""
+    rows = text.mix_temperature_sweep(spark, SF).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["temperature"], {})[r["source"]] = r
+    assert set(by_t) == set(text.MIX_TEMPERATURES)
+    srcs = set(by_t[1.0])
+    for t, per in by_t.items():
+        assert set(per) == srcs
+        assert abs(sum(r["share"] for r in per.values()) - 1.0) < 1e-4
+    for r in by_t[1.0].values():
+        assert abs(r["boost"] - 1.0) < 1e-5
+    n = len(srcs)
+    for r in by_t[0.0].values():
+        assert abs(r["share"] - 1.0 / n) < 1e-5
+    small = min(srcs, key=lambda s: by_t[1.0][s]["total_tokens"])
+    big = max(srcs, key=lambda s: by_t[1.0][s]["total_tokens"])
+    ts = sorted(text.MIX_TEMPERATURES)
+    small_boosts = [by_t[t][small]["boost"] for t in ts]
+    big_shares = [by_t[t][big]["share"] for t in ts]
+    assert small_boosts == sorted(small_boosts, reverse=True)
+    assert big_shares == sorted(big_shares)
+
+
+def test_pq_distortion_spectrum(spark):
+    """The compression dial's error evidence: deciles 1..10 all present and
+    balanced to ±1 vectors, per-decile mean ≤ max, the spectrum is
+    non-decreasing across deciles (it was built by ranking), and the decile
+    populations sum to the encoded-vector count."""
+    from s3bigdatasync_spark.operators import pq
+
+    rows = sorted(pq.pq_distortion(spark, SF).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, pq.PQ_DECILES + 1))
+    sizes = [r["n_vectors"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    n_encoded = pq.pq_encode(spark, SF).select("vec_id").distinct().count()
+    assert sum(sizes) == n_encoded
+    means = [r["mean_err"] for r in rows]
+    maxes = [r["max_err"] for r in rows]
+    assert means == sorted(means)
+    for m, mx in zip(means, maxes):
+        assert 0.0 <= m <= mx
+    # a later decile's max bounds an earlier decile's (ranking property)
+    assert maxes == sorted(maxes)
