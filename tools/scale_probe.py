@@ -64,6 +64,9 @@ DOC_QUERIES = [
     # round-8 batch
     "perplexity_buckets",
     "ivf_recall_audit",
+    "dedup_yield_curve",
+    "mix_temperature_sweep",
+    "pq_distortion",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
