@@ -230,12 +230,28 @@ def _train_codebook(
     return C1
 
 
+def _codebook_for(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Query-scoped memo of the trained (codebook, query-vector) pair: a
+    pack running several PQ-family members (pack_ann: encode + search +
+    ivf_pq; pack_r8: the recall audit + the distortion spectrum) trains
+    ONCE per registry query instead of once per member — the _winnow_runs
+    sharing precedent applied to driver-held model state. The training is
+    deterministic, so a memo miss (standalone member runs) changes nothing
+    but the job count."""
+    from . import scoped_memo
+
+    return scoped_memo(
+        ("pq_codebook", sf_dir),
+        lambda: _train_codebook(spark, emb, return_query=True),
+    )
+
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the per-subspace codebooks and encode every vector: one row per
     (vec_id, subspace) with the assigned centroid code and its 6dp-rounded
     squared reconstruction distance."""
     emb = prepared(spark, sf_dir).table("embeddings")
-    C = _train_codebook(spark, emb)
+    C, _ = _codebook_for(spark, sf_dir, emb)
     if C is None:
         return spark.createDataFrame([], "vec_id long, sub int, code int, d2 double")
     return _assign_codes(emb, spark, C)
@@ -249,7 +265,7 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    C, qvec = _train_codebook(spark, emb, return_query=True)
+    C, qvec = _codebook_for(spark, sf_dir, emb)
     if C is None:
         return spark.createDataFrame([], "vec_id long, adc_d2 double, rank int")
     if qvec is None:  # QUERY_VEC_ID not among the init ids — fetch it alone
@@ -387,7 +403,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import label_centroids
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    C, qvec = _train_codebook(spark, emb, return_query=True)
+    C, qvec = _codebook_for(spark, sf_dir, emb)
     if C is None:
         return spark.createDataFrame(
             [], "vec_id long, cell int, adc_d2 double, rank int"
