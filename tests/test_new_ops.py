@@ -905,6 +905,22 @@ def test_shard_rebalance_minimal_movement(spark):
     theory = (layout.NEW_WORKERS - layout.OLD_WORKERS) / layout.NEW_WORKERS
     assert abs(stats["rendezvous"] - theory) < 0.05, stats
     assert stats["modulo"] > 3 * stats["rendezvous"], stats
+    # THE rendezvous stability property: growing the fleet may move a key
+    # only TO a new worker — the first OLD_WORKERS weights are identical in
+    # both maps, so argmax can change only when a new worker wins. Modulo
+    # has no such guarantee (keys churn between old workers).
+    rv_moves = {
+        c["new_shard"]
+        for c in rows
+        if c["policy"] == "rendezvous" and c["moved"]
+    }
+    assert rv_moves <= set(range(layout.OLD_WORKERS, layout.NEW_WORKERS)), rv_moves
+    mod_moves = {
+        c["new_shard"]
+        for c in rows
+        if c["policy"] == "modulo" and c["moved"]
+    }
+    assert not mod_moves <= set(range(layout.OLD_WORKERS, layout.NEW_WORKERS))
 
 
 def test_dedup_yield_curve_monotone(spark):
