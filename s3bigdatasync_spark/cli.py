@@ -189,6 +189,28 @@ def _cmd_drift(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_ppl_gate(spark: SparkSession, args) -> int:
+    from .streaming.ppl_gate import (
+        DOCS_STREAM_SCHEMA,
+        ppl_gate_report,
+        stream_ppl_state,
+    )
+
+    q = stream_ppl_state(
+        spark,
+        args.docs_dir,
+        args.state_dir,
+        args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(args.docs_dir)
+    ppl_gate_report(spark, args.state_dir, docs).orderBy(
+        "lang", "ppl_bucket", "doc_id"
+    ).show(args.limit, truncate=False)
+    return 0
+
+
 def _cmd_trending(spark: SparkSession, args) -> int:
     from .streaming.trending import stream_trending_types
 
@@ -360,6 +382,19 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--state-dir", required=True)
     dr.add_argument("--checkpoint-dir", required=True)
     dr.add_argument("--max-files-per-trigger", type=int, default=10)
+
+    pg = add(
+        "ppl-gate",
+        _cmd_ppl_gate,
+        help="incremental per-language LM over new document drops; prints "
+        "the CCNet tercile report for everything landed (drains available "
+        "data)",
+    )
+    pg.add_argument("--docs-dir", required=True)
+    pg.add_argument("--state-dir", required=True)
+    pg.add_argument("--checkpoint-dir", required=True)
+    pg.add_argument("--max-files-per-trigger", type=int, default=10)
+    pg.add_argument("--limit", type=int, default=50)
 
     tr = add(
         "trending",

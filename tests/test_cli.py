@@ -231,6 +231,27 @@ def test_drift_subcommand(spark, tmp_path, capsys):
     assert "kl_bits" in out and "src0" in out
 
 
+def test_ppl_gate_subcommand(spark, tmp_path, capsys):
+    """Streaming perplexity gate as a CLI verb: document drops in, versioned
+    per-language LM state out, tercile report printed."""
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (i, f"alpha beta tok{i % 5} gamma delta", f"lang{i % 2}") for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    args = [
+        "ppl-gate",
+        "--docs-dir", docs_dir,
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    assert run(spark, *args) == 0
+    out = capsys.readouterr().out
+    assert "bits_per_token" in out and "ppl_bucket" in out and "lang0" in out
+
+
 def test_cli_layout_rewrite_range_roundtrip(spark, tmp_path):
     """layout-rewrite --mode range writes a range-clustered copy + manifest;
     the loaded manifest drives with_global_order to the same result as
