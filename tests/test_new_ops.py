@@ -989,3 +989,28 @@ def test_pq_distortion_spectrum(spark):
         assert 0.0 <= m <= mx
     # a later decile's max bounds an earlier decile's (ranking property)
     assert maxes == sorted(maxes)
+
+
+def test_ivf_nprobe_curve_consistency(spark):
+    """The nprobe dial: one row per sweep point; the exhaustive point must
+    REDUCE to plain pq_search (every cell probed == no IVF restriction), so
+    its hit count equals the pq_search top-k's overlap with the exact-L2
+    yardstick; the operating point's row must agree with ivf_recall_audit."""
+    from s3bigdatasync_spark.operators import pq
+
+    rows = sorted(pq.ivf_nprobe_curve(spark, SF).collect(), key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == sorted(pq.NPROBE_SWEEP)
+    for r in rows:
+        assert r["n_exact"] == pq.PQ_TOP_K
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall"] - round(r["n_hit"] / r["n_exact"], 6)) < 1e-9
+
+    audit = pq.ivf_recall_audit(spark, SF).collect()[0]
+    at_op = {r["nprobe"]: r for r in rows}[pq.IVF_NPROBE]
+    assert (at_op["n_hit"], at_op["recall"]) == (audit["n_hit"], audit["recall"])
+
+    # exhaustive == plain pq_search: same candidate set, same ADC ranking
+    exact_ids = {r["vec_id"] for r in pq._exact_l2_topk(spark, SF).collect()}
+    search_ids = {r["vec_id"] for r in pq.pq_search(spark, SF).collect()}
+    full = {r["nprobe"]: r for r in rows}[max(pq.NPROBE_SWEEP)]
+    assert full["n_hit"] == len(exact_ids & search_ids)
