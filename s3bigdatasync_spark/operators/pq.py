@@ -733,8 +733,12 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe — widening the candidate pool lets a quantization-favored
     imposter's ADC distance evict a true neighbor from the top-k. On this
     testdata the curve is nearly flat (0.3 at every nprobe at sf0.01):
-    the K=16 codebook's quantization loss dominates, which is exactly the
-    diagnosis — turn PQ_K/M_SUB, not nprobe.
+    quantization loss dominates, so the lever is the quantizer's
+    resolution, not nprobe. (Measured offline with this exact training
+    contract: finer subspaces help — M=16 reaches 0.5 recall — while
+    raising K alone under one Lloyd round + first-K init does not move
+    recall monotonically; a deployment would re-train with k-means++ and
+    more rounds before adding centroids.)
 
     Scale shape: the exact yardstick is ONE cached brute-force scan (shared
     via query-scoped memo with ivf_recall_audit in the same pack); each
