@@ -516,12 +516,16 @@ def ivf_pq_search(
     )
 
 
-def _ivf_pq_sql(nprobe: int = IVF_NPROBE) -> str:
+def _ivf_shared_ctes() -> str:
+    """The nprobe-INDEPENDENT relations of the IVF-PQ replay: PQ training,
+    IVF centroids, per-(vector, cell) distances, the cell assignment, and
+    the query's ADC distance table. Factored so _ivf_nprobe_curve_sql's
+    four arms share ONE computation of them (DuckDB materializes a CTE
+    referenced more than once) instead of re-training per arm."""
     from .similarity import _CENTROIDS_SQL
 
     return (
-        "WITH "
-        + _PQ_TRAIN_CTES
+        _PQ_TRAIN_CTES
         + f""",
 cent AS ({_CENTROIDS_SQL}),
 vecs AS (
@@ -541,30 +545,45 @@ assign_ AS (
     FROM dcell
   ) WHERE rn = 1
 ),
-qcell AS (
-  SELECT clabel FROM (
-    SELECT clabel, row_number() OVER (ORDER BY d2, clabel) AS rn
-    FROM dcell WHERE vec_id = {QUERY_VEC_ID}
-  ) WHERE rn <= {nprobe}
-),
-cand AS (
-  SELECT vec_id, cell FROM assign_
-  WHERE cell IN (SELECT clabel FROM qcell) AND vec_id <> {QUERY_VEC_ID}
-),
 qd AS (
   SELECT v.sub, c.cid AS code,
          round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS dq
   FROM v JOIN c1 c ON v.dim = c.dim
   WHERE v.vec_id = {QUERY_VEC_ID}
   GROUP BY v.sub, c.cid
+)"""
+    )
+
+
+def _ivf_arm_ctes(nprobe: int, suffix: str = "") -> str:
+    """The nprobe-DEPENDENT tail (probed cells → candidates → ADC), with
+    uniquely-suffixed CTE names so several arms coexist in one WITH."""
+    return f"""qcell{suffix} AS (
+  SELECT clabel FROM (
+    SELECT clabel, row_number() OVER (ORDER BY d2, clabel) AS rn
+    FROM dcell WHERE vec_id = {QUERY_VEC_ID}
+  ) WHERE rn <= {nprobe}
 ),
-adc AS (
-  SELECT e.vec_id, cand.cell, round(sum(qd.dq), 6) AS adc_d2
+cand{suffix} AS (
+  SELECT vec_id, cell FROM assign_
+  WHERE cell IN (SELECT clabel FROM qcell{suffix}) AND vec_id <> {QUERY_VEC_ID}
+),
+adc{suffix} AS (
+  SELECT e.vec_id, cand{suffix}.cell, round(sum(qd.dq), 6) AS adc_d2
   FROM enc e
-  JOIN cand ON cand.vec_id = e.vec_id
+  JOIN cand{suffix} ON cand{suffix}.vec_id = e.vec_id
   JOIN qd ON qd.sub = e.sub AND qd.code = e.code
-  GROUP BY e.vec_id, cand.cell
-)
+  GROUP BY e.vec_id, cand{suffix}.cell
+)"""
+
+
+def _ivf_pq_sql(nprobe: int = IVF_NPROBE) -> str:
+    return (
+        "WITH "
+        + _ivf_shared_ctes()
+        + ",\n"
+        + _ivf_arm_ctes(nprobe)
+        + f"""
 SELECT vec_id, cast(cell AS INT) AS cell, adc_d2,
        cast(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
 FROM adc
@@ -786,9 +805,26 @@ FROM ({_recall_arm_sql(IVF_NPROBE)})
 
 
 def _ivf_nprobe_curve_sql() -> str:
-    arms = "\nUNION ALL\n".join(_recall_arm_sql(p) for p in NPROBE_SWEEP)
+    arm_ctes = ",\n".join(
+        _ivf_arm_ctes(p, suffix=f"_{p}") for p in NPROBE_SWEEP
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {p} AS nprobe, n_exact, n_hit,
+       round(n_hit / greatest(n_exact, 1), 6) AS recall
+FROM (SELECT count(*) AS n_exact FROM exact),
+     (SELECT count(*) AS n_hit FROM exact
+      WHERE vec_id IN (
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY adc_d2, vec_id) AS rn
+          FROM adc_{p}
+        ) WHERE rn <= {PQ_TOP_K}))"""
+        for p in NPROBE_SWEEP
+    )
     return f"""
-WITH {_exact_l2_ctes()}
+WITH {_ivf_shared_ctes()},
+{_exact_l2_ctes()},
+{arm_ctes}
 SELECT * FROM (
 {arms}
 )
