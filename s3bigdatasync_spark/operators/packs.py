@@ -1037,8 +1037,12 @@ def _reshape_sql_cols(member: str, cte: str) -> list[str]:
 
 
 def _make_pack_oracle(members: list[str]) -> str:
+    # AS MATERIALIZED is load-bearing: the unpivot references each member
+    # CTE once PER COLUMN, and DuckDB inlines plain CTEs — a 6-column
+    # member would re-execute its full SQL six times (measured: pack_r8's
+    # oracle dropped 81s → 9s at sf0.01 when materialized).
     ctes = ",\n".join(
-        f"m_{i} AS (\n{_MEMBER_O[m]}\n)" for i, m in enumerate(members)
+        f"m_{i} AS MATERIALIZED (\n{_MEMBER_O[m]}\n)" for i, m in enumerate(members)
     )
     selects = []
     for i, m in enumerate(members):
