@@ -267,6 +267,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from(sh)
 
 
+def _capped_corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped distinct (doc_id, shingle) relation of the corpus,
+    query-scoped-memoized: ngram_jaccard_pairs_capped, containment_pairs_capped
+    and dedup_yield_curve all build exactly this (cap derivation included),
+    so a pack running several of them fills ONE cache instead of three
+    (the _winnow_runs / _codebook_for sharing precedent)."""
+    from . import scoped_memo
+
+    def build():
+        docs = prepared(spark, sf_dir).table("documents")
+        return _df_capped(_shingles(docs)).transform(scoped_cache)
+
+    return scoped_memo(("capped_shingles", sf_dir), build)
+
+
 def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard over INFORMATIVE shingles only: both the intersection
     and the per-doc sizes count shingles under the derived df cap, so similarity is
@@ -277,8 +292,7 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (total candidate fan-out budgeted linear in postings, derive_df_cap). Docs whose
     shingles are all capped drop out: every candidate join they could enter
     is boilerplate-only."""
-    docs = prepared(spark, sf_dir).table("documents")
-    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    sh = _capped_corpus_shingles(spark, sf_dir)
     return _jaccard_pairs_from(sh)
 
 
@@ -345,7 +359,7 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine), so the curve is always complete."""
     docs = prepared(spark, sf_dir).table("documents")
     total = docs.agg(F.count("*").alias("n_docs"))
-    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    sh = _capped_corpus_shingles(spark, sf_dir)
     scores = (
         _jaccard_scores_from(sh)
         .filter(F.col("jaccard") >= min(YIELD_THRESHOLDS))
@@ -2250,8 +2264,7 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew, containment measures how much of a doc's INFORMATIVE content is
     embedded elsewhere — a page sharing only its site chrome no longer
     reads as 100% contained."""
-    docs = prepared(spark, sf_dir).table("documents")
-    sh = _df_capped(_shingles(docs)).transform(scoped_cache)
+    sh = _capped_corpus_shingles(spark, sf_dir)
     return _containment_from(sh)
 
 
