@@ -67,6 +67,7 @@ DOC_QUERIES = [
     "dedup_yield_curve",
     "mix_temperature_sweep",
     "pq_distortion",
+    "ivf_nprobe_curve",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
