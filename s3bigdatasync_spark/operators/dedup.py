@@ -229,14 +229,22 @@ def _jaccard_scores_from(sh: DataFrame) -> DataFrame:
     the sweep spine for dedup_yield_curve)."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    # merge hint is load-bearing: `sh` sits under the in-plan cap
+    # derivation (filters + anti-join), whose size ESTIMATE is far below
+    # the true relation — without the hint Catalyst broadcast one whole
+    # side of the self-join and the 100× probe OOMed the driver (4.5 GiB
+    # build; SCALING.md "the capped pair self-join's latent broadcast").
+    # The postings self-join must shuffle on shingle at scale; AQE still
+    # localizes small runtime sides.
+    b = sh.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("ix"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # counts is |docs|-rows — shuffle-hash, never a driver-built broadcast
+    ca = counts.alias("ca").hint("shuffle_hash")
+    cb = counts.alias("cb").hint("shuffle_hash")
     return (
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
@@ -370,7 +378,13 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(float(t)) for t in YIELD_THRESHOLDS])
         ).alias("threshold")
     )
-    swept = spine.join(scores, scores.jaccard >= spine.threshold)
+    # broadcast(spine) is load-bearing: the theta-join needs a BNLJ, and
+    # without the hint Catalyst picks the build side by SIZE ESTIMATE —
+    # post-aggregate estimates are unreliable and at the 100x probe it
+    # chose to broadcast the multi-GiB score relation (driver OOM, the
+    # hard_negative_mining r8 precedent). Pinning the 6-row spine as the
+    # build side makes the plan scale-independent.
+    swept = F.broadcast(spine).join(scores, scores.jaccard >= spine.threshold)
     pr = swept.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
     da = (
         swept.select(
@@ -2271,7 +2285,9 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_from(sh: DataFrame) -> DataFrame:
     """Containment pair core over any distinct (doc_id, shingle) relation."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # same merge hint as _jaccard_scores_from: the capped `sh` estimate
+    # undercounts and a broadcast self-join OOMs at the 100x probe
+    a, b = sh.alias("a"), sh.alias("b").hint("merge")
     inter = (
         a.join(
             b,
@@ -2298,7 +2314,10 @@ def _containment_from(sh: DataFrame) -> DataFrame:
         ).alias("d")
     ).select("d.contained_doc", "d.container_doc", "d.ix")
     return (
-        directed.join(counts, directed.contained_doc == counts.doc_id)
+        directed.join(
+            counts.hint("shuffle_hash"),
+            directed.contained_doc == counts.doc_id,
+        )
         .withColumn("containment", F.round(F.col("ix") / F.col("n"), 6))
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("contained_doc", "container_doc", "containment")
