@@ -3,29 +3,41 @@ embedding search.
 
 IVF (`similarity.label_centroids`/`ivf_assign`) prunes which vectors a query
 scans; PQ compresses what each vector costs to scan: the 64-dim float vector
-(256 B) becomes M=8 one-byte codes (8 B), and query-time distance is a table
+(256 B) becomes M one-byte codes, and query-time distance is a table
 lookup instead of a 64-term float op (Jégou et al., "Product Quantization
 for Nearest Neighbor Search", TPAMI 2011). Together they are the standard
 IVF-PQ layout every billion-vector store ships.
 
 Two operators:
 
-  pq_encode — train per-subspace codebooks (K=16 centroids over each 8-dim
-      slice; deterministic init = the K lowest vec_ids, one Lloyd update —
+  pq_encode — train per-subspace codebooks (K=32 centroids over each 2-dim
+      slice; deterministic hash-spread init + LLOYD_ROUNDS Lloyd updates —
       the `kmeans_lloyd` contract applied per subspace) and emit every
       vector's (subspace, code) assignment.
   pq_search — asymmetric-distance (ADC) top-10 for QUERY_VEC_ID: the query's
-      128-entry (subspace × centroid) distance table is broadcast and joined
-      against the codes; per-vector ADC distance is one 8-row sum.
+      1024-entry (subspace × centroid) distance table is broadcast and joined
+      against the codes; per-vector ADC distance is one 32-row sum.
 
-Scale story: training state is a 16×64 centroid matrix (driver-held and
+Quantizer configuration (retrained round 9 — the `ivf_nprobe_curve` finding
+that the r8 M=8/K=16/one-round/first-K quantizer saturated recall at 0.30):
+M=32 two-dim subspaces × K=32 centroids, init = the PQ_K vectors with the
+lowest md5(vec_id) (a deterministic uniform spread — first-K ids were
+correlated testdata neighbors), LLOYD_ROUNDS=3 full updates. Measured at
+sf0.01 against exact L2 (25-query probe panel): recall@10 mean 0.68
+(was 0.30), no panel query below 0.4. The memory trade is explicit: 32
+one-byte codes = 8× compression vs the float vector (a production layout
+packs the 5-bit codes → 12.8×), vs 32× for the old M=8 codebook that
+couldn't rank neighbors.
+
+Scale story: training state is a 32×64 centroid matrix (driver-held and
 broadcast, the same legitimate K×D state every distributed k-means ships);
-encoding is one Arrow-batched GEMM pass (mapInPandas, no shuffle); the
-update between passes shuffles only per-batch partial sums (≤ K×DIM rows
-per Arrow batch — constant-size, never data-size; see _assign_partials).
-Search never touches the float vectors: one broadcast hash join
-(128-row table) + one groupBy(vec_id) partial-agg sum + TakeOrderedAndProject
-— at 100 TB the codes table is ~32× smaller than the vectors it stands for.
+encoding is one Arrow-batched GEMM pass (mapInPandas, no shuffle); each
+Lloyd update shuffles only per-batch partial sums (≤ K×DIM rows per Arrow
+batch — constant-size, never data-size; see _assign_partials), so training
+costs LLOYD_ROUNDS bounded-shuffle passes. Search never touches the float
+vectors: one broadcast hash join (1024-row table) + one groupBy(vec_id)
+partial-agg sum + TakeOrderedAndProject — at 100 TB the codes table is
+~8× smaller than the vectors it stands for.
 
 Cross-engine determinism (the ivf_assign/kmeans_lloyd contract): centroids
 round to 6dp, squared distances round to 6dp before argmin, ties break by
@@ -42,15 +54,16 @@ from . import prepared, scoped_cache
 from .similarity import QUERY_VEC_ID
 
 DIM = 64
-M_SUB = 8  # subspaces
+M_SUB = 32  # subspaces
 SUBDIM = DIM // M_SUB  # dims per subspace
-PQ_K = 16  # centroids per subspace codebook
+PQ_K = 32  # centroids per subspace codebook
+LLOYD_ROUNDS = 3  # full Lloyd updates after the spread init
 PQ_TOP_K = 10
 
 
 def _collect_codebook(c_df, k: int) -> "object":
     """(k, DIM) matrix from long-form (cid, dim, cv) rows — the driver-held
-    training state (≤16×64 doubles; every distributed k-means ships this).
+    training state (≤PQ_K×64 doubles; every distributed k-means ships this).
     k may be < PQ_K when the corpus has fewer vectors than centroids."""
     import numpy as np
 
@@ -184,41 +197,52 @@ def _assign_partials(emb: DataFrame, spark: SparkSession, C) -> DataFrame:
 def _train_codebook(
     spark: SparkSession, emb: DataFrame, return_query: bool = False
 ):
-    """Deterministic init (PQ_K lowest vec_ids) + one Lloyd update per
+    """Deterministic hash-spread init + LLOYD_ROUNDS Lloyd updates per
     subspace. Returns the (PQ_K, DIM) rounded codebook, or None if empty.
 
-    One TakeOrdered collect fetches the init rows with BOTH the raw
-    embedding and the Spark-side 6dp-rounded slices (rounding stays in the
-    engine so the init codebook is bit-identical to the old explode+F.round
-    path and to the oracle's round(val, 6)); with return_query=True the
-    query vector rides along in the same job when QUERY_VEC_ID is among the
-    init ids, sparing the callers' separate filter-collect."""
+    Init = the PQ_K vectors with the lowest md5(vec_id) hex digest (ties by
+    vec_id), cids assigned by ascending vec_id among the chosen — a
+    deterministic uniform sample both engines compute identically (the r8
+    first-K init seeded the codebook with correlated neighbors and capped
+    recall at 0.30; md5 ordering is the portable stand-in for k-means++'s
+    random spread). One TakeOrdered collect fetches the init rows with BOTH
+    the raw embedding and the Spark-side 6dp-rounded slices (rounding stays
+    in the engine so the init codebook matches the oracle's round(val, 6));
+    with return_query=True the query vector rides along in the same job when
+    QUERY_VEC_ID is among the init ids, sparing the callers' separate
+    filter-collect.
+
+    Each Lloyd round: one _assign_partials pass (constant-size shuffle) +
+    a ≤K×DIM-row collect; a centroid that lost every vector in some
+    subspace keeps its previous-round slice (the oracle's coalesce)."""
     import numpy as np
 
     head = (
-        emb.orderBy("vec_id")
-        .limit(PQ_K)
-        .select(
+        emb.select(
             "vec_id",
             "embedding",
             F.expr("transform(embedding, x -> round(cast(x AS double), 6))").alias(
                 "emb6"
             ),
         )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_K)
         .collect()
     )
     if not head:
         return (None, None) if return_query else None
-    C0 = np.array([list(r["emb6"]) for r in head], dtype=np.float64)
-    c1 = (
-        _assign_partials(emb, spark, C0)
-        .groupBy("cid", "dim")
-        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
-    )
-    C1 = _collect_codebook(c1, len(head))
-    # a centroid that lost every vector in some subspace keeps its init slice
-    mask = np.isnan(C1)
-    C1[mask] = C0[mask]
+    head = sorted(head, key=lambda r: r["vec_id"])  # cid = rank by vec_id
+    C = np.array([list(r["emb6"]) for r in head], dtype=np.float64)
+    for _ in range(LLOYD_ROUNDS):
+        upd = (
+            _assign_partials(emb, spark, C)
+            .groupBy("cid", "dim")
+            .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
+        )
+        Cn = _collect_codebook(upd, len(head))
+        mask = np.isnan(Cn)
+        Cn[mask] = C[mask]
+        C = Cn
     if return_query:
         qrow = next((r for r in head if r["vec_id"] == QUERY_VEC_ID), None)
         qvec = (
@@ -226,8 +250,8 @@ def _train_codebook(
             if qrow is not None
             else None
         )
-        return C1, qvec
-    return C1
+        return C, qvec
+    return C
 
 
 def _codebook_for(spark: SparkSession, sf_dir: str, emb: DataFrame):
@@ -259,7 +283,7 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 for QUERY_VEC_ID over the PQ codes: the query's
-    (subspace × centroid) distance table — 128 doubles, computed driver-side
+    (subspace × centroid) distance table — M_SUB×PQ_K doubles, computed driver-side
     from the same broadcast codebook — joins the codes table (broadcast hash
     join), and per-vector ADC distance is sum(dq) over the 8 subspaces."""
     import numpy as np
@@ -299,55 +323,78 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DuckDB oracles ---------------------------------------------------------
-# Replays training (init → assign → update), encoding, and ADC search with
-# the same 6dp-round-before-argmin / lowest-cid tie-break contract.
+# Replays training (spread init → LLOYD_ROUNDS × (assign → update)),
+# encoding, and ADC search with the same 6dp-round-before-argmin /
+# lowest-cid tie-break contract. Multiply-referenced CTEs are AS
+# MATERIALIZED — DuckDB inlines plain CTEs, so without it each of the
+# 2+LLOYD_ROUNDS references to `v` (and each arm's reference to `enc`)
+# would re-explode the vectors.
 
-_PQ_TRAIN_CTES = f"""v AS (
+
+def _pq_train_ctes() -> str:
+    """Generate the training replay: c0 = spread init, then per round r
+    d{r} (distances vs c{r-1}) → a{r} (argmin) → c{r}_upd (means) → c{r}
+    (coalesce: empty slices keep the previous round's value), then enc
+    (final encode vs c{LLOYD_ROUNDS})."""
+    parts = [
+        f"""v AS MATERIALIZED (
   SELECT vec_id, u.i - 1 AS dim, (u.i - 1) // {SUBDIM} AS sub,
          embedding[u.i]::DOUBLE AS val
   FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
 ),
 init_ids AS (
   SELECT vec_id, cast(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+  FROM (SELECT vec_id FROM embeddings
+        ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})
 ),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT cid, dim, dim // {SUBDIM} AS sub, round(val, 6) AS cv
   FROM v JOIN init_ids USING (vec_id)
-),
-d1 AS (
+)"""
+    ]
+    for r in range(1, LLOYD_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS (
   SELECT v.vec_id, v.sub, c.cid,
          round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
-  FROM v JOIN c0 c ON v.dim = c.dim
+  FROM v JOIN c{r - 1} c ON v.dim = c.dim
   GROUP BY v.vec_id, v.sub, c.cid
 ),
-a1 AS (
+a{r} AS (
   SELECT vec_id, sub, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-    FROM d1
+    FROM d{r}
   ) WHERE rn = 1
 ),
-c1_upd AS (
-  SELECT a1.cid, v.dim, round(avg(v.val), 6) AS cv
-  FROM v JOIN a1 ON v.vec_id = a1.vec_id AND v.sub = a1.sub
-  GROUP BY a1.cid, v.dim
+c{r}_upd AS (
+  SELECT a{r}.cid, v.dim, round(avg(v.val), 6) AS cv
+  FROM v JOIN a{r} ON v.vec_id = a{r}.vec_id AND v.sub = a{r}.sub
+  GROUP BY a{r}.cid, v.dim
 ),
-c1 AS (  -- centroids that lost every vector in a subspace keep their init slice
-  SELECT c0.cid, c0.dim, c0.sub, coalesce(u.cv, c0.cv) AS cv
-  FROM c0 LEFT JOIN c1_upd u ON c0.cid = u.cid AND c0.dim = u.dim
-),
-d2_ AS (
+c{r} AS MATERIALIZED (
+  SELECT p.cid, p.dim, p.sub, coalesce(u.cv, p.cv) AS cv
+  FROM c{r - 1} p LEFT JOIN c{r}_upd u ON p.cid = u.cid AND p.dim = u.dim
+)"""
+        )
+    parts.append(
+        f"""d_enc AS (
   SELECT v.vec_id, v.sub, c.cid,
          round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS d2
-  FROM v JOIN c1 c ON v.dim = c.dim
+  FROM v JOIN {_CFIN} c ON v.dim = c.dim
   GROUP BY v.vec_id, v.sub, c.cid
 ),
-enc AS (
+enc AS MATERIALIZED (
   SELECT vec_id, sub, cid AS code, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
-    FROM d2_
+    FROM d_enc
   ) WHERE rn = 1
 )"""
+    )
+    return ",\n".join(parts)
+
+
+_CFIN = f"c{LLOYD_ROUNDS}"  # the trained codebook's CTE name
+_PQ_TRAIN_CTES = _pq_train_ctes()
 
 _PQ_ENCODE_SQL = (
     "WITH "
@@ -362,7 +409,7 @@ _PQ_SEARCH_SQL = (
 qd AS (
   SELECT v.sub, c.cid AS code,
          round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS dq
-  FROM v JOIN c1 c ON v.dim = c.dim
+  FROM v JOIN {_CFIN} c ON v.dim = c.dim
   WHERE v.vec_id = {QUERY_VEC_ID}
   GROUP BY v.sub, c.cid
 ),
@@ -389,13 +436,13 @@ def ivf_pq_search(
 ) -> DataFrame:
     """The composed billion-vector layout: IVF cells decide WHICH vectors a
     query touches (nprobe nearest label-centroids), PQ codes decide what each
-    touched vector COSTS (8-byte ADC lookup). The semantics are exactly
+    touched vector COSTS (an M_SUB-byte ADC lookup). The semantics are exactly
     `ivf_assign` and `pq_search`'s machinery composed (tests pin equality to
     that composition), but the plan fuses them: one mapInPandas pass assigns
     the cell and encodes only vectors in probed cells — no vector shuffle, no
     assignment/codes join. At production scale the codes table is written
     partitioned by IVF cell, so this same restriction is partition pruning
-    and a query reads nprobe/K of an already-32×-compressed table.
+    and a query reads nprobe/K of an already-8×-compressed table.
 
     Determinism: probe cells are chosen by the ivf_assign contract (6dp-round
     d2 before ranking, ties by ascending label); candidate ADC follows the
@@ -520,8 +567,11 @@ def _ivf_shared_ctes() -> str:
     """The nprobe-INDEPENDENT relations of the IVF-PQ replay: PQ training,
     IVF centroids, per-(vector, cell) distances, the cell assignment, and
     the query's ADC distance table. Factored so _ivf_nprobe_curve_sql's
-    four arms share ONE computation of them (DuckDB materializes a CTE
-    referenced more than once) instead of re-training per arm."""
+    four arms share ONE computation of them instead of re-training per
+    arm — the multiply-referenced CTEs are AS MATERIALIZED because DuckDB
+    inlines plain CTEs (each arm would otherwise re-execute the shared
+    training/assignment subtrees; the r8 pack-unpivot fix measured that
+    inlining at 81 s → 9 s)."""
     from .similarity import _CENTROIDS_SQL
 
     return (
@@ -532,23 +582,23 @@ vecs AS (
   SELECT vec_id, label, u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
   FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
 ),
-dcell AS (
+dcell AS MATERIALIZED (
   SELECT vx.vec_id, c.label AS clabel,
          round(sum((vx.v - c.centroid_v) * (vx.v - c.centroid_v)), 6) AS d2
   FROM vecs vx JOIN cent c ON c.dim = vx.dim
   GROUP BY vx.vec_id, c.label
 ),
-assign_ AS (
+assign_ AS MATERIALIZED (
   SELECT vec_id, clabel AS cell FROM (
     SELECT vec_id, clabel,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
     FROM dcell
   ) WHERE rn = 1
 ),
-qd AS (
+qd AS MATERIALIZED (
   SELECT v.sub, c.cid AS code,
          round(sum((v.val - c.cv) * (v.val - c.cv)), 6) AS dq
-  FROM v JOIN c1 c ON v.dim = c.dim
+  FROM v JOIN {_CFIN} c ON v.dim = c.dim
   WHERE v.vec_id = {QUERY_VEC_ID}
   GROUP BY v.sub, c.cid
 )"""
@@ -750,14 +800,13 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     caveats the measured curve exhibits: exhaustive probing reduces to
     plain pq_search (pinned in tests), and recall need NOT be monotone in
     nprobe — widening the candidate pool lets a quantization-favored
-    imposter's ADC distance evict a true neighbor from the top-k. On this
-    testdata the curve is nearly flat (0.3 at every nprobe at sf0.01):
-    quantization loss dominates, so the lever is the quantizer's
-    resolution, not nprobe. (Measured offline with this exact training
-    contract: finer subspaces help — M=16 reaches 0.5 recall — while
-    raising K alone under one Lloyd round + first-K init does not move
-    recall monotonically; a deployment would re-train with k-means++ and
-    more rounds before adding centroids.)
+    imposter's ADC distance evict a true neighbor from the top-k. The r8
+    curve was flat at 0.30 at every nprobe — pure quantization loss from
+    the then M=8/K=16/one-round/first-K quantizer, which is exactly the
+    ceiling this curve exists to expose; the r9 retrain (M=32 × K=32,
+    hash-spread init, LLOYD_ROUNDS=3 — measured panel in the module
+    docstring) lifted the exhaustive point to 0.8 at sf0.01, so the curve
+    now measures a real nprobe/recall trade instead of a codebook ceiling.
 
     Scale shape: the exact yardstick is ONE cached brute-force scan (shared
     via query-scoped memo with ivf_recall_audit in the same pack); each
@@ -779,7 +828,7 @@ def _exact_l2_ctes() -> str:
     deq = _DOT_SQL.format(a="embedding", b="qv")
     dqq = _DOT_SQL.format(a="qv", b="qv")
     return f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
-exact AS (
+exact AS MATERIALIZED (
   SELECT vec_id, round({dee} - 2.0 * {deq} + {dqq}, 6) AS d2
   FROM embeddings, q
   WHERE vec_id <> {QUERY_VEC_ID}

@@ -50,12 +50,13 @@ def test_assignment_is_argmin(spark, encoded):
 
 
 def test_adc_approximates_exact_distance(spark):
-    """ADC ranking must correlate with exact L2 ranking. An M=8/K=16 product
-    quantizer is a coarse approximation (measured recall@10 ≈ 0.2 here), so
-    the pin is the property that makes PQ useful rather than top-k equality:
-    the ADC picks' exact ranks concentrate far above random — median within
-    the best fifth of the corpus (random would sit at the middle), and at
-    least one true top-10 neighbor surfaces."""
+    """ADC ranking must correlate with exact L2 ranking. The r9 M=32/K=32
+    quantizer (hash-spread init, 3 Lloyd rounds) measures recall@10 = 0.5
+    here and every ADC pick's exact rank lands in the top ~5% — the pin
+    keeps margin below that (quantization is still approximation, top-k
+    equality would be flaky) while being far beyond the r8 quantizer's
+    reach: median pick within the best tenth of the corpus, every pick in
+    the best third, and at least three true top-10 neighbors surface."""
     from s3bigdatasync_spark.operators import prepared
 
     top = [r["vec_id"] for r in pqm.pq_search(spark, SF).collect()]
@@ -71,8 +72,9 @@ def test_adc_approximates_exact_distance(spark):
     rank = {vid: i + 1 for i, (_, vid) in enumerate(exact)}
     adc_ranks = sorted(rank[v] for v in top)
     n = len(rank)
-    assert adc_ranks[len(adc_ranks) // 2] <= n / 5  # median in the best fifth
-    assert adc_ranks[0] <= pqm.PQ_TOP_K  # a true top-10 neighbor surfaces
+    assert adc_ranks[len(adc_ranks) // 2] <= n / 10  # median in the best tenth
+    assert adc_ranks[-1] <= n / 3  # every pick in the best third
+    assert sum(1 for r in adc_ranks if r <= pqm.PQ_TOP_K) >= 3  # real recall
 
 
 def test_fused_ivf_pq_equals_composition(spark):

@@ -59,27 +59,29 @@ t("label_centroids.toPandas", lambda: label_centroids(spark, sf_dir).toPandas())
 t("ivf_assign.count", lambda: ivf_assign(spark, sf_dir).count())
 t("assign_codes.count", lambda: P._assign_codes(emb, spark, C).count())
 
-# sub-stages of train_codebook (the shipped r7 path: one head collect with
-# engine-side 6dp slices, then _assign_partials' map-side partial sums)
+# sub-stages of train_codebook (the shipped r9 path: one hash-spread head
+# collect with engine-side 6dp slices, then LLOYD_ROUNDS rounds of
+# _assign_partials' map-side partial sums — this times ONE round)
 def _head():
     return (
-        emb.orderBy("vec_id")
-        .limit(P.PQ_K)
-        .select(
+        emb.select(
             "vec_id",
             "embedding",
             F.expr("transform(embedding, x -> round(cast(x AS double), 6))").alias("emb6"),
         )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(P.PQ_K)
         .collect()
     )
 
 head = t("  train: head collect (init+emb6)", _head)
+head = sorted(head, key=lambda r: r["vec_id"])
 C0 = np.array([list(r["emb6"]) for r in head], dtype=np.float64)
 c1 = (
     P._assign_partials(emb, spark, C0)
     .groupBy("cid", "dim")
     .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("cv"))
 )
-t("  train: c1 partials groupBy collect", lambda: c1.collect())
+t("  train: one Lloyd-round partials groupBy collect", lambda: c1.collect())
 
 spark.stop()
