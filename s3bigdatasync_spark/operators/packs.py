@@ -86,7 +86,17 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
-    # round-8 additions, FIRST among the packs (forward-ordering): the
+    # round-9 additions, FIRST among the packs (forward-ordering): the
+    # codebook-utilization audit behind the r9 quantizer retrain (dead-code
+    # evidence — the dial the ivf_nprobe_curve finding said to turn), plus
+    # exact_dedup (folded from standalone to keep the driver at 50 — the
+    # ivf_assign/size_deciles precedent; thematically the hash-groupBy
+    # baseline the near-dup family audits against)
+    "pack_r9": [
+        "pq_code_balance",
+        "exact_dedup",
+    ],
+    # round-8 additions: the
     # multi-band hard-negative recall audit (the measured number that
     # justifies HARDNEG_BANDS — r7 verdict item 7), plus ivf_assign (folded
     # from standalone to keep the driver at 50 — the size_deciles precedent;
@@ -281,6 +291,20 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "pq_code_balance": [
+        ("sub", "int"),
+        ("n_vectors", "int"),
+        ("n_used", "int"),
+        ("utilization", "num"),
+        ("entropy_bits", "num"),
+        ("max_share", "num"),
+        ("mean_d2", "num"),
+    ],
+    "exact_dedup": [
+        ("content_hash", "str"),
+        ("n_copies", "int"),
+        ("keeper_doc_id", "int"),
+    ],
     "hard_negative_recall": [
         ("p_id", "int"),
         ("n_exact", "int"),

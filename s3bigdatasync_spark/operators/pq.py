@@ -700,6 +700,80 @@ FROM dec GROUP BY decile ORDER BY decile"""
 )
 
 
+# --- pq_code_balance: is the codebook actually used? --------------------------
+
+
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace codebook-utilization audit over the PQ codes: how many of
+    the PQ_K centroids each subspace actually uses, the Shannon entropy of
+    its code distribution (log2(PQ_K) = perfectly balanced; the effective
+    bits each code byte carries), the heaviest code's share, and the mean
+    reconstruction distortion. This is the dial evidence BEHIND the r9
+    quantizer retrain: the r8 first-K init left centroids starved (dead
+    codes = wasted index bytes + coarser cells for the survivors), and this
+    relation is what proves a codebook healthy before a deployment ships
+    it — the pq_distortion/ivf_nprobe_curve pattern applied to the
+    codebook-balance knob (Jégou et al. 2011 §V discuss exactly this
+    balance assumption).
+
+    Scale shape: one groupBy(sub, code) over the codes relation (map-side
+    combinable, ≤ M_SUB×PQ_K = 1024 groups regardless of corpus size), then
+    a ≤1024-row re-aggregation to M_SUB rows — the shuffle payload is the
+    histogram, never the vectors. Float contract: entropy uses the
+    word_entropy identity H = (ln n − Σ c·ln c / n)/ln 2 with raw float
+    sums and one final 6dp round (the round-1-proven contract); shares and
+    mean distortion round to 6dp."""
+    from .curation import LN2
+
+    enc = pq_encode(spark, sf_dir)
+    cnts = enc.groupBy("sub", "code").agg(
+        F.count("*").alias("c"), F.sum("d2").alias("sd2")
+    )
+    agg = cnts.groupBy("sub").agg(
+        F.sum("c").alias("n_vectors"),
+        F.count("*").alias("n_used"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
+        F.max("c").alias("max_c"),
+        F.sum("sd2").alias("ssd2"),
+    )
+    h = (F.log("n_vectors") - F.col("slc") / F.col("n_vectors")) / F.lit(LN2)
+    return agg.select(
+        "sub",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("n_used").cast("int").alias("n_used"),
+        F.round(F.col("n_used") / F.lit(PQ_K), 6).alias("utilization"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.col("max_c") / F.col("n_vectors"), 6).alias("max_share"),
+        F.round(F.col("ssd2") / F.col("n_vectors"), 6).alias("mean_d2"),
+    ).orderBy("sub")
+
+
+def _pq_code_balance_sql() -> str:
+    from .curation import LN2
+
+    return (
+        "WITH "
+        + _PQ_TRAIN_CTES
+        + f""",
+cnts AS (
+  SELECT sub, code, count(*) AS c, sum(d2) AS sd2
+  FROM enc GROUP BY sub, code
+),
+agg AS (
+  SELECT sub, sum(c) AS n_vectors, count(*) AS n_used,
+         sum(c * ln(c)) AS slc, max(c) AS max_c, sum(sd2) AS ssd2
+  FROM cnts GROUP BY sub
+)
+SELECT cast(sub AS INT) AS sub, cast(n_vectors AS BIGINT) AS n_vectors,
+       cast(n_used AS INT) AS n_used,
+       round(n_used / {float(PQ_K)}, 6) AS utilization,
+       round((ln(n_vectors) - slc / n_vectors) / {LN2}, 6) AS entropy_bits,
+       round(max_c / CAST(n_vectors AS DOUBLE), 6) AS max_share,
+       round(ssd2 / n_vectors, 6) AS mean_d2
+FROM agg ORDER BY sub"""
+    )
+
+
 # --- ivf_recall_audit: the measured-recall yardstick for the compressed path
 
 def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +962,7 @@ QUERIES = {
     "ivf_recall_audit": ivf_recall_audit,
     "pq_distortion": pq_distortion,
     "ivf_nprobe_curve": ivf_nprobe_curve,
+    "pq_code_balance": pq_code_balance,
 }
 
 ORACLES = {
@@ -897,4 +972,5 @@ ORACLES = {
     "ivf_recall_audit": _ivf_recall_sql(),
     "pq_distortion": _PQ_DISTORTION_SQL,
     "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
+    "pq_code_balance": _pq_code_balance_sql(),
 }
