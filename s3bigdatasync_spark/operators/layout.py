@@ -304,13 +304,16 @@ def shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     times larger — the measured evidence for adopting stable assignment
     before a fleet resize reshuffles 100 TB of per-worker state.
 
-    Scale shape: the per-key assignment is a pure projection (18 md5s per
-    key, whole-stage codegen, zero shuffle — at 1000 executors it rides the
-    scan); the only exchange is the final groupBy to ≤ 2·OLD·NEW cells.
+    Scale shape: the per-key assignment is a pure projection (19 md5s per
+    key — 8+10 rendezvous weights plus one shared by the two modulo
+    columns — whole-stage codegen, zero shuffle; at 1000 executors it rides
+    the scan); the only exchange is the final groupBy to ≤ 2·OLD·NEW cells.
     Portable md5 everywhere (not Spark's Murmur3) so the oracle checks the
-    exact assignment, the bucket_skew_audit precedent."""
+    exact assignment, the bucket_skew_audit precedent. The modulo hash uses
+    8 hex digits (2^32 % 10 = 6, a ~1.4e-9 uniformity bias — the 4-digit
+    r8 version biased shards 0–5 by ~1e-4, round-9 ADVICE)."""
     inv = prepared(spark, sf_dir).table("inventory_src")
-    mod_hash = F.conv(F.substring(F.md5(F.col("key")), 1, 4), 16, 10).cast("long")
+    mod_hash = F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("long")
     assigned = inv.select(
         "size",
         _hrw_spark("key", OLD_WORKERS).alias("rv_old"),
@@ -343,13 +346,20 @@ def shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 8-hex-digit md5 prefix as an integer (the modulo policy's hash; wider than
+# _BUCKET_HEX so the % NEW_WORKERS residue is uniform to ~1.4e-9)
+_MOD_HEX8 = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(key), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
 _SHARD_REBALANCE_SQL = oracle_cte("inventory_src") + f"""
 , assigned AS (
   SELECT size,
          {_hrw_sql('key', OLD_WORKERS)} AS rv_old,
          {_hrw_sql('key', NEW_WORKERS)} AS rv_new,
-         ({_BUCKET_HEX}) % {OLD_WORKERS} AS mod_old,
-         ({_BUCKET_HEX}) % {NEW_WORKERS} AS mod_new
+         ({_MOD_HEX8}) % {OLD_WORKERS} AS mod_old,
+         ({_MOD_HEX8}) % {NEW_WORKERS} AS mod_new
   FROM inventory_src
 ),
 cells AS (

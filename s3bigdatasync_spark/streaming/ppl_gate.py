@@ -107,10 +107,34 @@ def ppl_gate_report(
     """The full CCNet decision over state-backed scores: per-language
     NTILE(PPL_BUCKETS) terciles + keep(head+middle) — identical output
     shape to the batch perplexity_buckets, computed from the incremental
-    LM instead of a corpus re-scan."""
+    LM instead of a corpus re-scan.
+
+    Loud-failure contract (round-9 ADVICE): ppl_scores' inner LM join makes
+    a document whose tokens are ALL outside the state's support vanish
+    rather than score — which is exactly what happens when files land in
+    docs_dir after the stream drained, so the report would silently gate a
+    smaller population than it was handed. The report refuses to render in
+    that case: merge the stragglers first (re-run stream_ppl_state), then
+    report. Cost: one count over the per-doc scored relation (cached for
+    reuse by the returned plan), one anti-join count over doc ids."""
     from pyspark.sql import Window
 
-    scored = ppl_scores(spark, state_dir, docs)
+    from ..operators import scoped_cache
+
+    scored = scoped_cache(ppl_scores(spark, state_dir, docs))
+    missing = (
+        docs.select("doc_id").distinct()
+        .join(scored.select("doc_id"), "doc_id", "left_anti")
+    )
+    n_missing = missing.count()
+    if n_missing:
+        sample = [r["doc_id"] for r in missing.limit(5).collect()]
+        raise ValueError(
+            f"ppl_gate_report: {n_missing} document(s) have no in-support "
+            f"tokens in the LM state (e.g. doc_id {sample}) — the state is "
+            "stale for them (files landed after the stream drained, or "
+            "token-less docs). Re-run stream_ppl_state to merge, then report."
+        )
     w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
     return scored.select(
         "doc_id",

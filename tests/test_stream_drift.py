@@ -18,7 +18,9 @@ from s3bigdatasync_spark.streaming.drift import (
 def _mk_docs(tag: str, n: int, srcs: int = 3):
     return [
         (
-            hash((tag, i)) % 1_000_000,
+            # deterministic, collision-free across rounds (hash() is salted
+            # per process via PYTHONHASHSEED and could merge two docs)
+            ord(tag) * 10_000 + i,
             f"alpha beta {tag} tok{i % 7} gamma delta tok{i % 3} epsilon",
             f"src{i % srcs}",
         )

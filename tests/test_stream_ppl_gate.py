@@ -23,7 +23,9 @@ SF = "/root/testdata/sf0.001"
 def _mk_docs(tag: str, n: int, langs: int = 3):
     return [
         (
-            hash((tag, i)) % 1_000_000,
+            # deterministic, collision-free across rounds (hash() is salted
+            # per process via PYTHONHASHSEED and could merge two docs)
+            ord(tag) * 10_000 + i,
             f"alpha beta {tag} tok{i % 7} gamma delta tok{i % 3} epsilon",
             f"lang{i % langs}",
         )
@@ -76,6 +78,38 @@ def test_gate_report_matches_batch_operator(spark, tmp_path):
     got = _rows(ppl_gate_report(spark, state_dir, _landed(spark, docs_dir)))
     want = _rows(perplexity_buckets(spark, SF))
     assert got == want
+
+
+def test_gate_report_refuses_stale_state(spark, tmp_path):
+    """A file landing AFTER the stream drained carries tokens the LM never
+    saw; its documents would silently vanish from the gate population via
+    the inner LM join. The report must fail loudly instead (round-9
+    ADVICE) — and succeed again once the straggler is merged."""
+    import pytest
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(_mk_docs("a", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_ppl_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    # straggler with an entirely out-of-support vocabulary, NOT merged
+    straggler = [(999_001, "zzq qqz zqq", "lang0")]
+    spark.createDataFrame(straggler, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    with pytest.raises(ValueError, match="no in-support tokens"):
+        ppl_gate_report(spark, state_dir, _landed(spark, docs_dir))
+
+    # merging the straggler restores the contract
+    q2 = stream_ppl_state(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    got = ppl_gate_report(spark, state_dir, _landed(spark, docs_dir))
+    assert got.filter(got.doc_id == 999_001).count() == 1
 
 
 def test_lm_state_is_vocab_bounded(spark, tmp_path):
