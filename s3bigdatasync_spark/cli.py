@@ -15,7 +15,7 @@ over every registered operator (SURVEY §3: "no query language, no IR").
     list-producer  ...                 §3.1 inventory → stats + task store
     task-executor  ...                 §3.2 task store → copy → copy_log/DLQ
     monitor        ...                 §3.3 batch 1/5/60-min stat rollup
-    dashboard      ...                 §3.3 serving-leg progress rollup
+    dashboard      ...                 §3.3 serving-leg progress+graph JSON
     corpus         [--sf-dir D]        north-star training-corpus build
 
 Every subcommand accepts an injected SparkSession (tests) or builds the
@@ -228,9 +228,21 @@ def _cmd_trending(spark: SparkSession, args) -> int:
 
 
 def _cmd_dashboard(spark: SparkSession, args) -> int:
-    from .plans.pipeline import dashboard_progress
+    """The combined UICenter serving report (`/totalProgress` +
+    `/tasksGraph` as one JSON document) — the drift/ppl-gate verb pattern
+    applied to the §3.3 serving leg."""
+    import json
 
-    _emit(dashboard_progress(spark, args.stat_dir), args)
+    from .plans.pipeline import dashboard_report
+
+    report = dashboard_report(
+        spark,
+        args.stat_dir,
+        total_objects=args.total_objects,
+        total_size=args.total_size,
+        window_minutes=args.window_minutes,
+    )
+    print(json.dumps(report, indent=2, sort_keys=True))
     return 0
 
 
@@ -407,11 +419,19 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--window-minutes", type=int, default=5)
     tr.add_argument("-k", type=int, default=3)
 
-    da = add("dashboard", _cmd_dashboard, help="§3.3 progress rollup")
+    da = add(
+        "dashboard",
+        _cmd_dashboard,
+        help="§3.3 serving leg: combined progress+graph JSON report "
+        "(UICenter /totalProgress + /tasksGraph)",
+    )
     da.add_argument("--stat-dir", required=True)
-    da.add_argument("--limit", type=int, default=None)
-    da.add_argument("--explain", action="store_true")
-    da.add_argument("--out", default=None)
+    da.add_argument("--total-objects", type=int, default=None,
+                    help="manifest total object count (enables pct_objects)")
+    da.add_argument("--total-size", type=int, default=None,
+                    help="manifest total bytes (enables pct_size + eta_seconds)")
+    da.add_argument("--window-minutes", type=int, default=60,
+                    help="graph window length in minute slots")
 
     co = add("corpus", _cmd_corpus, help="north-star corpus yield report")
     co.add_argument("--sf-dir", default=DEFAULT_SF_DIR)

@@ -154,3 +154,127 @@ def dashboard_progress(spark: SparkSession, stat_dir: str) -> DataFrame:
         F.sum("failed_object_size").alias("failed_size"),
         F.sum("failed_object_num").alias("failed_num"),
     )
+
+
+def dashboard_graph(
+    spark: SparkSession, stat_dir: str, window_minutes: int = 60
+) -> DataFrame:
+    """§3.3 serving leg, graph half: the zero-filled per-minute series
+    UICenter's `/tasksGraph` route renders (`ddbModel.returnTasksGraphData`
+    builds 60 zero slots and overwrites the minutes that have a stat row —
+    `UICenter/BackEnd/ddbModel.py:253-275`). Spine = the last
+    `window_minutes` minute slots ending at the stat table's newest minute
+    (the serving anchor — deterministic, no wall clock), outer-joined
+    against the time_unit=1 partition and zero-filled: the
+    time_spine_zero_fill pattern (J2) over the stat table. The spine is
+    `window_minutes` rows driver-built from one 1-row bounds agg; the stat
+    side is partition-pruned (time_unit=1) plus a pushed start_time range
+    filter — at any scale this reads one hour of one partition."""
+    stat = spark.read.parquet(stat_dir).filter(F.col("time_unit") == 1)
+    hi = stat.agg(F.max("start_time").alias("hi")).collect()[0]["hi"]
+    empty_schema = (
+        "start_time long, success_object_num long, failed_object_num long, "
+        "success_object_size long, failed_object_size long"
+    )
+    if hi is None:
+        return spark.createDataFrame([], empty_schema)
+    hi = int(hi)
+    lo = hi - 60 * (window_minutes - 1)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.lit(60))
+        ).alias("start_time")
+    )
+    recent = stat.filter(F.col("start_time") >= lo)
+    return (
+        spine.join(recent, "start_time", "left")
+        .select(
+            "start_time",
+            F.coalesce("success_object_num", F.lit(0))
+            .cast("long")
+            .alias("success_object_num"),
+            F.coalesce("failed_object_num", F.lit(0))
+            .cast("long")
+            .alias("failed_object_num"),
+            F.coalesce("success_object_size", F.lit(0))
+            .cast("long")
+            .alias("success_object_size"),
+            F.coalesce("failed_object_size", F.lit(0))
+            .cast("long")
+            .alias("failed_object_size"),
+        )
+        .orderBy("start_time")
+    )
+
+
+def dashboard_report(
+    spark: SparkSession,
+    stat_dir: str,
+    total_objects: int | None = None,
+    total_size: int | None = None,
+    window_minutes: int = 60,
+) -> dict:
+    """§3.3 serving leg, combined: the one JSON report covering BOTH
+    UICenter routes (`/totalProgress` + `/tasksGraph`,
+    `UICenter/BackEnd/server.py:10-45`) from a stat dir — the last
+    reference entry point with no runnable analogue until round 9.
+
+      progress — the D7/D8 rollup (success/failed counts + bytes), plus
+          start_time/end_time bounds, estimate_speed in bytes/min
+          (`returnTotalProgressData`'s successSize/elapsed-minutes formula,
+          ddbModel.py:244-247, with the stat table's own [min,max] span as
+          the elapsed clock — deterministic, serving-time-free), and, when
+          the manifest totals are supplied (the route reads them from the
+          job statistics), pct_objects / pct_size / eta_seconds.
+      graph — dashboard_graph's zero-filled minute series, rendered as the
+          route's parallel arrays.
+
+    Driver-side state is the report itself: one 1-row agg collect + one
+    `window_minutes`-row collect."""
+    stat = spark.read.parquet(stat_dir).filter(F.col("time_unit") == 1)
+    row = stat.agg(
+        F.sum("success_object_size").alias("success_size"),
+        F.sum("success_object_num").alias("success_num"),
+        F.sum("failed_object_size").alias("failed_size"),
+        F.sum("failed_object_num").alias("failed_num"),
+        F.min("start_time").alias("t_lo"),
+        F.max("start_time").alias("t_hi"),
+    ).collect()[0]
+    progress = {
+        "success_size": int(row["success_size"] or 0),
+        "success_num": int(row["success_num"] or 0),
+        "failed_size": int(row["failed_size"] or 0),
+        "failed_num": int(row["failed_num"] or 0),
+        "start_time": None if row["t_lo"] is None else int(row["t_lo"]),
+        "end_time": None if row["t_hi"] is None else int(row["t_hi"]),
+    }
+    elapsed_min = (
+        (progress["end_time"] - progress["start_time"]) / 60 + 1
+        if progress["start_time"] is not None
+        else 0
+    )
+    speed = progress["success_size"] / elapsed_min if elapsed_min else 0.0
+    progress["estimate_speed"] = round(speed, 3)
+    if total_objects is not None:
+        progress["total_objects"] = int(total_objects)
+        progress["pct_objects"] = round(
+            100.0 * progress["success_num"] / total_objects, 3
+        ) if total_objects else None
+    if total_size is not None:
+        progress["total_size"] = int(total_size)
+        progress["pct_size"] = round(
+            100.0 * progress["success_size"] / total_size, 3
+        ) if total_size else None
+        remaining = max(0, int(total_size) - progress["success_size"])
+        progress["eta_seconds"] = (
+            round(remaining / speed * 60, 3) if speed > 0 else None
+        )
+    g = dashboard_graph(spark, stat_dir, window_minutes=window_minutes).collect()
+    graph = {
+        "start_times": [int(r["start_time"]) for r in g],
+        "success_objects": [int(r["success_object_num"]) for r in g],
+        "failure_objects": [int(r["failed_object_num"]) for r in g],
+        "success_bytes": [int(r["success_object_size"]) for r in g],
+        "failure_bytes": [int(r["failed_object_size"]) for r in g],
+    }
+    return {"progress": progress, "graph": graph}

@@ -104,9 +104,41 @@ def test_pipeline_lifecycle(spark, tmp_path, capsys):
     assert f"success={n_tasks} failed=0" in out
 
     assert run(spark, "monitor", "--copy-log-dir", log, "--stat-dir", stat) == 0
-    assert run(spark, "dashboard", "--stat-dir", stat) == 0
-    shown = capsys.readouterr().out
-    assert "success_num" in shown
+
+    # dashboard = the combined UICenter serving report; its fields must
+    # agree with the batch operators it fronts (r8 verdict item 6)
+    from s3bigdatasync_spark.plans.pipeline import dashboard_graph, dashboard_progress
+
+    total_size = int(json.loads(open(stats).read())["statistics"].get(
+        "total_size_bytes", 0
+    )) or None
+    argv = ["dashboard", "--stat-dir", stat, "--total-objects", str(n_tasks)]
+    if total_size:
+        argv += ["--total-size", str(total_size)]
+    capsys.readouterr()  # drain the monitor verb's status line
+    assert run(spark, *argv) == 0
+    report = json.loads(capsys.readouterr().out)
+
+    prog = dashboard_progress(spark, stat).collect()[0]
+    assert report["progress"]["success_num"] == prog["success_num"] == n_tasks
+    assert report["progress"]["success_size"] == prog["success_size"]
+    assert report["progress"]["failed_num"] == prog["failed_num"] == 0
+    assert report["progress"]["total_objects"] == n_tasks
+    assert report["progress"]["pct_objects"] == 100.0
+    if total_size:
+        assert report["progress"]["pct_size"] == 100.0
+        assert report["progress"]["eta_seconds"] == 0.0
+    assert report["progress"]["estimate_speed"] > 0
+
+    g = dashboard_graph(spark, stat).collect()
+    assert len(report["graph"]["success_objects"]) == 60 == len(g)
+    assert report["graph"]["success_objects"] == [
+        r["success_object_num"] for r in g
+    ]
+    # the graph window covers the whole (single-minute) test run, so the
+    # zero-filled series must account for every object exactly once
+    assert sum(report["graph"]["success_objects"]) == n_tasks
+    assert sum(report["graph"]["failure_objects"]) == 0
 
 
 def test_copy_fn_backends(tmp_path):

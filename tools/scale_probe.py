@@ -68,6 +68,14 @@ DOC_QUERIES = [
     "mix_temperature_sweep",
     "pq_distortion",
     "ivf_nprobe_curve",
+    # round-9 batch: the r8 tail the verdict flagged unprobed, the minhash/
+    # band family (100x target), and the retrained-PQ audit
+    "span_removal_plan",
+    "span_removal_apply",
+    "hard_negative_recall",
+    "lsh_band_plan",
+    "minhash_signatures",
+    "pq_code_balance",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
