@@ -45,12 +45,18 @@ def test_query_csv_out(spark, tmp_path):
 
 
 def test_sql_over_views(spark, capsys):
+    # sf0.01 on purpose: registration cost is plan CONSTRUCTION (~2 min for
+    # 175 queries, data-size-independent), and register_query_views memoizes
+    # per (session, sf_dir) — using conftest's sf_dir shares one
+    # registration with test_sql_surface.py instead of paying a second
+    SF_DIR = "/root/testdata/sf0.01"  # == conftest.SF_DIR
+
     rc = run(
         spark,
         "sql",
         "SELECT variance, n_objects FROM diff_summary_v ORDER BY variance",
         "--sf-dir",
-        SF,
+        SF_DIR,
     )
     assert rc == 0
     assert "New" in capsys.readouterr().out
