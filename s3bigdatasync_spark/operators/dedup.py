@@ -1837,7 +1837,10 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by #sources² — output never grows with corpus size."""
     pairs = ngram_jaccard_pairs(spark, sf_dir)
     docs = prepared(spark, sf_dir).table("documents").select("doc_id", "source")
-    da, db = docs.alias("da"), docs.alias("db")
+    # |docs|-row label projection: shuffle-hash, never a driver broadcast
+    # (the _jaccard_scores_from counts-join doctrine)
+    da = docs.alias("da").hint("shuffle_hash")
+    db = docs.alias("db").hint("shuffle_hash")
     src_x = F.least(F.col("da.source"), F.col("db.source"))
     src_y = F.greatest(F.col("da.source"), F.col("db.source"))
     return (
@@ -1918,7 +1921,13 @@ def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
         .distinct()
         .transform(scoped_cache)  # feeds the agreement probe and the candidate-doc semi-join
     )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    # sigs is |docs|-rows × 12 md5 strings — shuffle-hash, never a
+    # driver-built broadcast (the r8 _jaccard_scores_from doctrine: the 100×
+    # explain audit showed Catalyst volunteering these as broadcast builds
+    # off post-cache estimates; fine at 500k docs, a driver OOM at corpus
+    # scale — SCALING.md "round-9 100× minhash audit")
+    sa = sigs.alias("sa").hint("shuffle_hash")
+    sb = sigs.alias("sb").hint("shuffle_hash")
     n_match = sum(
         F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
         for k in range(MINHASH_K)
@@ -1937,7 +1946,13 @@ def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
     # cache-pin: the candidate-restricted shingle relation feeds the pair
     # intersection (both sides) and the per-doc counts
     shc = sh.join(cdocs, "doc_id", "left_semi").transform(scoped_cache)
-    x, y = shc.alias("x"), shc.alias("y")
+    # same hint discipline as _jaccard_scores_from: shc sits under a
+    # semi-join whose size estimate is far below reality — the self-join
+    # must shuffle on shingle, and the per-doc counts must never be a
+    # driver-built broadcast (both are candidate-set-sized, which is
+    # data-sized in the adversarial case)
+    x = shc.alias("x")
+    y = shc.alias("y").hint("merge")
     inter = (
         x.join(
             y,
@@ -1948,7 +1963,8 @@ def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("ix"))
     )
     cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    ca = cnt.alias("ca").hint("shuffle_hash")
+    cb = cnt.alias("cb").hint("shuffle_hash")
     est_j = F.round(F.col("n_sig_match") / F.lit(MINHASH_K), 6)
     ex_j = F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6)
     return (

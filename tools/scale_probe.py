@@ -216,9 +216,17 @@ def build_scaled_docs_dir(
             if boiler_mod and j % 100 < boiler_mod:
                 rr["text"] = rr["text"] + " " + BOILER_BLOCK
             drows.append(rr)
+    # row_group_size matters: pyarrow's default (1M rows) would put the whole
+    # scaled corpus in ONE row group, and a row group is Spark's atomic scan
+    # split - every scan stage would single-thread through one fat task and
+    # the probe would measure that artifact, not the plan (caught live in
+    # round 9: a 100x minhash probe ground one core for 10+ minutes while 31
+    # sat idle). 10k rows/group = 50 parallel splits at 100x, the shape a
+    # real multi-file corpus has for free.
     pq.write_table(
         pa.Table.from_pylist(drows, schema=pq.read_schema(f"{BASE_SF}/documents.parquet")),
         str(out / "documents.parquet"),
+        row_group_size=10_000,
     )
 
     erows = []
@@ -233,6 +241,7 @@ def build_scaled_docs_dir(
     pq.write_table(
         pa.Table.from_pylist(erows, schema=pq.read_schema(f"{BASE_SF}/embeddings.parquet")),
         str(out / "embeddings.parquet"),
+        row_group_size=10_000,
     )
 
     for t in (
