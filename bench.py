@@ -127,6 +127,9 @@ HEADLINE = [
     "mix_temperature_sweep", # tempered source shares across the T dial
     "pq_distortion",         # PQ reconstruction-error decile spectrum
     "ivf_nprobe_curve",      # recall per cells-probed (IVF vs PQ loss split)
+    # round-9 additions
+    "pq_code_balance",       # per-subspace codebook-utilization audit
+    "span_removal_apply",    # removal-plan execution into cleaned text
 ]
 
 
