@@ -130,6 +130,7 @@ HEADLINE = [
     # round-9 additions
     "pq_code_balance",       # per-subspace codebook-utilization audit
     "span_removal_apply",    # removal-plan execution into cleaned text
+    "ann_topk_batch",        # 8-query batch exact top-k (one broadcast pass)
 ]
 
 

@@ -94,6 +94,7 @@ PACK_SPECS: dict[str, list[str]] = {
     # baseline the near-dup family audits against)
     "pack_r9": [
         "pq_code_balance",
+        "ann_topk_batch",
         "exact_dedup",
     ],
     # round-8 additions: the
@@ -304,6 +305,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("content_hash", "str"),
         ("n_copies", "int"),
         ("keeper_doc_id", "int"),
+    ],
+    "ann_topk_batch": [
+        ("qid", "int"),
+        ("vec_id", "int"),
+        ("cosine", "num"),
+        ("rank", "int"),
     ],
     "hard_negative_recall": [
         ("p_id", "int"),

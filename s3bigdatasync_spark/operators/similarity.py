@@ -1294,8 +1294,78 @@ ORDER BY e.p_id
 """
 
 
+# --- ann_topk_batch: the batch-serving shape ---------------------------------
+
+N_BATCH_Q = 8  # probe queries per batch (lowest md5(vec_id) — hash spread)
+
+
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one pass — the
+    shape a real ANN serving/audit job has (requests arrive in batches;
+    recall audits sample probe sets), where every other ANN operator here is
+    single-query. The probe set is the N_BATCH_Q vectors with the lowest
+    md5(vec_id) (the hash-spread sample the r9 PQ init uses — deterministic,
+    engine-portable, uncorrelated with vec_id order).
+
+    Plan shape: the 8-row (qid, qv) relation broadcasts against the corpus
+    (BroadcastNestedLoopJoin with a constant-bounded side — the audited
+    pack_ann pattern, never a shuffle cartesian); cosine is the shared
+    sequential-fold `_dot` so DuckDB replays it bitwise; per-query top-k is
+    one window partitioned by qid. At 100 TB the window sorts n rows per
+    query — brute force IS the audit yardstick (ann_recall_audit's role);
+    a production batch query composes the same 8-row broadcast with the
+    LSH/IVF candidate restriction (ann_lsh_topk / ivf_pq_search) so each
+    query's window sees only its candidate set. Determinism: cosine rounds
+    6dp, ties break by vec_id, self-match excluded."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    qs = (
+        emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_BATCH_Q)
+    )
+    cos = F.round(
+        _dot("embedding", "qv")
+        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        6,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("qid", "rank")
+    )
+
+
+_ANN_BATCH_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {N_BATCH_Q}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {_cos_sql('e.embedding', 'q.qv')} AS cosine
+  FROM embeddings e, qs q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, cast(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_batch": ann_topk_batch,
     "ann_recall_audit": ann_recall_audit,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
@@ -1334,6 +1404,7 @@ SELECT vec_id, label, clabel AS assigned FROM r WHERE rn = 1
 
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
+    "ann_topk_batch": _ANN_BATCH_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "ivf_assign": _IVF_ASSIGN_SQL,

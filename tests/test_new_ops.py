@@ -1014,3 +1014,46 @@ def test_ivf_nprobe_curve_consistency(spark):
     search_ids = {r["vec_id"] for r in pq.pq_search(spark, SF).collect()}
     full = {r["nprobe"]: r for r in rows}[max(pq.NPROBE_SWEEP)]
     assert full["n_hit"] == len(exact_ids & search_ids)
+
+
+def test_ann_topk_batch_matches_numpy(spark):
+    """Every probe query's batch result equals an independent numpy
+    brute-force top-k under the same contract (6dp-rounded cosine desc,
+    vec_id tie-break, self excluded) — and the probe set is exactly the
+    N_BATCH_Q lowest-md5 vec_ids."""
+    import hashlib
+
+    import numpy as np
+
+    from s3bigdatasync_spark.operators import prepared
+
+    rows = (
+        prepared(spark, SF)
+        .table("embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    want_qids = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(int(v)).encode()).hexdigest(), v)
+    )[: similarity.N_BATCH_Q]
+
+    got = [r.asDict() for r in similarity.ann_topk_batch(spark, SF).collect()]
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert sorted(by_q) == sorted(want_qids)
+
+    for qid in want_qids:
+        q = vecs[qid]
+        scored = sorted(
+            (
+                (-round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            )
+        )[: similarity.TOP_K]
+        want = [(vid, -negc) for negc, vid in scored]
+        rows_q = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert len(rows_q) == similarity.TOP_K
+        assert [(r["vec_id"], r["cosine"]) for r in rows_q] == pytest.approx(want)

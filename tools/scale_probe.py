@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "lsh_band_plan",
     "minhash_signatures",
     "pq_code_balance",
+    "ann_topk_batch",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
