@@ -211,6 +211,28 @@ def _cmd_ppl_gate(spark: SparkSession, args) -> int:
     return 0
 
 
+def _cmd_dedup_gate(spark: SparkSession, args) -> int:
+    from .streaming.dedup_gate import (
+        DOCS_STREAM_SCHEMA,
+        admission_report,
+        stream_dedup_state,
+    )
+
+    q = stream_dedup_state(
+        spark,
+        args.docs_dir,
+        args.state_dir,
+        args.checkpoint_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(args.docs_dir)
+    admission_report(spark, args.state_dir, docs).orderBy(
+        "content_hash", "doc_id"
+    ).show(args.limit, truncate=False)
+    return 0
+
+
 def _cmd_trending(spark: SparkSession, args) -> int:
     from .streaming.trending import stream_trending_types
 
@@ -407,6 +429,19 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--checkpoint-dir", required=True)
     pg.add_argument("--max-files-per-trigger", type=int, default=10)
     pg.add_argument("--limit", type=int, default=50)
+
+    dg = add(
+        "dedup-gate",
+        _cmd_dedup_gate,
+        help="incremental content-hash dedup index over new document drops;"
+        " prints the admission report (admit = global keeper) for"
+        " everything landed (drains available data)",
+    )
+    dg.add_argument("--docs-dir", required=True)
+    dg.add_argument("--state-dir", required=True)
+    dg.add_argument("--checkpoint-dir", required=True)
+    dg.add_argument("--max-files-per-trigger", type=int, default=10)
+    dg.add_argument("--limit", type=int, default=50)
 
     tr = add(
         "trending",

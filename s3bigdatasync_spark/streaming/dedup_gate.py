@@ -1,0 +1,181 @@
+"""Streaming exact-dedup admission gate — the streaming leg of
+operators/dedup.exact_dedup (and the at-scale realization of the
+reference's "sent-log dedup" idea, `docs/Tasks.md` B2, applied to corpus
+content instead of queue messages).
+
+The batch operator re-hashes the whole corpus per run; an ingest pipeline
+needs the admission decision ("is this document's content already owned by
+an earlier doc?") incrementally as drops land. The sufficient statistic is
+the per-content-hash (n_copies, keeper_doc_id) relation: counts merge by
+addition, keepers merge by MIN — both associative, commutative, and
+batching-independent, so the state is maintained by drift.py's shared
+`versioned_count_sink` (versioned counts+files dirs, monotonic versions,
+meta flipped last, file-identity idempotence; every crash-window argument
+in drift.py's module docstring applies verbatim — this module adds only
+the merge aggregate `min(keeper)`).
+
+Decision order is merge-THEN-decide, the ppl_gate contract: a batch's
+hashes enter the state before its documents are gated, so the keeper for
+every content group is the GLOBAL min doc_id over everything seen and the
+parity oracle is exact:
+
+    dedup_state(state after draining appends)
+        == exact_dedup's (content_hash, n_copies, keeper_doc_id)
+           over everything landed
+
+(tests/test_stream_dedup_gate.py pins it after every round of appends, and
+pins the admission report against a batch recomputation.) Like
+ppl_gate_report, `admission_report` fails loudly if any landed document's
+hash is missing from the state (files landed after the stream drained)
+rather than silently gating a smaller population.
+
+Relation to streaming/ingest.py (which also keeps a content-hash seen-log):
+ingest is an append-only ADMISSION PIPE — first ARRIVAL wins, decisions are
+final at arrival time, the seen-log is batch_id-guarded (exact under an
+intact checkpoint; checkpoint replacement needs its documented drain-first
+discipline). This module is the INDEX: it maintains exact_dedup's global
+(min doc_id) keeper semantics bitwise — a late-arriving doc with a lower
+doc_id takes ownership, n_copies is a true duplication census, any doc set
+can be re-gated retroactively — and it rides the stronger versioned +
+file-identity machinery, so checkpoint replacement degrades to a harmless
+re-listing. A pipeline uses ingest to admit, and this index to audit /
+re-derive canonical ownership when the corpus is re-cut.
+
+Scale, stated honestly: unlike drift/ppl_gate (state bounded by
+|keys × vocabulary|), this state has one row per DISTINCT content — it
+grows with unique corpus content, not with volume (re-delivered and
+duplicated documents add nothing). That is the minimal sufficient
+statistic for exact dedup; it is exactly the hash index every incremental
+deduper ships, ~50 B/distinct doc, and at deployment scale the state
+table is written bucketed by hash prefix so the per-batch merge is a
+co-partitioned join, never a full rewrite of anything data-sized per row.
+Per-batch work: one hash+agg over the NEW documents plus a merge keyed on
+content_hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..operators.dedup import _norm_text
+from .drift import read_versioned_counts, versioned_count_sink
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = "content_hash string, c long, keeper long"
+
+
+def _hash_counts(docs: DataFrame) -> DataFrame:
+    """Per-batch sufficient statistic: (content_hash, c, keeper) over the
+    fresh rows — the exact_dedup hash contract (md5 of whitespace-collapsed
+    lowercased text) so stream state and batch operator agree bitwise."""
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The running (content_hash, c, keeper) index — empty before the first
+    applied batch."""
+    return read_versioned_counts(spark, state_dir, _STATE_SCHEMA)
+
+
+def dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The state rendered in exact_dedup's exact output shape
+    (content_hash, n_copies, keeper_doc_id) — the parity surface."""
+    return read_dedup_state(spark, state_dir).select(
+        "content_hash",
+        F.col("c").alias("n_copies"),
+        F.col("keeper").alias("keeper_doc_id"),
+    )
+
+
+def stream_dedup_state(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Maintain the content-hash index over an append-only document dir.
+    Returns the StreamingQuery (availableNow trigger: drains the backlog,
+    then stops — re-run on the same checkpoint for new files)."""
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    sink = versioned_count_sink(
+        state_dir,
+        _STATE_SCHEMA,
+        ["content_hash"],
+        _hash_counts,
+        agg_exprs=[F.sum("c").alias("c"), F.min("keeper").alias("keeper")],
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def admission_report(
+    spark: SparkSession, state_dir: str, docs: DataFrame
+) -> DataFrame:
+    """The gate decision for any (doc_id, text) relation against the current
+    index: (doc_id, content_hash, keeper_doc_id, n_copies, admit) — admit
+    iff this doc IS its content's keeper (the lowest doc_id ever seen with
+    that content). One hash projection + one equi-join against the bounded
+    state; documents already merged are never re-read by the state side.
+
+    Loud-failure contract (the ppl_gate_report precedent): a document whose
+    hash is absent from the state has landed after the stream drained — the
+    report refuses to render instead of silently mis-gating it (an absent
+    hash would otherwise read as "admit", the one wrong default for a
+    dedup gate)."""
+    hashed = docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+    state = dedup_state(spark, state_dir)
+    joined = hashed.join(state, "content_hash", "left").select(
+        "doc_id",
+        "content_hash",
+        "keeper_doc_id",
+        "n_copies",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("admit"),
+    )
+    from ..operators import scoped_cache
+
+    joined = scoped_cache(joined)
+    missing = joined.filter(F.col("keeper_doc_id").isNull())
+    n_missing = missing.count()
+    if n_missing:
+        sample = [r["doc_id"] for r in missing.limit(5).collect()]
+        raise ValueError(
+            f"admission_report: {n_missing} document(s) have no entry in the "
+            f"dedup state (e.g. doc_id {sample}) — the state is stale for "
+            "them (files landed after the stream drained). Re-run "
+            "stream_dedup_state to merge, then gate."
+        )
+    return joined
+
+
+def batch_equivalent(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """What the streamed state must equal: exact_dedup's core over one pass
+    of everything that has landed."""
+    docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir)
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )

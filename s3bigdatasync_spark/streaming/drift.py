@@ -193,12 +193,23 @@ def stream_source_drift(
     )
 
 
-def versioned_count_sink(state_dir: str, counts_schema: str, key_cols, count_fn):
+def versioned_count_sink(
+    state_dir: str, counts_schema: str, key_cols, count_fn, agg_exprs=None
+):
     """foreachBatch sink maintaining an addition-merged count state under
     the versioned exactly-once protocol this module documents — parametric
     over the count key so differently-keyed states (source-drift here, the
-    ppl_gate LM in streaming/ppl_gate.py) share ONE implementation of the
-    crash-window machinery instead of cloning it."""
+    ppl_gate LM in streaming/ppl_gate.py, the dedup_gate hash index) share
+    ONE implementation of the crash-window machinery instead of cloning it.
+
+    agg_exprs optionally overrides the merge aggregation (default
+    [sum(c) AS c]): any per-key aggregates that are associative and
+    commutative over union keep the exactly-once argument intact — the
+    merge of (old state ∪ fresh counts) is order- and batching-independent,
+    so a replay from the still-pointed-at old version reproduces the same
+    state. dedup_gate adds min(keeper): min is idempotent under re-union,
+    exactly like sum over the file-filtered fresh rows."""
+    merge_aggs = agg_exprs if agg_exprs is not None else [F.sum("c").alias("c")]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -220,7 +231,7 @@ def versioned_count_sink(state_dir: str, counts_schema: str, key_cols, count_fn)
         merged = (
             old.unionByName(count_fn(fresh))
             .groupBy(*key_cols)
-            .agg(F.sum("c").alias("c"))
+            .agg(*merge_aggs)
         )
         files = applied.unionByName(fresh.select("file_path").distinct()).distinct()
         # the merge result must not depend on the files it's about to replace;

@@ -393,3 +393,29 @@ def test_cli_layout_rewrite_interrupted_by_source_change(
     assert not (out / "_range_manifest.json").exists()
     assert load_table_layout(spark, str(root), "inventory_src", ["key", "size"]) is None
     _PREPARED.clear()
+
+
+def test_dedup_gate_subcommand(spark, tmp_path, capsys):
+    from s3bigdatasync_spark.streaming.dedup_gate import DOCS_STREAM_SCHEMA
+
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (1, "same content here", "lang0"),
+        (2, "same content here", "lang0"),
+        (3, "unique content", "lang1"),
+    ]
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    rc = run(
+        spark,
+        "dedup-gate",
+        "--docs-dir", docs_dir,
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "admit" in out and "keeper_doc_id" in out
+    # doc 1 owns the duplicated content, doc 2 is gated out, doc 3 admits
+    assert out.count("true") == 2 and out.count("false") == 1

@@ -1,0 +1,218 @@
+"""Streaming dedup-gate parity: the content-hash index maintained by the
+shared versioned sink must equal exact_dedup's batch core over everything
+landed, after every round of appends — counts merge by sum, keepers by min,
+both batching-independent. The crash-window guarantees are drift.py's; one
+kill test pins that the shared machinery holds for the min-merge key shape
+too (the 13th exactly-once module)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3bigdatasync_spark.streaming.dedup_gate import (
+    DOCS_STREAM_SCHEMA,
+    admission_report,
+    batch_equivalent,
+    dedup_state,
+    read_dedup_state,
+    stream_dedup_state,
+)
+from s3bigdatasync_spark.streaming.drift import _read_meta
+
+
+def _mk_docs(tag: str, n: int, dup_every: int = 3):
+    """Deterministic docs with REAL duplicate structure: every dup_every-th
+    doc reuses the text of the doc dup_every before it (within and across
+    rounds a/b/c share no text — the keeper contract is exercised by the
+    within-stream dups plus the cross-round redelivery tests)."""
+    rows = []
+    for i in range(n):
+        base = i - (i % dup_every) if i % dup_every == dup_every - 1 else i
+        rows.append(
+            (
+                # deterministic ids (ord-offset pattern — hash() is salted)
+                ord(tag) * 10_000 + i,
+                f"alpha {tag} body tok{base % 7} gamma tok{base % 5} omega",
+                f"lang{i % 2}",
+            )
+        )
+    return rows
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _landed(spark, docs_dir):
+    return spark.read.schema(DOCS_STREAM_SCHEMA).parquet(docs_dir)
+
+
+def test_incremental_state_equals_batch(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for round_tag, n in (("a", 40), ("b", 25), ("c", 10)):
+        spark.createDataFrame(_mk_docs(round_tag, n), DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt, max_files_per_trigger=1)
+        q.awaitTermination(120)
+        got = _rows(dedup_state(spark, state_dir))
+        want = _rows(batch_equivalent(spark, docs_dir))
+        assert got == want
+    assert len(got) < 75  # the dup structure actually collapsed something
+
+
+def test_admission_report_matches_batch_decision(spark, tmp_path):
+    """Every landed doc is gated; admit iff it is the global keeper of its
+    content — recomputed independently from the batch core."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for round_tag, n in (("a", 30), ("b", 20)):
+        spark.createDataFrame(_mk_docs(round_tag, n), DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+
+    rep = {r["doc_id"]: r for r in admission_report(
+        spark, state_dir, _landed(spark, docs_dir)
+    ).collect()}
+    assert len(rep) == 50
+    keepers = {
+        r["content_hash"]: r["keeper_doc_id"]
+        for r in batch_equivalent(spark, docs_dir).collect()
+    }
+    n_admit = 0
+    for doc_id, r in rep.items():
+        assert r["admit"] == (keepers[r["content_hash"]] == doc_id)
+        n_admit += bool(r["admit"])
+    assert n_admit == len(keepers)  # exactly one admit per distinct content
+
+
+def test_admission_report_refuses_stale_state(spark, tmp_path):
+    """A file landing AFTER the drain has hashes the index never saw; an
+    absent hash would read as 'admit' — the one wrong default for a dedup
+    gate. The report must fail loudly, then succeed after a merge."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(_mk_docs("a", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    straggler = [(999_001, "entirely novel straggler content", "lang0")]
+    spark.createDataFrame(straggler, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    with pytest.raises(ValueError, match="no entry in the dedup state"):
+        admission_report(spark, state_dir, _landed(spark, docs_dir))
+
+    q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    rep = admission_report(spark, state_dir, _landed(spark, docs_dir))
+    row = rep.filter(rep.doc_id == 999_001).collect()[0]
+    assert row["admit"] and row["n_copies"] == 1
+
+
+def test_duplicate_batch_is_skipped(spark, tmp_path):
+    """Re-delivering an applied batch must not inflate n_copies or move a
+    keeper — min(keeper) is idempotent and the file log blocks re-counting."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(_mk_docs("x", 30), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+    before_meta = _read_meta(spark, state_dir)
+    before = _rows(dedup_state(spark, state_dir))
+
+    q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    assert _read_meta(spark, state_dir) == before_meta
+    assert _rows(dedup_state(spark, state_dir)) == before
+
+
+def test_checkpoint_replacement_is_exactly_once(spark, tmp_path):
+    """Checkpoint loss renumbers batches from 0; old files must not
+    double-count (n_copies would inflate) while new files still apply."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+
+    spark.createDataFrame(_mk_docs("a", 30), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, str(tmp_path / "ckpt1"))
+    q.awaitTermination(120)
+
+    spark.createDataFrame(_mk_docs("b", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q2 = stream_dedup_state(
+        spark, docs_dir, state_dir, str(tmp_path / "ckpt2"), max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+
+    assert _rows(dedup_state(spark, state_dir)) == _rows(
+        batch_equivalent(spark, docs_dir)
+    )
+
+
+def test_crash_between_counts_commit_and_meta_flip(spark, tmp_path):
+    """The shared sink's crash window, exercised on the MIN-merge key shape:
+    counts_v1/files_v1 fully committed, killed before the meta flip. The
+    half-committed version must stay unreachable, and the redelivered batch
+    must land exactly once — keepers stable, n_copies not doubled."""
+    from pyspark.sql import functions as F
+
+    from s3bigdatasync_spark.streaming.dedup_gate import _hash_counts
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(_mk_docs("a", 30), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+    assert _read_meta(spark, state_dir) == 0
+    state_v0 = _rows(dedup_state(spark, state_dir))
+
+    # drop B lands; its batch crashes after the counts/files writes but
+    # before the meta flip (the sink's first two writes performed by hand)
+    spark.createDataFrame(_mk_docs("b", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    b_docs = _landed(spark, docs_dir).withColumn("file_path", F.input_file_name())
+    applied = spark.read.parquet(f"{state_dir}/files_v0")
+    fresh = b_docs.join(applied, "file_path", "left_anti")
+    merged = (
+        read_dedup_state(spark, state_dir)
+        .unionByName(_hash_counts(fresh))
+        .groupBy("content_hash")
+        .agg(F.sum("c").alias("c"), F.min("keeper").alias("keeper"))
+    )
+    merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v1")
+    applied.unionByName(fresh.select("file_path").distinct()).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/files_v1")
+    # CRASH here: no meta flip
+
+    assert _read_meta(spark, state_dir) == 0
+    assert _rows(dedup_state(spark, state_dir)) == state_v0  # v1 unreachable
+
+    q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    assert _read_meta(spark, state_dir) == 1
+    assert _rows(dedup_state(spark, state_dir)) == _rows(
+        batch_equivalent(spark, docs_dir)
+    )
