@@ -131,6 +131,7 @@ HEADLINE = [
     "pq_code_balance",       # per-subspace codebook-utilization audit
     "span_removal_apply",    # removal-plan execution into cleaned text
     "ann_topk_batch",        # 8-query batch exact top-k (one broadcast pass)
+    "ann_topk_batch_lsh",    # batch top-k through the multi-probe LSH index
 ]
 
 

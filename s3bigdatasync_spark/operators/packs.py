@@ -95,6 +95,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_r9": [
         "pq_code_balance",
         "ann_topk_batch",
+        "ann_topk_batch_lsh",
         "exact_dedup",
     ],
     # round-8 additions: the
@@ -307,6 +308,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("keeper_doc_id", "int"),
     ],
     "ann_topk_batch": [
+        ("qid", "int"),
+        ("vec_id", "int"),
+        ("cosine", "num"),
+        ("rank", "int"),
+    ],
+    "ann_topk_batch_lsh": [
         ("qid", "int"),
         ("vec_id", "int"),
         ("cosine", "num"),

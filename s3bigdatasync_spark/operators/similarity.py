@@ -1363,9 +1363,86 @@ ORDER BY qid, rank
 """
 
 
+def ann_topk_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk_batch through the LSH index — the PRODUCTION batch path the
+    brute-force batch audits. Same 8-query hash-spread probe set; per query,
+    candidates are restricted to sign-LSH buckets within Hamming distance
+    PROBE_RADIUS of that query's bucket (ann_lsh_topk's multi-probe dial,
+    applied per batch member), exact cosine only on candidates, top-k per
+    query. May return fewer than TOP_K rows for a query whose probed buckets
+    are sparse — that is the recall/latency trade the radius sets, audited
+    against the exact batch in tests.
+
+    Plan shape: ONE bucket projection over the corpus (whole-stage codegen),
+    one broadcast of the 8-row (qid, qv, qbucket) relation, the Hamming
+    filter prunes before any cosine is computed, and the per-qid window
+    sorts only candidates (37/256 of the space at radius 2) — at production
+    scale the corpus is written bucket-partitioned and the probe set is a
+    partition-pruning predicate per query, so a batch reads the union of
+    the probed partitions once."""
+    emb = prepared(spark, sf_dir).table("embeddings")
+    bucketed = emb.withColumn("bucket", _bucket_spark("embedding"))
+    qs = (
+        bucketed.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .orderBy(F.md5(F.col("qid").cast("string")), "qid")
+        .limit(N_BATCH_Q)
+    )
+    cos = F.round(
+        _dot("embedding", "qv")
+        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        6,
+    )
+    scored = (
+        bucketed.crossJoin(F.broadcast(qs))
+        .filter(
+            (
+                F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+                <= PROBE_RADIUS
+            )
+            & (F.col("vec_id") != F.col("qid"))
+        )
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("qid", "rank")
+    )
+
+
+_ANN_BATCH_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket FROM b
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {N_BATCH_Q}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {_cos_sql('e.embedding', 'q.qv')} AS cosine
+  FROM b e, qs q
+  WHERE bit_count(xor(e.bucket, q.qbucket)) <= {PROBE_RADIUS}
+    AND e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cosine, cast(rn AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_batch": ann_topk_batch,
+    "ann_topk_batch_lsh": ann_topk_batch_lsh,
     "ann_recall_audit": ann_recall_audit,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
@@ -1405,6 +1482,7 @@ SELECT vec_id, label, clabel AS assigned FROM r WHERE rn = 1
 ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_batch": _ANN_BATCH_SQL,
+    "ann_topk_batch_lsh": _ANN_BATCH_LSH_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "ivf_assign": _IVF_ASSIGN_SQL,

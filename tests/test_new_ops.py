@@ -1057,3 +1057,63 @@ def test_ann_topk_batch_matches_numpy(spark):
         rows_q = sorted(by_q[qid], key=lambda r: r["rank"])
         assert len(rows_q) == similarity.TOP_K
         assert [(r["vec_id"], r["cosine"]) for r in rows_q] == pytest.approx(want)
+
+
+def test_ann_topk_batch_lsh_is_candidate_restricted(spark):
+    """The LSH batch path returns, per query, exactly the top-k BY COSINE of
+    the multi-probe candidate set (recomputed independently), and its
+    recall against the exact batch is the radius's trade — positive and
+    bounded, never silently empty."""
+    import numpy as np
+
+    from s3bigdatasync_spark.operators import prepared
+    from s3bigdatasync_spark.operators.vector_lsh import plane_sign
+
+    rows = (
+        prepared(spark, SF)
+        .table("embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+    def bucket(v):
+        out = 0
+        for p in range(similarity.N_PLANES):
+            w = np.array([plane_sign(p, i) for i in range(similarity.DIM)])
+            if float(v @ w) > 0:
+                out += 2**p
+        return out
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    got = [r.asDict() for r in similarity.ann_topk_batch_lsh(spark, SF).collect()]
+    exact = [r.asDict() for r in similarity.ann_topk_batch(spark, SF).collect()]
+    by_q, exact_by_q = {}, {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert sorted(by_q) == sorted(exact_by_q)
+
+    hits = total = 0
+    for qid, rows_q in by_q.items():
+        qb = buckets[qid]
+        cand = {
+            vid
+            for vid, b in buckets.items()
+            if vid != qid and bin(b ^ qb).count("1") <= similarity.PROBE_RADIUS
+        }
+        ids = [r["vec_id"] for r in rows_q]
+        assert set(ids) <= cand  # every result came from a probed bucket
+        # independently recompute the candidate top-k under the contract
+        q = vecs[qid]
+        scored = sorted(
+            (
+                (-round(float(vecs[v] @ q / (np.linalg.norm(vecs[v]) * np.linalg.norm(q))), 6), v)
+                for v in cand
+            )
+        )[: similarity.TOP_K]
+        assert ids == [v for _, v in scored]
+        hits += len(set(ids) & exact_by_q[qid])
+        total += len(exact_by_q[qid])
+    assert 0.2 <= hits / total <= 1.0  # the radius's recall trade, not a void

@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "minhash_signatures",
     "pq_code_balance",
     "ann_topk_batch",
+    "ann_topk_batch_lsh",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
