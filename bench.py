@@ -132,6 +132,7 @@ HEADLINE = [
     "span_removal_apply",    # removal-plan execution into cleaned text
     "ann_topk_batch",        # 8-query batch exact top-k (one broadcast pass)
     "ann_topk_batch_lsh",    # batch top-k through the multi-probe LSH index
+    "ivf_cell_balance",      # coarse-quantizer cell-occupancy audit
 ]
 
 

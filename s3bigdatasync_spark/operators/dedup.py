@@ -1843,13 +1843,25 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = docs.alias("db").hint("shuffle_hash")
     src_x = F.least(F.col("da.source"), F.col("db.source"))
     src_y = F.greatest(F.col("da.source"), F.col("db.source"))
+    # mean from exact micro-integer sums: jaccard is 6dp grid-valued, and
+    # round(avg(grid values), 6) can land on an exact .5e-6 boundary where
+    # float summation order decides the side (round-9 lesson; latent here
+    # since round 3 — never fired, closed on principle)
     return (
         pairs.join(da, F.col("doc_a") == F.col("da.doc_id"))
         .join(db, F.col("doc_b") == F.col("db.doc_id"))
         .groupBy(src_x.alias("src_x"), src_y.alias("src_y"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("j_micro"),
+        )
+        .select(
+            "src_x",
+            "src_y",
+            "n_pairs",
+            F.round(
+                F.col("j_micro") / F.col("n_pairs") / F.lit(1e6), 6
+            ).alias("mean_jaccard"),
         )
         .withColumn("within_source", F.col("src_x") == F.col("src_y"))
     )
@@ -1868,7 +1880,8 @@ lab AS (
   JOIN documents db ON p.doc_b = db.doc_id
 )
 SELECT src_x, src_y, count(*) AS n_pairs,
-       round(avg(jaccard), 6) AS mean_jaccard,
+       round(sum(CAST(round(jaccard * 1000000) AS BIGINT))
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_jaccard,
        src_x = src_y AS within_source
 FROM lab GROUP BY src_x, src_y
 """

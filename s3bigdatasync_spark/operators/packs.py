@@ -96,6 +96,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "pq_code_balance",
         "ann_topk_batch",
         "ann_topk_batch_lsh",
+        "ivf_cell_balance",
         "exact_dedup",
     ],
     # round-8 additions: the
@@ -318,6 +319,13 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("vec_id", "int"),
         ("cosine", "num"),
         ("rank", "int"),
+    ],
+    "ivf_cell_balance": [
+        ("cluster", "int"),
+        ("n_vectors", "int"),
+        ("share", "num"),
+        ("mean_d2", "num"),
+        ("max_d2", "num"),
     ],
     "hard_negative_recall": [
         ("p_id", "int"),

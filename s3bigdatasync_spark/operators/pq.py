@@ -673,12 +673,23 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = per_vec.select(
         "vec_id", "err", F.ntile(PQ_DECILES).over(w).alias("decile")
     )
+    # mean from exact micro-integer sums: err sits on the 1e-6 grid, and
+    # round(avg(grid values), 6) lands on exact .5e-6 boundaries that flip
+    # with float summation order (the ivf_cell_balance lesson)
     return (
         dec.groupBy("decile")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.avg("err"), 6).alias("mean_err"),
+            F.sum(F.round(F.col("err") * 1e6).cast("long")).alias("err_micro"),
             F.round(F.max("err"), 6).alias("max_err"),
+        )
+        .select(
+            "decile",
+            "n_vectors",
+            F.round(
+                F.col("err_micro") / F.col("n_vectors") / F.lit(1e6), 6
+            ).alias("mean_err"),
+            "max_err",
         )
         .orderBy("decile")
     )
@@ -695,7 +706,9 @@ dec AS (
   FROM per_vec
 )
 SELECT decile, count(*) AS n_vectors,
-       round(avg(err), 6) AS mean_err, round(max(err), 6) AS max_err
+       round(sum(CAST(round(err * 1000000) AS BIGINT))
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean_err,
+       round(max(err), 6) AS max_err
 FROM dec GROUP BY decile ORDER BY decile"""
 )
 
@@ -721,20 +734,25 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ≤1024-row re-aggregation to M_SUB rows — the shuffle payload is the
     histogram, never the vectors. Float contract: entropy uses the
     word_entropy identity H = (ln n − Σ c·ln c / n)/ln 2 with raw float
-    sums and one final 6dp round (the round-1-proven contract); shares and
-    mean distortion round to 6dp."""
+    sums and one final 6dp round (the round-1-proven contract; the terms
+    are c·ln(c) over integer counts, off the 1e-6 grid, so the mean never
+    sits on an exact rounding boundary); the distortion mean is computed
+    from EXACT micro-integer sums of the 6dp d2 values — grid-valued
+    means land on exact .5e-6 boundaries and flip with float summation
+    order (the ivf_cell_balance lesson)."""
     from .curation import LN2
 
     enc = pq_encode(spark, sf_dir)
+    micro = F.round(F.col("d2") * 1e6).cast("long")
     cnts = enc.groupBy("sub", "code").agg(
-        F.count("*").alias("c"), F.sum("d2").alias("sd2")
+        F.count("*").alias("c"), F.sum(micro).alias("sd2u")
     )
     agg = cnts.groupBy("sub").agg(
         F.sum("c").alias("n_vectors"),
         F.count("*").alias("n_used"),
         F.sum(F.col("c") * F.log(F.col("c"))).alias("slc"),
         F.max("c").alias("max_c"),
-        F.sum("sd2").alias("ssd2"),
+        F.sum("sd2u").alias("ssd2u"),
     )
     h = (F.log("n_vectors") - F.col("slc") / F.col("n_vectors")) / F.lit(LN2)
     return agg.select(
@@ -744,7 +762,9 @@ def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_used") / F.lit(PQ_K), 6).alias("utilization"),
         F.round(h, 6).alias("entropy_bits"),
         F.round(F.col("max_c") / F.col("n_vectors"), 6).alias("max_share"),
-        F.round(F.col("ssd2") / F.col("n_vectors"), 6).alias("mean_d2"),
+        F.round(
+            F.col("ssd2u") / F.col("n_vectors") / F.lit(1e6), 6
+        ).alias("mean_d2"),
     ).orderBy("sub")
 
 
@@ -756,12 +776,13 @@ def _pq_code_balance_sql() -> str:
         + _PQ_TRAIN_CTES
         + f""",
 cnts AS (
-  SELECT sub, code, count(*) AS c, sum(d2) AS sd2
+  SELECT sub, code, count(*) AS c,
+         sum(CAST(round(d2 * 1000000) AS BIGINT)) AS sd2u
   FROM enc GROUP BY sub, code
 ),
 agg AS (
   SELECT sub, sum(c) AS n_vectors, count(*) AS n_used,
-         sum(c * ln(c)) AS slc, max(c) AS max_c, sum(sd2) AS ssd2
+         sum(c * ln(c)) AS slc, max(c) AS max_c, sum(sd2u) AS ssd2u
   FROM cnts GROUP BY sub
 )
 SELECT cast(sub AS INT) AS sub, cast(n_vectors AS BIGINT) AS n_vectors,
@@ -769,7 +790,7 @@ SELECT cast(sub AS INT) AS sub, cast(n_vectors AS BIGINT) AS n_vectors,
        round(n_used / {float(PQ_K)}, 6) AS utilization,
        round((ln(n_vectors) - slc / n_vectors) / {LN2}, 6) AS entropy_bits,
        round(max_c / CAST(n_vectors AS DOUBLE), 6) AS max_share,
-       round(ssd2 / n_vectors, 6) AS mean_d2
+       round(ssd2u / CAST(n_vectors AS DOUBLE) / 1000000.0, 6) AS mean_d2
 FROM agg ORDER BY sub"""
     )
 

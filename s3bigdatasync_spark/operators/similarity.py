@@ -652,6 +652,73 @@ km_assign AS (
 _KMEANS_SQL = "WITH " + _KMEANS_CTES + "\nSELECT vec_id, cluster, d2 FROM km_assign"
 
 
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit of the UNSUPERVISED coarse quantizer — the
+    pq_code_balance pattern applied to the IVF layer. The ivf_* family's
+    committed quantizer uses label centroids (deterministic, testdata has
+    labels); a real corpus has none, so the deployable coarse quantizer is
+    kmeans_lloyd's assignment, and THIS relation is what proves its cells
+    usable before a table is partitioned by them: per cell, the vector
+    count, corpus share (skewed cells = uneven partition pruning — one hot
+    cell and nprobe=1 scans half the corpus), and mean/max squared
+    distance to the centroid (fat cells = a coarse quantizer that isn't
+    quantizing).
+
+    Scale shape: rides kmeans_lloyd's assignment (broadcast-centroid Arrow
+    GEMM, no data-sized shuffle); the audit adds one groupBy(cluster) —
+    ≤ KMEANS_K groups, map-side combinable — plus a 1-row total broadcast
+    for the share. Float contract: d2 is 6dp-rounded at assignment, so the
+    mean is computed from EXACT micro-integer sums (round(d2·1e6) cast to
+    long) — `round(avg(double),6)` over grid values lands on exact .5e-6
+    boundaries whenever 2·Σmicro ≡ n (mod 2n), and which side a float sum
+    falls is accumulation-order luck (this operator's first draft flipped
+    0.941025/0.941024 between runs on exactly that boundary). Integer sums
+    commute exactly; the two divisions then run on identical operands in
+    both engines."""
+    # cache-pin: the assignment feeds BOTH the per-cell agg and the total
+    assign = scoped_cache(kmeans_lloyd(spark, sf_dir))
+    micro = F.round(F.col("d2") * 1e6).cast("long")
+    per = assign.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(micro).alias("sum_micro"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+    total = assign.agg(F.count("*").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("n_total"), 6).alias("share"),
+            F.round(
+                F.col("sum_micro") / F.col("n_vectors") / F.lit(1e6), 6
+            ).alias("mean_d2"),
+            "max_d2",
+        )
+        .orderBy("cluster")
+    )
+
+
+_IVF_CELL_BALANCE_SQL = (
+    "WITH "
+    + _KMEANS_CTES
+    + """,
+per AS (
+  SELECT cluster, count(*) AS n_vectors,
+         sum(CAST(round(d2 * 1000000) AS BIGINT)) AS sum_micro,
+         round(max(d2), 6) AS max_d2
+  FROM km_assign GROUP BY cluster
+),
+tot AS (SELECT count(*) AS n_total FROM km_assign)
+SELECT cluster, n_vectors,
+       round(n_vectors / CAST(n_total AS DOUBLE), 6) AS share,
+       round(sum_micro / CAST(n_vectors AS DOUBLE) / 1000000.0, 6) AS mean_d2,
+       max_d2
+FROM per, tot
+ORDER BY cluster"""
+)
+
+
 # --- SemDeDup: cluster-bounded semantic dedup --------------------------------
 
 SEM_COS_THRESHOLD = 0.45  # matches dedup.COSINE_THRESHOLD (class-cluster data)
@@ -1443,6 +1510,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_batch": ann_topk_batch,
     "ann_topk_batch_lsh": ann_topk_batch_lsh,
+    "ivf_cell_balance": ivf_cell_balance,
     "ann_recall_audit": ann_recall_audit,
     "label_centroids": label_centroids,
     "ivf_assign": ivf_assign,
@@ -1483,6 +1551,7 @@ ORACLES = {
     "ann_topk_bruteforce": _ANN_BRUTE_SQL,
     "ann_topk_batch": _ANN_BATCH_SQL,
     "ann_topk_batch_lsh": _ANN_BATCH_LSH_SQL,
+    "ivf_cell_balance": _IVF_CELL_BALANCE_SQL,
     "ann_recall_audit": _ANN_RECALL_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "ivf_assign": _IVF_ASSIGN_SQL,

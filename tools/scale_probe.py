@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "pq_code_balance",
     "ann_topk_batch",
     "ann_topk_batch_lsh",
+    "ivf_cell_balance",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
