@@ -118,6 +118,11 @@ EMPTY_SAFE = [
     "hard_negative_recall",
     "span_removal_plan",
     "span_removal_apply",
+    # round-9 batch
+    "pq_code_balance",
+    "ann_topk_batch",
+    "ann_topk_batch_lsh",
+    "ivf_cell_balance",
 ]
 
 # config-enumeration relations emit one identity row per config even over an
