@@ -133,6 +133,7 @@ HEADLINE = [
     "ann_topk_batch",        # 8-query batch exact top-k (one broadcast pass)
     "ann_topk_batch_lsh",    # batch top-k through the multi-probe LSH index
     "ivf_cell_balance",      # coarse-quantizer cell-occupancy audit
+    "cluster_chain_audit",   # CC-dedup transitive-chaining evidence
 ]
 
 

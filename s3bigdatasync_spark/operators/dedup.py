@@ -1820,6 +1820,86 @@ GROUP BY cluster_size
 """
 
 
+# --- cluster_chain_audit: is keep-one-per-cluster safe? ----------------------
+
+
+def cluster_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining audit of the connected-components dedup decision. CC merges
+    A,B,C into one cluster whenever A~B and B~C are verified pairs — even
+    if A and C share nothing (transitive chaining, THE classic failure of
+    graph-based dedup: keep-one-per-cluster then deletes documents that
+    were never similar to the survivor). Per non-singleton cluster this
+    reports the evidence: member count, verified-edge count vs the pair
+    count a clique would have (edge_density < 1 ⇒ some member pair was
+    merged transitively, never verified), the weakest verified edge
+    (min_jaccard — a low floor on a big cluster is a chain), the mean edge
+    strength, and the `chained` flag. The number a pipeline checks before
+    trusting dedup_canonical's survivors at corpus scale.
+
+    Plan shape: the verified pair relation joins the |docs|-row cluster
+    labels once (shuffle_hash — the counts-join doctrine; doc_b's cluster
+    equals doc_a's by CC construction, so ONE join suffices and the audit
+    would surface any violation as a density anomaly), then two bounded
+    groupBys (≤ |clusters| groups). Float contract: min is order-free;
+    the mean uses exact micro-integer sums (grid-valued jaccards — the
+    round-9 boundary lesson); density divides exact integers."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    members = (
+        cl.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    )
+    lab = cl.hint("shuffle_hash")
+    per = (
+        pairs.join(lab, pairs.doc_a == lab.doc_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.sum(F.round(F.col("jaccard") * 1e6).cast("long")).alias("j_micro"),
+        )
+    )
+    possible = F.expr("n_members * (n_members - 1) div 2")
+    return (
+        members.join(per, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_edges",
+            possible.alias("possible_pairs"),
+            F.round(F.col("n_edges") / possible, 6).alias("edge_density"),
+            "min_jaccard",
+            F.round(
+                F.col("j_micro") / F.col("n_edges") / F.lit(1e6), 6
+            ).alias("mean_jaccard"),
+            (F.col("n_edges") < possible).alias("chained"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_CLUSTER_CHAIN_SQL = f"""
+WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+cl AS (SELECT doc_id, cluster_id FROM ({_DEDUP_CLUSTERS_SQL})),
+members AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id),
+per AS (
+  SELECT c.cluster_id, count(*) AS n_edges,
+         round(min(p.jaccard), 6) AS min_jaccard,
+         sum(CAST(round(p.jaccard * 1000000) AS BIGINT)) AS j_micro
+  FROM pairs p JOIN cl c ON p.doc_a = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT m.cluster_id, m.n_members, p.n_edges,
+       (m.n_members * (m.n_members - 1)) // 2 AS possible_pairs,
+       round(p.n_edges / CAST((m.n_members * (m.n_members - 1)) // 2 AS DOUBLE), 6)
+         AS edge_density,
+       p.min_jaccard,
+       round(p.j_micro / CAST(p.n_edges AS DOUBLE) / 1000000.0, 6) AS mean_jaccard,
+       p.n_edges < (m.n_members * (m.n_members - 1)) // 2 AS chained
+FROM members m JOIN per p USING (cluster_id)
+ORDER BY cluster_id
+"""
+
+
 # --- cross_source_duplication: provenance matrix of verified near-dups ------
 
 
@@ -2553,6 +2633,7 @@ QUERIES = {
     "containment_pairs": containment_pairs,
     "simhash_near_pairs": simhash_near_pairs,
     "dedup_clusters": dedup_clusters,
+    "cluster_chain_audit": cluster_chain_audit,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pairs_capped": ngram_jaccard_pairs_capped,
     "dedup_yield_curve": dedup_yield_curve,
@@ -2584,6 +2665,7 @@ ORACLES = {
     "containment_pairs": _CONTAINMENT_SQL,
     "simhash_near_pairs": _SIMHASH_NEAR_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "cluster_chain_audit": _CLUSTER_CHAIN_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "ngram_jaccard_pairs_capped": _NGRAM_JACCARD_CAPPED_SQL,
     "dedup_yield_curve": _YIELD_CURVE_SQL,

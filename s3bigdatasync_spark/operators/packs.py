@@ -97,6 +97,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "ann_topk_batch",
         "ann_topk_batch_lsh",
         "ivf_cell_balance",
+        "cluster_chain_audit",
         "exact_dedup",
     ],
     # round-8 additions: the
@@ -326,6 +327,16 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("share", "num"),
         ("mean_d2", "num"),
         ("max_d2", "num"),
+    ],
+    "cluster_chain_audit": [
+        ("cluster_id", "int"),
+        ("n_members", "int"),
+        ("n_edges", "int"),
+        ("possible_pairs", "int"),
+        ("edge_density", "num"),
+        ("min_jaccard", "num"),
+        ("mean_jaccard", "num"),
+        ("chained", "bool"),
     ],
     "hard_negative_recall": [
         ("p_id", "int"),

@@ -123,6 +123,7 @@ EMPTY_SAFE = [
     "ann_topk_batch",
     "ann_topk_batch_lsh",
     "ivf_cell_balance",
+    "cluster_chain_audit",
 ]
 
 # config-enumeration relations emit one identity row per config even over an

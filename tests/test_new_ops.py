@@ -1117,3 +1117,51 @@ def test_ann_topk_batch_lsh_is_candidate_restricted(spark):
         hits += len(set(ids) & exact_by_q[qid])
         total += len(exact_by_q[qid])
     assert 0.2 <= hits / total <= 1.0  # the radius's recall trade, not a void
+
+
+def test_cluster_chain_audit_invariants(spark):
+    """Per non-singleton cluster: edges never exceed the clique count, every
+    2-member cluster is a verified pair (density 1, not chained), the
+    chained flag is exactly density<1, and counts cross-check against the
+    pair and cluster relations recomputed independently."""
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    ]
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, SF).collect()
+    }
+    audit = [r.asDict() for r in dedup.cluster_chain_audit(spark, SF).collect()]
+    assert audit, "clustered testdata must have non-singleton clusters"
+
+    from collections import Counter
+
+    size = Counter(clusters.values())
+    edges_of = Counter()
+    minj, sumj = {}, Counter()
+    for a, b, j in pairs:
+        assert clusters[a] == clusters[b]  # CC construction
+        c = clusters[a]
+        edges_of[c] += 1
+        minj[c] = min(minj.get(c, 1.0), j)
+        sumj[c] += round(j * 1e6)
+
+    assert {r["cluster_id"] for r in audit} == set(edges_of)
+    for r in audit:
+        c = r["cluster_id"]
+        n = size[c]
+        assert r["n_members"] == n and n >= 2
+        assert r["n_edges"] == edges_of[c]
+        assert r["possible_pairs"] == n * (n - 1) // 2
+        assert r["n_edges"] <= r["possible_pairs"]
+        assert r["chained"] == (r["n_edges"] < r["possible_pairs"])
+        assert r["edge_density"] == pytest.approx(
+            round(r["n_edges"] / r["possible_pairs"], 6)
+        )
+        assert r["min_jaccard"] == pytest.approx(round(minj[c], 6))
+        assert r["mean_jaccard"] == pytest.approx(
+            round(sumj[c] / edges_of[c] / 1e6, 6)
+        )
+        if n == 2:
+            assert r["edge_density"] == 1.0 and not r["chained"]

@@ -79,6 +79,7 @@ DOC_QUERIES = [
     "ann_topk_batch",
     "ann_topk_batch_lsh",
     "ivf_cell_balance",
+    "cluster_chain_audit",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
