@@ -88,10 +88,12 @@ for _m in _SOURCE_MODULES:
 PACK_SPECS: dict[str, list[str]] = {
     # round-9 additions, FIRST among the packs (forward-ordering): the
     # codebook-utilization audit behind the r9 quantizer retrain (dead-code
-    # evidence — the dial the ivf_nprobe_curve finding said to turn), plus
-    # exact_dedup (folded from standalone to keep the driver at 50 — the
-    # ivf_assign/size_deciles precedent; thematically the hash-groupBy
-    # baseline the near-dup family audits against)
+    # evidence — the dial the ivf_nprobe_curve finding said to turn), the
+    # batch ANN pair (exact yardstick + multi-probe-LSH production path),
+    # the unsupervised coarse-quantizer cell audit, and the CC-dedup
+    # chaining audit; plus exact_dedup (folded from standalone to keep the
+    # driver at 50 — the ivf_assign/size_deciles precedent; thematically
+    # the hash-groupBy baseline the near-dup family audits against)
     "pack_r9": [
         "pq_code_balance",
         "ann_topk_batch",
