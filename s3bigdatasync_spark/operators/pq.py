@@ -285,7 +285,7 @@ def pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 for QUERY_VEC_ID over the PQ codes: the query's
     (subspace × centroid) distance table — M_SUB×PQ_K doubles, computed driver-side
     from the same broadcast codebook — joins the codes table (broadcast hash
-    join), and per-vector ADC distance is sum(dq) over the 8 subspaces."""
+    join), and per-vector ADC distance is sum(dq) over the M_SUB subspaces."""
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")

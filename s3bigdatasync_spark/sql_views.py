@@ -36,7 +36,13 @@ def register_query_views(
     (force=True)."""
     key = (id(spark), sf_dir)
     if not force and key in _REGISTERED:
-        return _REGISTERED[key]
+        names = _REGISTERED[key]
+        # id() can be reused after a session is garbage-collected; unlike a
+        # pure cache this memo gates CATALOG state, so trust it only if the
+        # catalog actually holds a registered view (one cheap lookup —
+        # round-10 ADVICE).
+        if names and spark.catalog.tableExists(names[0]):
+            return names
     register_all(spark, sf_dir)
     names = []
     for name, fn in registry.full_queries().items():

@@ -144,7 +144,18 @@ def admission_report(
     hash is absent from the state has landed after the stream drained — the
     report refuses to render instead of silently mis-gating it (an absent
     hash would otherwise read as "admit", the one wrong default for a
-    dedup gate)."""
+    dedup gate). Round-10 ADVICE extended the guard to PARTIALLY-stale
+    state — unmerged stragglers whose content DUPLICATES existing state
+    content pass the novel-hash check but would be gated against a stale
+    keeper. Two cheap per-content-group invariants on the already-cached
+    join catch them: (a) state n_copies must be >= the count of handed-in
+    docs with that hash (every handed doc is claimed merged), and (b) no
+    handed doc_id may undercut the state keeper (a lower id would have
+    taken ownership at merge time). Residual blind spot, stated honestly:
+    a straggler that duplicates state content, does not hold the group's
+    lowest id, AND is handed in alongside fewer same-hash docs than the
+    state already counts is indistinguishable from a merged doc by any
+    state-local check — only re-running the stream closes that."""
     hashed = docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
     state = dedup_state(spark, state_dir)
     joined = hashed.join(state, "content_hash", "left").select(
@@ -157,15 +168,31 @@ def admission_report(
     from ..operators import scoped_cache
 
     joined = scoped_cache(joined)
-    missing = joined.filter(F.col("keeper_doc_id").isNull())
-    n_missing = missing.count()
-    if n_missing:
-        sample = [r["doc_id"] for r in missing.limit(5).collect()]
+    stale = (
+        joined.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_handed"),
+            F.min("doc_id").alias("min_handed"),
+            F.first("n_copies").alias("n_state"),
+            F.first("keeper_doc_id").alias("keeper"),
+        )
+        .filter(
+            F.col("keeper").isNull()
+            | (F.col("n_state") < F.col("n_handed"))
+            | (F.col("min_handed") < F.col("keeper"))
+        )
+    )
+    n_stale = stale.count()
+    if n_stale:
+        sample = [
+            (r["content_hash"], r["min_handed"]) for r in stale.limit(5).collect()
+        ]
         raise ValueError(
-            f"admission_report: {n_missing} document(s) have no entry in the "
-            f"dedup state (e.g. doc_id {sample}) — the state is stale for "
-            "them (files landed after the stream drained). Re-run "
-            "stream_dedup_state to merge, then gate."
+            f"admission_report: {n_stale} content group(s) are stale against "
+            f"the dedup state (e.g. (content_hash, min doc_id) {sample}) — "
+            "their hash is missing, under-counted, or a handed doc_id "
+            "undercuts the stored keeper (files landed after the stream "
+            "drained). Re-run stream_dedup_state to merge, then gate."
         )
     return joined
 

@@ -38,6 +38,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.curation import (
     PPL_BUCKETS,
+    _TOK_RE,
     bits_against_lm,
     doc_lang_token_counts,
     lang_token_counts,
@@ -122,8 +123,20 @@ def ppl_gate_report(
     from ..operators import scoped_cache
 
     scored = scoped_cache(ppl_scores(spark, state_dir, docs))
+    # Zero-token docs (empty/whitespace-only text) are excluded from the
+    # staleness check, matching the batch operator's silent drop: they can
+    # never appear in `scored`, and re-running stream_ppl_state merges no
+    # tokens for them, so treating them as stale would make the report
+    # permanently unrenderable on a remediation that cannot succeed
+    # (round-10 ADVICE).
+    tokenized = docs.filter(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOK_RE), F.lit(0))
+        )
+        > 0
+    )
     missing = (
-        docs.select("doc_id").distinct()
+        tokenized.select("doc_id").distinct()
         .join(scored.select("doc_id"), "doc_id", "left_anti")
     )
     n_missing = missing.count()
@@ -132,8 +145,8 @@ def ppl_gate_report(
         raise ValueError(
             f"ppl_gate_report: {n_missing} document(s) have no in-support "
             f"tokens in the LM state (e.g. doc_id {sample}) — the state is "
-            "stale for them (files landed after the stream drained, or "
-            "token-less docs). Re-run stream_ppl_state to merge, then report."
+            "stale for them (files landed after the stream drained). "
+            "Re-run stream_ppl_state to merge, then report."
         )
     w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
     return scored.select(

@@ -111,7 +111,7 @@ def test_admission_report_refuses_stale_state(spark, tmp_path):
     spark.createDataFrame(straggler, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(docs_dir)
-    with pytest.raises(ValueError, match="no entry in the dedup state"):
+    with pytest.raises(ValueError, match="stale against"):
         admission_report(spark, state_dir, _landed(spark, docs_dir))
 
     q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
@@ -119,6 +119,53 @@ def test_admission_report_refuses_stale_state(spark, tmp_path):
     rep = admission_report(spark, state_dir, _landed(spark, docs_dir))
     row = rep.filter(rep.doc_id == 999_001).collect()[0]
     assert row["admit"] and row["n_copies"] == 1
+
+
+def test_admission_report_refuses_duplicate_content_straggler(spark, tmp_path):
+    """Round-10 ADVICE: a straggler whose content DUPLICATES existing state
+    content passes the novel-hash check (its hash resolves), but the state
+    under-counts its group — and if it holds the lowest doc_id it should own
+    the group. Both partial-stale shapes must fail loudly, and a merge must
+    heal them."""
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    merged = [(100, "shared duplicate content", "lang0"),
+              (101, "some other content", "lang0")]
+    spark.createDataFrame(merged, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    # (a) duplicate-content straggler with a HIGHER doc_id: hash resolves,
+    # but the handed group count (2) exceeds state n_copies (1)
+    spark.createDataFrame(
+        [(200, "shared duplicate content", "lang0")], DOCS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    with pytest.raises(ValueError, match="stale against"):
+        admission_report(spark, state_dir, _landed(spark, docs_dir))
+
+    # (b) duplicate-content straggler that UNDERCUTS the stored keeper —
+    # gate it alone (group count check can't fire: 1 handed vs 1 in state)
+    spark.createDataFrame(
+        [(7, "some other content", "lang0")], DOCS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    lone = spark.createDataFrame(
+        [(7, "some other content", "lang0")], DOCS_STREAM_SCHEMA
+    ).select("doc_id", "text")
+    with pytest.raises(ValueError, match="stale against"):
+        admission_report(spark, state_dir, lone)
+
+    # merging heals both: 200 is gated out (keeper 100), 7 takes ownership
+    q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q2.awaitTermination(120)
+    rep = admission_report(spark, state_dir, _landed(spark, docs_dir))
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    assert not rows[200]["admit"] and rows[200]["keeper_doc_id"] == 100
+    assert rows[7]["admit"] and not rows[101]["admit"]
+    assert rows[7]["n_copies"] == 2
 
 
 def test_duplicate_batch_is_skipped(spark, tmp_path):
