@@ -196,18 +196,28 @@ def _cmd_ppl_gate(spark: SparkSession, args) -> int:
         stream_ppl_state,
     )
 
-    q = stream_ppl_state(
-        spark,
-        args.docs_dir,
-        args.state_dir,
-        args.checkpoint_dir,
-        max_files_per_trigger=args.max_files_per_trigger,
-    )
-    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    if not args.report_only:
+        q = stream_ppl_state(
+            spark,
+            args.docs_dir,
+            args.state_dir,
+            args.checkpoint_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()  # availableNow: drains the backlog, then stops
     docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(args.docs_dir)
-    ppl_gate_report(spark, args.state_dir, docs).orderBy(
-        "lang", "ppl_bucket", "doc_id"
-    ).show(args.limit, truncate=False)
+    # the drain-then-land window: a file landing between the drain above and
+    # this read makes the state stale for its docs; the report refuses to
+    # render (library loud-failure contract) and the verb exits nonzero with
+    # the sample ids instead of printing a silently smaller gate
+    try:
+        report = ppl_gate_report(spark, args.state_dir, docs)
+    except ValueError as e:
+        print(f"ppl-gate: {e}", file=sys.stderr)
+        return 1
+    report.orderBy("lang", "ppl_bucket", "doc_id").show(
+        args.limit, truncate=False
+    )
     return 0
 
 
@@ -218,18 +228,22 @@ def _cmd_dedup_gate(spark: SparkSession, args) -> int:
         stream_dedup_state,
     )
 
-    q = stream_dedup_state(
-        spark,
-        args.docs_dir,
-        args.state_dir,
-        args.checkpoint_dir,
-        max_files_per_trigger=args.max_files_per_trigger,
-    )
-    q.awaitTermination()  # availableNow trigger: drains the backlog, then stops
+    if not args.report_only:
+        q = stream_dedup_state(
+            spark,
+            args.docs_dir,
+            args.state_dir,
+            args.checkpoint_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()  # availableNow: drains the backlog, then stops
     docs = spark.read.schema(DOCS_STREAM_SCHEMA).parquet(args.docs_dir)
-    admission_report(spark, args.state_dir, docs).orderBy(
-        "content_hash", "doc_id"
-    ).show(args.limit, truncate=False)
+    try:
+        report = admission_report(spark, args.state_dir, docs)
+    except ValueError as e:
+        print(f"dedup-gate: {e}", file=sys.stderr)
+        return 1
+    report.orderBy("content_hash", "doc_id").show(args.limit, truncate=False)
     return 0
 
 
@@ -429,6 +443,12 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--checkpoint-dir", required=True)
     pg.add_argument("--max-files-per-trigger", type=int, default=10)
     pg.add_argument("--limit", type=int, default=50)
+    pg.add_argument(
+        "--report-only",
+        action="store_true",
+        help="skip the drain and report against the CURRENT state; exits "
+        "nonzero if any landed doc is not yet merged (stale state)",
+    )
 
     dg = add(
         "dedup-gate",
@@ -442,6 +462,12 @@ def build_parser() -> argparse.ArgumentParser:
     dg.add_argument("--checkpoint-dir", required=True)
     dg.add_argument("--max-files-per-trigger", type=int, default=10)
     dg.add_argument("--limit", type=int, default=50)
+    dg.add_argument(
+        "--report-only",
+        action="store_true",
+        help="skip the drain and report against the CURRENT state; exits "
+        "nonzero if any landed doc is not yet merged (stale state)",
+    )
 
     tr = add(
         "trending",

@@ -61,18 +61,23 @@ _COUNTS_SCHEMA = "source string, token string, c long"
 _FILES_SCHEMA = "file_path string"
 
 
-def _scan_latest_complete(state_dir: str) -> int:
-    """Meta-loss recovery: the max version N whose counts_vN AND files_vN both
-    committed (_SUCCESS marker present). The meta pointer is rewritten via a
-    parquet dir overwrite, which deletes before it recreates — a crash inside
-    that window leaves no meta, but the versioned state dirs are intact (GC
-    keeps exactly the reachable one, and GC only runs AFTER a successful meta
-    flip, so the newest complete version is always recoverable). Returning the
-    newest complete version is safe either way: if the crashed batch had
-    fully written vN, the applied-files log inside vN makes its replay a
-    no-op; if it hadn't, vN is incomplete (no _SUCCESS) and we return vN-1,
-    replaying the batch exactly once. Local FS only — matching _gc_versions;
-    an object-store deployment recovers via its own listing."""
+def _scan_latest_complete(
+    state_dir: str, prefixes: tuple[str, str] = ("counts", "files")
+) -> int:
+    """Meta-loss recovery: the max version N whose {prefixes[0]}_vN AND
+    {prefixes[1]}_vN both committed (_SUCCESS marker present). The meta
+    pointer is rewritten via a parquet dir overwrite, which deletes before it
+    recreates — a crash inside that window leaves no meta, but the versioned
+    state dirs are intact (GC keeps exactly the reachable one, and GC only
+    runs AFTER a successful meta flip, so the newest complete version is
+    always recoverable). Returning the newest complete version is safe either
+    way: if the crashed batch had fully written vN, the applied-files log
+    inside vN makes its replay a no-op; if it hadn't, vN is incomplete (no
+    _SUCCESS) and we return vN-1, replaying the batch exactly once. Prefixes
+    parametric because the segmented store (streaming/segments.py) commits
+    (manifest, files) per version instead of (counts, files). Local FS only —
+    matching _gc_versions; an object-store deployment recovers via its own
+    listing."""
     import re
     from pathlib import Path
 
@@ -88,10 +93,14 @@ def _scan_latest_complete(state_dir: str) -> int:
                 out.add(int(m.group(1)))
         return out
 
-    return max(complete("counts") & complete("files"), default=-1)
+    return max(complete(prefixes[0]) & complete(prefixes[1]), default=-1)
 
 
-def _read_meta(spark: SparkSession, state_dir: str) -> int:
+def _read_meta(
+    spark: SparkSession,
+    state_dir: str,
+    prefixes: tuple[str, str] = ("counts", "files"),
+) -> int:
     try:
         # explicit schema: a half-rewritten meta dir (exists, no data files)
         # must read as 0 rows → recovery scan, not an infer-schema error
@@ -110,7 +119,7 @@ def _read_meta(spark: SparkSession, state_dir: str) -> int:
     # bootstrapping over live state would orphan the counts AND the
     # applied-files log (old files are never re-delivered under an intact
     # checkpoint), silently losing every accumulated count.
-    return _scan_latest_complete(state_dir)
+    return _scan_latest_complete(state_dir, prefixes)
 
 
 def read_versioned_counts(

@@ -290,6 +290,46 @@ def test_ppl_gate_subcommand(spark, tmp_path, capsys):
     assert "bits_per_token" in out and "ppl_bucket" in out and "lang0" in out
 
 
+@pytest.mark.parametrize("verb", ["ppl-gate", "dedup-gate"])
+def test_gate_verbs_fail_loudly_on_drain_then_land(
+    spark, tmp_path, capsys, verb
+):
+    """The drain-then-land window at the VERB level (round-9 verdict item 7):
+    a file landing AFTER the stream drained leaves the state stale for its
+    docs; invoked with --report-only (report against the CURRENT state, no
+    drain) the verb must exit nonzero and carry the sample doc ids in the
+    message — never print a silently smaller gate. A normal re-run (which
+    drains first) must then heal it."""
+    docs_dir = str(tmp_path / "docs")
+    rows = [
+        (i, f"alpha beta tok{i % 5} gamma delta", f"lang{i % 2}")
+        for i in range(20)
+    ]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    args = [
+        verb,
+        "--docs-dir", docs_dir,
+        "--state-dir", str(tmp_path / "state"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ]
+    assert run(spark, *args) == 0
+    capsys.readouterr()
+
+    # the straggler lands after the drain
+    spark.createDataFrame(
+        [(999, "entirely novel straggler body words", "lang0")], schema
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    assert run(spark, *args, "--report-only") == 1
+    err = capsys.readouterr().err
+    assert "999" in err and "stale" in err
+
+    # a draining re-run merges the straggler and the report renders again
+    assert run(spark, *args) == 0
+
+
 def test_cli_layout_rewrite_range_roundtrip(spark, tmp_path):
     """layout-rewrite --mode range writes a range-clustered copy + manifest;
     the loaded manifest drives with_global_order to the same result as

@@ -8,6 +8,7 @@ import pytest
 from s3bigdatasync_spark import registry
 
 from .oracle_utils import assert_match
+from .test_plan_hygiene import assert_plan_hygiene
 
 _QUERIES = registry.full_queries()
 _ORACLES = registry.full_oracles()
@@ -16,6 +17,10 @@ _ORACLES = registry.full_oracles()
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = _QUERIES[name](spark, sf_dir)
+    # plan-hygiene rider (see test_plan_hygiene.py): the invariants are
+    # checked on the SAME DataFrame this sweep executes, so the suite pays
+    # one query construction, not two
+    assert_plan_hygiene(df, name)
     if name in _ORACLES:
         assert_match(df, _ORACLES[name], sf_dir)
     else:
@@ -33,6 +38,7 @@ def test_query_matches_oracle_sf0001(spark, name):
     single-partition inputs, empty categories, sub-vocabulary token sets."""
     sf = "/root/testdata/sf0.001"
     df = _QUERIES[name](spark, sf)
+    assert_plan_hygiene(df, name)  # hygiene at the second scale too — free
     if name in _ORACLES:
         assert_match(df, _ORACLES[name], sf)
     else:

@@ -213,14 +213,19 @@ def test_checkpoint_replacement_is_exactly_once(spark, tmp_path):
     )
 
 
-def test_crash_between_counts_commit_and_meta_flip(spark, tmp_path):
-    """The shared sink's crash window, exercised on the MIN-merge key shape:
-    counts_v1/files_v1 fully committed, killed before the meta flip. The
-    half-committed version must stay unreachable, and the redelivered batch
-    must land exactly once — keepers stable, n_copies not doubled."""
+def test_crash_between_segment_commit_and_meta_flip(spark, tmp_path):
+    """The segmented sink's crash window: the batch's tier-0 segment, files
+    log, AND manifest are all fully committed under version 1, killed before
+    the meta flip. Everything under v1 must stay unreachable (the v0
+    manifest is the reachability root), and the redelivered batch must land
+    exactly once — keepers stable, n_copies not doubled."""
     from pyspark.sql import functions as F
 
-    from s3bigdatasync_spark.streaming.dedup_gate import _hash_counts
+    from s3bigdatasync_spark.streaming.dedup_gate import _BUCKET, _hash_counts
+    from s3bigdatasync_spark.streaming.segments import (
+        _SEG_PREFIXES,
+        _read_manifest,
+    )
 
     docs_dir = str(tmp_path / "docs")
     state_dir = str(tmp_path / "state")
@@ -231,35 +236,79 @@ def test_crash_between_counts_commit_and_meta_flip(spark, tmp_path):
     ).write.mode("append").parquet(docs_dir)
     q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
     q.awaitTermination(120)
-    assert _read_meta(spark, state_dir) == 0
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 0
     state_v0 = _rows(dedup_state(spark, state_dir))
+    manifest_v0 = _read_manifest(spark, state_dir)
 
-    # drop B lands; its batch crashes after the counts/files writes but
-    # before the meta flip (the sink's first two writes performed by hand)
+    # drop B lands; its batch crashes after ALL v1 data writes (segment,
+    # files log, manifest — the sink's write sequence performed by hand)
+    # but before the meta flip
     spark.createDataFrame(_mk_docs("b", 20), DOCS_STREAM_SCHEMA).coalesce(
         1
     ).write.mode("append").parquet(docs_dir)
     b_docs = _landed(spark, docs_dir).withColumn("file_path", F.input_file_name())
     applied = spark.read.parquet(f"{state_dir}/files_v0")
     fresh = b_docs.join(applied, "file_path", "left_anti")
-    merged = (
-        read_dedup_state(spark, state_dir)
-        .unionByName(_hash_counts(fresh))
-        .groupBy("content_hash")
-        .agg(F.sum("c").alias("c"), F.min("keeper").alias("keeper"))
+    (
+        _hash_counts(fresh)
+        .withColumn("bucket", _BUCKET())
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{state_dir}/seg_v1_t0_0")
     )
-    merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v1")
     applied.unionByName(fresh.select("file_path").distinct()).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/files_v1")
+    spark.createDataFrame(
+        manifest_v0 + [("seg_v1_t0_0", 0)], "seg string, tier int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/manifest_v1")
     # CRASH here: no meta flip
 
-    assert _read_meta(spark, state_dir) == 0
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 0
     assert _rows(dedup_state(spark, state_dir)) == state_v0  # v1 unreachable
 
     q2 = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
     q2.awaitTermination(120)
-    assert _read_meta(spark, state_dir) == 1
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 1
+    assert _rows(dedup_state(spark, state_dir)) == _rows(
+        batch_equivalent(spark, docs_dir)
+    )
+
+
+def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
+    """Many small drops must tier-merge: after N drops the live segment
+    count stays well under N (tiered compaction ran), every segment is
+    bucket-partitioned, and the assembled state still equals the batch
+    recomputation bitwise."""
+    from s3bigdatasync_spark.streaming.segments import (
+        MERGE_FANOUT,
+        _read_manifest,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    n_drops = MERGE_FANOUT * 2 + 1  # forces at least two tier-0 merges
+    for i in range(n_drops):
+        spark.createDataFrame(
+            _mk_docs(chr(ord("a") + i), 12), DOCS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+
+    manifest = _read_manifest(spark, state_dir)
+    assert manifest
+    assert len(manifest) < n_drops  # compaction actually folded segments
+    per_tier: dict[int, int] = {}
+    for _seg, tier in manifest:
+        per_tier[tier] = per_tier.get(tier, 0) + 1
+    assert all(n < MERGE_FANOUT for n in per_tier.values()), manifest
+    # bucket layout on disk: hash-prefix partition dirs inside each segment
+    from pathlib import Path
+
+    seg_dir = Path(state_dir) / manifest[0][0]
+    assert any(p.name.startswith("bucket=") for p in seg_dir.iterdir())
     assert _rows(dedup_state(spark, state_dir)) == _rows(
         batch_equivalent(spark, docs_dir)
     )

@@ -3,18 +3,28 @@
 streaming content-hash index and measure, per drop, the drain wall time and
 the state size.
 
-The claim under test (streaming/dedup_gate.py): the state is one row per
-DISTINCT content — it grows with unique corpus content, never with volume.
-Two regimes:
-  * --dup-frac 1.0 (default): every drop is the SAME corpus re-keyed with
-    fresh doc_ids — pure duplicate volume. State rows must stay FLAT at
-    |distinct contents| while n_copies climbs; drain time flat.
-  * --dup-frac 0.0: every drop appends a drop-unique token to every doc —
-    all-new content. State grows by exactly |docs| rows per drop (linear in
-    UNIQUE content, the bound's own variable); drain stays flat because the
-    merge is keyed, never a rescan.
+Claims under test (streaming/dedup_gate.py + streaming/segments.py):
+
+1. The state is one row per DISTINCT content — grows with unique corpus
+   content, never with volume. Regimes:
+     * --dup-frac 1.0 (default): every drop is the SAME corpus re-keyed with
+       fresh doc_ids — pure duplicate volume. State rows must stay FLAT at
+       |distinct contents| while n_copies climbs; drain time flat.
+     * --dup-frac 0.0: every drop appends a drop-unique token to every doc —
+       all-new content. State grows by exactly |docs| rows per drop.
+
+2. (Round-10, the r9 verdict's scale-killer) per-batch WRITE cost tracks
+   the BATCH, not the state. Regime: --seed-mult K seeds the state with K
+   full-corpus all-new drops (untimed), then the timed drops deliver only
+   --drop-docs documents each (state ≫ batch). Under the old whole-relation
+   sink (--sink legacy, kept here exactly for this A/B) each small drop
+   rewrites the entire index, so drain grows linearly with K; under the
+   segmented sink (--sink segmented, the shipped default) each drop writes
+   one O(batch) tier-0 segment plus amortized tier merges, so drain stays
+   flat in K apart from the occasional bounded compaction spike.
 
 Usage: python tools/probe_dedup_state.py [--drops 8] [--dup-frac 1.0]
+         [--seed-mult 0] [--drop-docs 0] [--sink segmented|legacy]
 Prints one JSON line.
 """
 
@@ -46,15 +56,36 @@ def main() -> None:
         " flat); 0.0 = every drop is all-new content (state grows by"
         " |docs|/drop)",
     )
+    ap.add_argument(
+        "--seed-mult",
+        type=int,
+        default=0,
+        help="seed the state with this many full-corpus ALL-NEW drops"
+        " (untimed) before the timed drops — the state>>batch regime",
+    )
+    ap.add_argument(
+        "--drop-docs",
+        type=int,
+        default=0,
+        help="docs per timed drop (0 = the full corpus)",
+    )
+    ap.add_argument(
+        "--sink",
+        choices=("segmented", "legacy"),
+        default="segmented",
+        help="legacy = the pre-r10 whole-relation versioned_count_sink,"
+        " kept for the A/B that motivated the segmented store",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from s3bigdatasync_spark.operators import prepared
     from s3bigdatasync_spark.session import get_spark
+    from s3bigdatasync_spark.streaming import dedup_gate
     from s3bigdatasync_spark.streaming.dedup_gate import (
-        read_dedup_state,
-        stream_dedup_state,
+        DOCS_STREAM_SCHEMA,
+        _hash_counts,
     )
 
     spark = get_spark("dedup-state-probe")
@@ -66,6 +97,47 @@ def main() -> None:
     state_dir = str(out / "state")
     ckpt = str(out / "ckpt")
 
+    if args.sink == "segmented":
+        read_state = dedup_gate.read_dedup_state
+
+        def run_stream():
+            return dedup_gate.stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+
+    else:  # legacy whole-relation sink — the r9-verdict baseline
+        from s3bigdatasync_spark.streaming.drift import (
+            read_versioned_counts,
+            versioned_count_sink,
+        )
+
+        _STATE_SCHEMA = "content_hash string, c long, keeper long"
+
+        def read_state(sp, sd):
+            return read_versioned_counts(sp, sd, _STATE_SCHEMA)
+
+        def run_stream():
+            sink = versioned_count_sink(
+                state_dir,
+                _STATE_SCHEMA,
+                ["content_hash"],
+                _hash_counts,
+                agg_exprs=[
+                    F.sum("c").alias("c"),
+                    F.min("keeper").alias("keeper"),
+                ],
+            )
+            stream = (
+                spark.readStream.schema(DOCS_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", 10)
+                .parquet(docs_dir)
+            )
+            return (
+                stream.writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+
     base = (
         prepared(spark, args.sf_dir)
         .table("documents")
@@ -74,34 +146,62 @@ def main() -> None:
     n_docs = base.count()
     id_off = 10_000_000
 
+    def land(df) -> None:
+        df.coalesce(2).write.mode("append").parquet(docs_dir)
+
+    # --- seeding: build a large all-new-content state, untimed ------------
+    seed_s = 0.0
+    drop_seq = 0
+    for k in range(args.seed_mult):
+        seed = base.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(drop_seq * id_off)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(f" seed{k}tok")))
+        land(seed)
+        t0 = time.perf_counter()
+        q = run_stream()
+        q.awaitTermination(900)
+        seed_s += time.perf_counter() - t0
+        drop_seq += 1
+
+    # --- timed drops -------------------------------------------------------
     rows_per_drop: list[int] = []
     copies_per_drop: list[int] = []
     drain_s: list[float] = []
     for i in range(args.drops):
-        drop = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * id_off))
+        drop = base
+        if args.drop_docs:
+            drop = drop.orderBy("doc_id").limit(args.drop_docs)
+        drop = drop.withColumn("doc_id", F.col("doc_id") + F.lit(drop_seq * id_off))
         if args.dup_frac < 1.0:
             # fresh content: a drop-unique token on the non-duplicate share
             drop = drop.withColumn(
                 "text",
                 F.when(
                     (F.col("doc_id") % 100) / 100.0 >= args.dup_frac,
-                    F.concat(F.col("text"), F.lit(f" dropnew{i}tok")),
+                    F.concat(F.col("text"), F.lit(f" dropnew{drop_seq}tok")),
                 ).otherwise(F.col("text")),
             )
-        drop.coalesce(2).write.mode("append").parquet(docs_dir)
+        land(drop)
         t0 = time.perf_counter()
-        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
-        q.awaitTermination(600)
+        q = run_stream()
+        q.awaitTermination(900)
         drain_s.append(round(time.perf_counter() - t0, 3))
-        st = read_dedup_state(spark, state_dir)
-        agg = st.agg(F.count("*").alias("rows"), F.sum("c").alias("copies")).collect()[0]
+        drop_seq += 1
+        st = read_state(spark, state_dir)
+        agg = st.agg(
+            F.count("*").alias("rows"), F.sum("c").alias("copies")
+        ).collect()[0]
         rows_per_drop.append(int(agg["rows"]))
         copies_per_drop.append(int(agg["copies"]))
 
     payload = {
+        "sink": args.sink,
         "drops": args.drops,
-        "docs_per_drop": n_docs,
+        "docs_per_drop": args.drop_docs or n_docs,
         "dup_frac": args.dup_frac,
+        "seed_mult": args.seed_mult,
+        "seed_docs": args.seed_mult * n_docs,
+        "seed_s": round(seed_s, 3),
         "state_rows": rows_per_drop,
         "total_copies": copies_per_drop,
         "drain_s": drain_s,
