@@ -134,6 +134,10 @@ HEADLINE = [
     "ann_topk_batch_lsh",    # batch top-k through the multi-probe LSH index
     "ivf_cell_balance",      # coarse-quantizer cell-occupancy audit
     "cluster_chain_audit",   # CC-dedup transitive-chaining evidence
+    # round-10 additions
+    "media_fingerprint",     # byte-bigram aHash over payloads (mapInPandas)
+    "media_near_pairs",      # perceptual near-dup banded Hamming self-join
+    "pq_pack",               # 5-bit code packing (map-side byte sums)
 ]
 
 

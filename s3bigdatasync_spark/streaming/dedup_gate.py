@@ -116,10 +116,12 @@ def stream_dedup_state(
     state_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
+    **sink_opts,
 ):
     """Maintain the content-hash index over an append-only document dir.
     Returns the StreamingQuery (availableNow trigger: drains the backlog,
-    then stops — re-run on the same checkpoint for new files)."""
+    then stops — re-run on the same checkpoint for new files). sink_opts
+    forward to segmented_count_sink (merge_fanout, bucket_min_rows)."""
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -132,6 +134,7 @@ def stream_dedup_state(
         _hash_counts,
         bucket_col=_BUCKET,
         agg_exprs=_MERGE_AGGS(),
+        **sink_opts,
     )
     return (
         stream.writeStream.outputMode("append")

@@ -207,17 +207,22 @@ def versioned_count_sink(
 ):
     """foreachBatch sink maintaining an addition-merged count state under
     the versioned exactly-once protocol this module documents — parametric
-    over the count key so differently-keyed states (source-drift here, the
-    ppl_gate LM in streaming/ppl_gate.py, the dedup_gate hash index) share
-    ONE implementation of the crash-window machinery instead of cloning it.
+    over the count key so differently-keyed BOUNDED states (source-drift
+    here, the ppl_gate LM in streaming/ppl_gate.py) share ONE implementation
+    of the crash-window machinery instead of cloning it. This sink rewrites
+    the full merged relation per batch, which is the right trade ONLY while
+    the state is bounded (|keys × vocabulary| here); an unbounded state
+    (one row per distinct corpus content) pays O(state) per batch and must
+    use streaming/segments.segmented_count_sink instead — dedup_gate moved
+    there in round 10.
 
     agg_exprs optionally overrides the merge aggregation (default
     [sum(c) AS c]): any per-key aggregates that are associative and
     commutative over union keep the exactly-once argument intact — the
     merge of (old state ∪ fresh counts) is order- and batching-independent,
     so a replay from the still-pointed-at old version reproduces the same
-    state. dedup_gate adds min(keeper): min is idempotent under re-union,
-    exactly like sum over the file-filtered fresh rows."""
+    state (e.g. min(keeper): min is idempotent under re-union, exactly like
+    sum over the file-filtered fresh rows)."""
     merge_aggs = agg_exprs if agg_exprs is not None else [F.sum("c").alias("c")]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

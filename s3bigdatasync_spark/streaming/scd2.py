@@ -25,6 +25,26 @@ only full-table write, landed as a pointer-swapped version dir so no crash
 window can corrupt the current table (at production scale: a MERGE into a
 Delta/Iceberg table, same plan shape — the table format supplies the
 atomic pointer).
+
+Write-amplification audit (round-10, prompted by dedup_gate's segmented
+rework): this module DOES rewrite the full run table per batch, and unlike
+dedup_gate that is inherent to the run ENCODING, not the storage layout —
+every key present in a snapshot advances its open run's v_to each version,
+so O(|inventory|) rows genuinely change per applied snapshot and neither
+hash-bucketing nor an LSM segment log can shrink the delta below that.
+The two real fixes change the encoding or the table format: (a) open-run
+encoding — v_to NULL until the run closes, so unchanged keys' rows never
+change and the per-batch delta is O(churn) (the classic SCD2 current-flag
+layout; it would also change the batch operator's output contract that
+collapse_runs/the oracles pin), or (b) the Delta/Iceberg MERGE named
+above, where copy-on-write lands at file granularity and unchanged files
+are untouched. At this engine's scope the run table is an inventory-sized
+relation (one row per key-run, ~50 B/row — the same class as the
+reference's DDB task table), the rewrite is one scan-sized parquet write
+per applied snapshot version (not per micro-batch row), and snapshots
+arrive daily, so the honest disposition is: acceptable at the reference's
+own operating point, encoding change required before hourly snapshots of
+a 10^9-key inventory.
 """
 
 from __future__ import annotations

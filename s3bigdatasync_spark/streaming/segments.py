@@ -25,12 +25,20 @@ read path (union all segments → one keyed merge-agg) stays a small fan-in.
 This is the standard LSM shape (O'Neil et al., "The Log-Structured
 Merge-Tree", Acta Informatica 1996) expressed as Spark relations.
 
-Buckets still matter, one level down: every segment is written
-`partitionBy(bucket)` on a hash prefix of the key, so (a) a tier merge is a
-per-bucket co-partitioned job a cluster can fan out without shuffling
-cross-bucket, (b) point lookups / admission joins can partition-prune, and
-(c) at deployment scale each bucket's compaction can be scheduled
-independently. The buckets shape the WRITES; the LSM bounds HOW MUCH is
+Buckets still matter, one level down — but only once a segment is LARGE.
+Every row carries a hash-prefix `bucket` column; a segment whose row count
+reaches BUCKET_MIN_ROWS is written `partitionBy(bucket)`, so (a) a tier
+merge of big segments is a per-bucket co-partitioned job a cluster can fan
+out without shuffling cross-bucket, (b) point lookups / admission joins can
+partition-prune, and (c) each bucket's compaction can be scheduled
+independently. Below the threshold a segment is ONE parquet file: the first
+A/B probe wrote every 2k-row tier-0 segment into 256 bucket dirs and paid
+~1.5 KB of parquet footer per 8 rows — 6× slower than the legacy full
+rewrite at probe scale, pure small-file overhead. The threshold is decided
+from row counts recorded in the manifest (deterministic under replay: the
+same inputs recount to the same sizes), so small states stay single-file
+fast and deployment-scale segments get the bucketed layout exactly when it
+starts paying. The buckets shape the WRITES; the LSM bounds HOW MUCH is
 written.
 
 Exactly-once is drift.py's protocol verbatim, re-based onto a manifest:
@@ -68,8 +76,9 @@ from pyspark.sql import functions as F
 from .drift import _read_meta, _scan_latest_complete  # shared protocol core
 
 MERGE_FANOUT = 4  # segments per tier before they merge one tier up
+BUCKET_MIN_ROWS = 1_000_000  # partitionBy(bucket) only at/above this size
 
-_MANIFEST_SCHEMA = "seg string, tier int"
+_MANIFEST_SCHEMA = "seg string, tier int, n_rows long"
 _FILES_SCHEMA = "file_path string"
 _SEG_PREFIXES = ("manifest", "files")
 
@@ -79,10 +88,13 @@ def _key_names(counts_schema: str) -> list[str]:
     return [c.strip().split()[0] for c in counts_schema.split(",")]
 
 
-def _read_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]:
-    """(segment dir name, tier) entries of the version the meta points at —
-    insertion-ordered (the order is the compaction determinism anchor: a
-    replayed batch must pick the same merge group)."""
+def _read_manifest(
+    spark: SparkSession, state_dir: str
+) -> list[tuple[str, int, int]]:
+    """(segment dir name, tier, n_rows) entries of the version the meta
+    points at. Sorted deterministically (the order is the compaction
+    determinism anchor: a replayed batch must pick the same merge group);
+    n_rows feeds the bucket-layout threshold and never needs a data scan."""
     last = _read_meta(spark, state_dir, _SEG_PREFIXES)
     if last < 0:
         return []
@@ -91,11 +103,10 @@ def _read_manifest(spark: SparkSession, state_dir: str) -> list[tuple[str, int]]
         .parquet(f"{state_dir}/manifest_v{last}")
         .collect()
     )
-    # parquet row order within one tiny single-task file is write order, but
-    # sort defensively on the name's (version, tier, seq) encoding so a
-    # multi-file manifest can never flake the merge-group choice
+    # sort on the name's (tier, name) encoding so a multi-file manifest can
+    # never flake the merge-group choice
     return sorted(
-        ((r["seg"], r["tier"]) for r in rows),
+        ((r["seg"], r["tier"], r["n_rows"]) for r in rows),
         key=lambda st: (st[1], st[0]),
     )
 
@@ -129,7 +140,7 @@ def read_segmented_counts(
     if not segs:
         return spark.createDataFrame([], counts_schema)
     union = None
-    for seg, _tier in segs:
+    for seg, _tier, _n in segs:
         part = _read_segment(spark, state_dir, seg, counts_schema)
         union = part if union is None else union.unionByName(part)
     return (
@@ -168,12 +179,22 @@ def segmented_count_sink(
     bucket_col: Callable[[], Column],
     agg_exprs: Sequence[Column],
     merge_fanout: int = MERGE_FANOUT,
+    bucket_min_rows: int = BUCKET_MIN_ROWS,
 ):
     """foreachBatch sink maintaining an addition-merged count state in the
     tiered-segment layout this module documents. Parameters mirror
-    versioned_count_sink plus `bucket_col`: a thunk producing the
-    hash-prefix partition column (e.g. substring(content_hash, 1, 2)) every
-    segment is partitioned by."""
+    versioned_count_sink plus `bucket_col` (a thunk producing the
+    hash-prefix column every row carries) and `bucket_min_rows` (segments
+    at/above this size are written partitionBy(bucket); below it, one
+    parquet file — see the module docstring's small-file A/B)."""
+
+    def write_segment(df: DataFrame, name: str, n_est: int) -> None:
+        if n_est >= bucket_min_rows:
+            df.write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{state_dir}/{name}"
+            )
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/{name}")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -183,25 +204,23 @@ def segmented_count_sink(
         fresh = tagged.join(applied, "file_path", "left_anti")
         manifest = list(_read_manifest(sp, state_dir))
         seq = 0
-        if not fresh.isEmpty():
+        fresh_counts = count_fn(fresh).withColumn("bucket", bucket_col())
+        # one aggregation-sized action: the count doubles as the emptiness
+        # check and the layout/manifest size record
+        n0 = fresh_counts.count()
+        if n0:
             seg0 = f"seg_v{version}_t0_{seq}"
             seq += 1
-            (
-                count_fn(fresh)
-                .withColumn("bucket", bucket_col())
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(f"{state_dir}/{seg0}")
-            )
-            manifest.append((seg0, 0))
+            write_segment(fresh_counts, seg0, n0)
+            manifest.append((seg0, 0, n0))
         # tiered compaction: whenever a tier holds merge_fanout segments,
-        # fold the OLDEST merge_fanout of them one tier up. Deterministic
-        # given the manifest (sorted read + stable append order), so a
-        # crash-replayed batch rebuilds byte-identical segment names.
+        # fold merge_fanout of them one tier up. Deterministic given the
+        # manifest (sorted read + stable append order), so a crash-replayed
+        # batch rebuilds byte-identical segment names.
         while True:
-            by_tier: dict[int, list[str]] = {}
-            for seg, tier in manifest:
-                by_tier.setdefault(tier, []).append(seg)
+            by_tier: dict[int, list[tuple[str, int]]] = {}
+            for seg, tier, n in manifest:
+                by_tier.setdefault(tier, []).append((seg, n))
             tier = next(
                 (t for t in sorted(by_tier) if len(by_tier[t]) >= merge_fanout),
                 None,
@@ -209,8 +228,9 @@ def segmented_count_sink(
             if tier is None:
                 break
             group = by_tier[tier][:merge_fanout]
+            group_names = {s for s, _ in group}
             union = None
-            for seg in group:
+            for seg, _n in group:
                 part = _read_segment(sp, state_dir, seg, counts_schema)
                 union = part if union is None else union.unionByName(part)
             merged = (
@@ -220,11 +240,14 @@ def segmented_count_sink(
             )
             name = f"seg_v{version}_t{tier + 1}_{seq}"
             seq += 1
-            merged.write.partitionBy("bucket").mode("overwrite").parquet(
-                f"{state_dir}/{name}"
-            )
-            manifest = [(s, t) for s, t in manifest if s not in group]
-            manifest.append((name, tier + 1))
+            # pre-merge sum is a deterministic upper bound for the layout
+            # choice; the recorded size is the post-merge footer count (a
+            # metadata-only read, no data scan)
+            n_est = sum(n for _s, n in group)
+            write_segment(merged, name, n_est)
+            n_merged = sp.read.parquet(f"{state_dir}/{name}").count()
+            manifest = [e for e in manifest if e[0] not in group_names]
+            manifest.append((name, tier + 1, n_merged))
         files = applied.unionByName(fresh.select("file_path").distinct()).distinct()
         files.write.mode("overwrite").parquet(f"{state_dir}/files_v{version}")
         man_df = (
@@ -238,6 +261,6 @@ def segmented_count_sink(
         sp.createDataFrame([(version,)], "version long").write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/meta")
-        _gc(state_dir, version, keep_segs={s for s, _ in manifest})
+        _gc(state_dir, version, keep_segs={s for s, _t, _n in manifest})
 
     return sink

@@ -249,18 +249,16 @@ def test_crash_between_segment_commit_and_meta_flip(spark, tmp_path):
     b_docs = _landed(spark, docs_dir).withColumn("file_path", F.input_file_name())
     applied = spark.read.parquet(f"{state_dir}/files_v0")
     fresh = b_docs.join(applied, "file_path", "left_anti")
-    (
-        _hash_counts(fresh)
-        .withColumn("bucket", _BUCKET())
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(f"{state_dir}/seg_v1_t0_0")
+    fresh_counts = _hash_counts(fresh).withColumn("bucket", _BUCKET())
+    n0 = fresh_counts.count()
+    fresh_counts.coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/seg_v1_t0_0"
     )
     applied.unionByName(fresh.select("file_path").distinct()).distinct().write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/files_v1")
     spark.createDataFrame(
-        manifest_v0 + [("seg_v1_t0_0", 0)], "seg string, tier int"
+        manifest_v0 + [("seg_v1_t0_0", 0, n0)], "seg string, tier int, n_rows long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/manifest_v1")
     # CRASH here: no meta flip
 
@@ -277,9 +275,9 @@ def test_crash_between_segment_commit_and_meta_flip(spark, tmp_path):
 
 def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
     """Many small drops must tier-merge: after N drops the live segment
-    count stays well under N (tiered compaction ran), every segment is
-    bucket-partitioned, and the assembled state still equals the batch
-    recomputation bitwise."""
+    count stays well under N (tiered compaction ran), segments above the
+    bucket threshold carry the hash-prefix partition layout on disk, and
+    the assembled state still equals the batch recomputation bitwise."""
     from s3bigdatasync_spark.streaming.segments import (
         MERGE_FANOUT,
         _read_manifest,
@@ -294,21 +292,37 @@ def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
         spark.createDataFrame(
             _mk_docs(chr(ord("a") + i), 12), DOCS_STREAM_SCHEMA
         ).coalesce(1).write.mode("append").parquet(docs_dir)
-        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        # bucket_min_rows=30: tier-0 drops (<=12 distinct rows) stay
+        # single-file, merged tier-1 segments (~36+ rows) cross the
+        # threshold and must land bucket-partitioned — both layouts
+        # exercised in one run, exactly the size-aware rule's contract
+        q = stream_dedup_state(
+            spark, docs_dir, state_dir, ckpt, bucket_min_rows=30
+        )
         q.awaitTermination(120)
 
     manifest = _read_manifest(spark, state_dir)
     assert manifest
     assert len(manifest) < n_drops  # compaction actually folded segments
     per_tier: dict[int, int] = {}
-    for _seg, tier in manifest:
+    for _seg, tier, _n in manifest:
         per_tier[tier] = per_tier.get(tier, 0) + 1
     assert all(n < MERGE_FANOUT for n in per_tier.values()), manifest
-    # bucket layout on disk: hash-prefix partition dirs inside each segment
+    # size-aware layout on disk: big (merged) segments carry bucket= dirs,
+    # small tier-0 segments are a single parquet file
     from pathlib import Path
 
-    seg_dir = Path(state_dir) / manifest[0][0]
-    assert any(p.name.startswith("bucket=") for p in seg_dir.iterdir())
+    big = [s for s, t, n in manifest if n >= 30]
+    small = [s for s, t, n in manifest if n < 30]
+    assert big and small, manifest
+    assert any(
+        p.name.startswith("bucket=")
+        for p in (Path(state_dir) / big[0]).iterdir()
+    )
+    assert not any(
+        p.name.startswith("bucket=")
+        for p in (Path(state_dir) / small[0]).iterdir()
+    )
     assert _rows(dedup_state(spark, state_dir)) == _rows(
         batch_equivalent(spark, docs_dir)
     )

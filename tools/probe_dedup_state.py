@@ -163,10 +163,37 @@ def main() -> None:
         seed_s += time.perf_counter() - t0
         drop_seq += 1
 
+    def bytes_written_this_version(sd: str) -> int:
+        """Bytes the drop's drain wrote into the state dir: every entry
+        carrying the CURRENT version tag (GC keeps only the current
+        files/meta/manifest plus live segments; segments written by this
+        version — including compaction outputs — are named seg_v{N}_*).
+        This is the O(state)-vs-O(batch) axis directly: the legacy sink's
+        counts_v{N} is the whole index, the segmented sink's seg_v{N}_* is
+        the batch plus amortized merges."""
+        import os
+        import re
+
+        root = Path(sd)
+        vmax = -1
+        for d in root.iterdir():
+            m = re.fullmatch(r"files_v(\d+)", d.name)
+            if m:
+                vmax = max(vmax, int(m.group(1)))
+        total = 0
+        for d in root.iterdir():
+            if re.fullmatch(
+                rf"(counts|files|manifest)_v{vmax}", d.name
+            ) or re.match(rf"seg_v{vmax}_", d.name):
+                for r, _dirs, fs in os.walk(d):
+                    total += sum((Path(r) / f).stat().st_size for f in fs)
+        return total
+
     # --- timed drops -------------------------------------------------------
     rows_per_drop: list[int] = []
     copies_per_drop: list[int] = []
     drain_s: list[float] = []
+    written_mb: list[float] = []
     for i in range(args.drops):
         drop = base
         if args.drop_docs:
@@ -186,6 +213,7 @@ def main() -> None:
         q = run_stream()
         q.awaitTermination(900)
         drain_s.append(round(time.perf_counter() - t0, 3))
+        written_mb.append(round(bytes_written_this_version(state_dir) / 1e6, 3))
         drop_seq += 1
         st = read_state(spark, state_dir)
         agg = st.agg(
@@ -205,6 +233,7 @@ def main() -> None:
         "state_rows": rows_per_drop,
         "total_copies": copies_per_drop,
         "drain_s": drain_s,
+        "written_mb_per_drop": written_mb,
     }
     line = json.dumps(payload)
     print(line)

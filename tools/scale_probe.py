@@ -80,6 +80,10 @@ DOC_QUERIES = [
     "ann_topk_batch_lsh",
     "ivf_cell_balance",
     "cluster_chain_audit",
+    # round-10 batch: perceptual media near-dup + packed PQ codes
+    "media_fingerprint",
+    "media_near_pairs",
+    "pq_pack",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
