@@ -136,6 +136,23 @@ def full_oracles() -> dict[str, str]:
     return out
 
 
+def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """full_queries() WITHOUT the scoped-release wrapper: construction does
+    not drop the previous query's scoped caches/memos, so bulk plan-building
+    (sql_views view registration: ~183 constructions, where the cost is
+    model-training collects repeated per query once memos are released)
+    shares trained state across queries. Violating the one-live-query
+    contract is documented safe-but-slow for EXECUTION; for bulk
+    CONSTRUCTION it is the fast path — callers release once at the end
+    (operators.release_caches)."""
+    out: dict = {}
+    for m in _MODULES:
+        for name, v in getattr(m, "QUERIES", {}).items():
+            out[name] = v
+    out.update(packs.QUERIES)  # pack callables are unwrapped at the source
+    return out
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing registry: 18 extension queries, then 14 packs (pack_r10
     first, then pack_r7, pack_r6, then older), then the core queries that

@@ -123,12 +123,28 @@ def test_pack_specs_consistent():
             assert m in packs._MEMBER_COLS, (pack, m)
 
 
-def test_pack_member_cols_match_schema(spark, sf_dir):
-    """The static reshape spec must track each member's actual schema."""
-    q = registry.full_queries()
-    kind_of = {"string": "str", "boolean": "bool", "double": "num"}
+def test_pack_member_cols_match_schema(sf_dir):
+    """The static reshape spec must track each member's actual schema —
+    validated against the ORACLE side (DuckDB LIMIT 0: column names + types
+    with zero rows computed). Durations surgery (round 10): the old
+    Spark-side sweep re-CONSTRUCTED all 133 member plans (model training
+    included) for 54 s; the DuckDB describe costs milliseconds per member,
+    and the Spark side cannot drift silently anyway — a _MEMBER_COLS column
+    absent from the Spark schema makes the pack query itself fail to
+    resolve, which the pack oracle tests catch."""
+    from tests.oracle_utils import duck_connect
+
+    o = registry.full_oracles()
+    con = duck_connect(sf_dir)
+    kind_of = {
+        "VARCHAR": "str",
+        "BOOLEAN": "bool",
+        "DOUBLE": "num",
+        "FLOAT": "num",
+    }
     for member, spec in packs._MEMBER_COLS.items():
-        dtypes = q[member](spark, sf_dir).dtypes
+        rel = con.sql(f"SELECT * FROM ({o[member]}) LIMIT 0")
+        dtypes = list(zip(rel.columns, [str(t) for t in rel.types]))
         assert [c for c, _ in spec] == [c for c, _ in dtypes], member
         for (c, kind), (_, dt) in zip(spec, dtypes):
             expected = kind_of.get(dt, "int")

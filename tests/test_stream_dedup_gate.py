@@ -287,7 +287,10 @@ def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
     state_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt")
 
-    n_drops = MERGE_FANOUT * 2 + 1  # forces at least two tier-0 merges
+    # fanout + 2 drops: one tier-0 merge fires (drop 4) and two tier-0
+    # segments land after it — compaction, both layouts, and the merged
+    # state all exercised in 6 drains instead of 9 (durations surgery)
+    n_drops = MERGE_FANOUT + 2
     for i in range(n_drops):
         spark.createDataFrame(
             _mk_docs(chr(ord("a") + i), 12), DOCS_STREAM_SCHEMA

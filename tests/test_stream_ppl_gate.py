@@ -112,6 +112,38 @@ def test_gate_report_refuses_stale_state(spark, tmp_path):
     assert got.filter(got.doc_id == 999_001).count() == 1
 
 
+def test_gate_report_tolerates_zero_token_docs(spark, tmp_path):
+    """Round-10 ADVICE: an empty/whitespace-only doc can never be scored —
+    the batch operator drops it silently, and re-running the stream merges
+    no tokens for it, so the old staleness guard made the report
+    permanently unrenderable on a remediation that could not succeed. The
+    report must render (excluding the token-less doc), and a REAL straggler
+    alongside one must still fail loudly."""
+    import pytest
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = _mk_docs("a", 20) + [(777, "   ", "lang0"), (778, "", "lang1")]
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q = stream_ppl_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = ppl_gate_report(spark, state_dir, _landed(spark, docs_dir))
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 777 not in ids and 778 not in ids and len(ids) == 20
+
+    # zero-token docs must not mask a genuine straggler
+    spark.createDataFrame(
+        [(999_002, "zzq qqz zqq", "lang0")], DOCS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    with pytest.raises(ValueError, match="no in-support tokens"):
+        ppl_gate_report(spark, state_dir, _landed(spark, docs_dir))
+
+
 def test_lm_state_is_vocab_bounded(spark, tmp_path):
     """The LM state is |languages x vocabulary| rows no matter how many
     documents contributed — the no-rescan property at corpus scale."""
