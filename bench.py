@@ -137,6 +137,7 @@ HEADLINE = [
     # round-10 additions
     "media_fingerprint",     # byte-bigram aHash over payloads (mapInPandas)
     "media_near_pairs",      # perceptual near-dup banded Hamming self-join
+    "media_near_pairs_capped",  # hot-bucket-capped twin (the 100x dial)
     "pq_pack",               # 5-bit code packing (map-side byte sums)
 ]
 

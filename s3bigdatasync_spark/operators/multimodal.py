@@ -489,12 +489,119 @@ WHERE bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
 """
 
 
+MEDIA_BUCKET_CAP = 16  # max docs per (type, band, bkey) bucket joined
+
+
+def media_near_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_near_pairs with the hot-bucket cap pre-applied — the scale
+    dial the 100× probe priced (SCALING.md round 10: Σ|bucket|² ≈ 5.0e9 at
+    100× with an 18k-doc hottest bucket). The df_cap/gram_cap doctrine
+    (dedup.py) applied to LSH band buckets: a (media_type, band, bkey)
+    bucket holding more than MEDIA_BUCKET_CAP fingerprints contributes NO
+    candidates from that band — its members are a near-clique whose pairs
+    mostly re-surface through their other, colder bands, and the bucket's
+    |b|² candidate cost is exactly what melts at corpus scale.
+
+    Semantics delta vs the exact twin, stated precisely: a pair is lost iff
+    EVERY band the two fingerprints agree on is hot. The cap is live at
+    test scale on purpose (sf0.01: 4 buckets over 16, max 26), so the
+    capped path's semantics are oracle-verified rather than vacuously equal
+    to the uncapped twin. Scale: one extra ≤|buckets|-row count relation +
+    a semi-join before the same shuffle_hash pair join — candidate volume
+    per band is now ≤ CAP²/2 per bucket by construction."""
+    fp = scoped_cache(media_fingerprint(spark, sf_dir))
+    bands = fp.select(
+        "doc_id",
+        "media_type",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("bkey")
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "media_type", "b0", "b1", "b2", "b3",
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
+    )
+    cold = (
+        bands.groupBy("media_type", "band", "bkey")
+        .count()
+        .filter(F.col("count") <= MEDIA_BUCKET_CAP)
+        .select("media_type", "band", "bkey")
+    )
+    bands = bands.join(cold, ["media_type", "band", "bkey"], "left_semi")
+    a = bands.alias("a")
+    b = bands.alias("b").hint("shuffle_hash")
+    ham = sum(
+        F.bit_count(
+            F.col(f"a.b{k}").cast("long").bitwiseXOR(F.col(f"b.b{k}").cast("long"))
+        )
+        for k in range(PHASH_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.media_type").alias("media_type"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )
+
+
+_MEDIA_NEAR_CAPPED_SQL = f"""
+WITH {_FINGERPRINT_CTE},
+bands AS (
+  SELECT doc_id, media_type, b0, b1, b2, b3, u.band,
+         CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bkey
+  FROM fp, unnest(generate_series(0, {PHASH_BANDS - 1})) u(band)
+),
+cold AS (
+  SELECT media_type, band, bkey FROM bands
+  GROUP BY media_type, band, bkey HAVING count(*) <= {MEDIA_BUCKET_CAP}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b SEMI JOIN cold c
+    ON b.media_type = c.media_type AND b.band = c.band AND b.bkey = c.bkey
+)
+SELECT DISTINCT a.media_type AS media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+          + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+          + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+          + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT)) AS INT) AS hamming
+FROM bands_ok a
+JOIN bands_ok b ON a.media_type = b.media_type AND a.band = b.band
+               AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+    + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+    + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+    + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT)) <= {PHASH_HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "frame_sample_plan": frame_sample_plan,
     "media_dedup": media_dedup,
     "media_fingerprint": media_fingerprint,
     "media_near_pairs": media_near_pairs,
+    "media_near_pairs_capped": media_near_pairs_capped,
 }
 
 ORACLES = {
@@ -503,4 +610,5 @@ ORACLES = {
     "media_dedup": _MEDIA_DEDUP_SQL,
     "media_fingerprint": _MEDIA_FINGERPRINT_SQL,
     "media_near_pairs": _MEDIA_NEAR_SQL,
+    "media_near_pairs_capped": _MEDIA_NEAR_CAPPED_SQL,
 }

@@ -96,6 +96,7 @@ PACK_SPECS: dict[str, list[str]] = {
     "pack_r10": [
         "media_fingerprint",
         "media_near_pairs",
+        "media_near_pairs_capped",
         "pq_pack",
         "simhash_near_pairs",
     ],
@@ -319,6 +320,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("b3", "int"),
     ],
     "media_near_pairs": [
+        ("media_type", "str"),
+        ("doc_a", "int"),
+        ("doc_b", "int"),
+        ("hamming", "int"),
+    ],
+    "media_near_pairs_capped": [
         ("media_type", "str"),
         ("doc_a", "int"),
         ("doc_b", "int"),

@@ -83,6 +83,7 @@ DOC_QUERIES = [
     # round-10 batch: perceptual media near-dup + packed PQ codes
     "media_fingerprint",
     "media_near_pairs",
+    "media_near_pairs_capped",
     "pq_pack",
 ]
 
