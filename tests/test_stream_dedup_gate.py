@@ -273,6 +273,47 @@ def test_crash_between_segment_commit_and_meta_flip(spark, tmp_path):
     )
 
 
+def test_meta_loss_recovery_segmented(spark, tmp_path):
+    """The meta pointer is a parquet dir overwrite (delete-then-recreate);
+    a crash inside that window leaves segments + manifest + files intact
+    but NO meta. The segmented recovery scan must find the newest complete
+    (manifest, files) version — never bootstrap over live state, which
+    would orphan the whole index AND the applied-files log."""
+    import shutil
+    from pathlib import Path
+
+    from s3bigdatasync_spark.streaming.segments import _SEG_PREFIXES
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for tag in ("a", "b"):
+        spark.createDataFrame(_mk_docs(tag, 15), DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 1
+    before = _rows(dedup_state(spark, state_dir))
+
+    # crash mid-pointer-overwrite: meta dir gone, everything else intact
+    shutil.rmtree(Path(state_dir) / "meta")
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 1  # recovery scan
+    assert _rows(dedup_state(spark, state_dir)) == before
+
+    # and the next drain proceeds normally from the recovered version
+    spark.createDataFrame(_mk_docs("c", 10), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+    assert _read_meta(spark, state_dir, _SEG_PREFIXES) == 2
+    assert _rows(dedup_state(spark, state_dir)) == _rows(
+        batch_equivalent(spark, docs_dir)
+    )
+
+
 def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
     """Many small drops must tier-merge: after N drops the live segment
     count stays well under N (tiered compaction ran), segments above the
