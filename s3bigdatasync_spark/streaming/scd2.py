@@ -34,17 +34,17 @@ so O(|inventory|) rows genuinely change per applied snapshot and neither
 hash-bucketing nor an LSM segment log can shrink the delta below that.
 The two real fixes change the encoding or the table format: (a) open-run
 encoding — v_to NULL until the run closes, so unchanged keys' rows never
-change and the per-batch delta is O(churn) (the classic SCD2 current-flag
-layout; it would also change the batch operator's output contract that
-collapse_runs/the oracles pin), or (b) the Delta/Iceberg MERGE named
-above, where copy-on-write lands at file granularity and unchanged files
-are untouched. At this engine's scope the run table is an inventory-sized
-relation (one row per key-run, ~50 B/row — the same class as the
-reference's DDB task table), the rewrite is one scan-sized parquet write
-per applied snapshot version (not per micro-batch row), and snapshots
-arrive daily, so the honest disposition is: acceptable at the reference's
-own operating point, encoding change required before hourly snapshots of
-a 10^9-key inventory.
+change and the per-batch delta is O(churn), or (b) the Delta/Iceberg
+MERGE named above, where copy-on-write lands at file granularity. Fix (a)
+is SHIPPED as `streaming/scd2_open.py` (round 10): an append-only
+OPEN/CLOSE/SIZE event log on the segmented LSM store whose closed-form
+view equals collapse_runs exactly (gaps, size-min, disappearance — pinned
+in tests/test_stream_scd2_open.py), with a zero-churn version writing a
+single watermark-sentinel row. THIS module stays as the materialized-
+table variant: acceptable at the reference's own daily-snapshot operating
+point (one scan-sized parquet write per applied version), and its
+read_runs is a plain table scan where the open-run variant pays a
+segment merge-agg per read — pick by read/write ratio.
 """
 
 from __future__ import annotations

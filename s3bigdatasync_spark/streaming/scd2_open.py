@@ -1,0 +1,262 @@
+"""Open-run streaming SCD2 — the O(churn) encoding scd2.py's
+write-amplification audit named as the real fix.
+
+`streaming/scd2.py` maintains collapse_runs' CLOSED encoding, where every
+key present in a snapshot advances its open run's v_to — O(|inventory|)
+rows genuinely change per applied version, so the full-table rewrite is
+inherent to the encoding, not the storage layout. This module changes the
+encoding: a run's v_to is NULL while the run is open and is written
+exactly once, when the run CLOSES (etag change or key disappearance). A
+key that persists unchanged touches NOTHING — per-version written deltas
+are O(churn): new etags + disappearances + the rare size shrink.
+
+The state is an append-only EVENT log in the segmented LSM store
+(streaming/segments.py — the same tier-0 segments / tiered compaction /
+versioned manifest/meta/files crash protocol dedup_gate rides). Events
+per (key, run_id):
+
+    OPEN  (etag, v_from, size; v_to NULL)      — exactly one
+    CLOSE (v_to; everything else NULL)         — at most one
+    SIZE  (size only)                          — when the run's min size
+                                                  shrinks (collapse_runs'
+                                                  size = MIN over members)
+
+and they merge per (key, run_id) by [max(etag), max(v_from), max(v_to),
+min(size)] — all associative/commutative over union (max ignores the
+NULLs the other event kinds carry), so segment assembly and crash-replay
+idempotence are the segments-module argument verbatim. A sentinel row
+(key=_WM_KEY, run_id=-1, v_to=batch max version) rides every batch's
+events: it merges by the same max(v_to) and carries the version WATERMARK
+— needed because a zero-churn version writes no run events at all, yet
+the closed-form view must know history extends to it, and the idempotent
+version-skip guard (v <= watermark ⇒ already applied) needs it too.
+
+Closed-form parity (pinned in tests/test_stream_scd2_open.py):
+
+    read_runs_closed(state) == collapse_runs(all versions seen)
+
+with v_to := coalesce(v_to, watermark) for open runs. run_id assignment
+(per-key max + row_number by etag within a version) and the size-min
+semantics replicate timeline.snapshot_history_merge exactly, including
+its documented caveat: a key anomalously listing two different etags in
+ONE snapshot diverges from collapse_runs' strictly-sequential fold the
+same way the closed-encoding merge does (the fileSchema of a real
+inventory guarantees one etag per key per snapshot).
+
+Scale, the point of the module: per-batch WRITE cost is O(churn), read
+cost one assembly of a bounded segment fan-in. At a 10^9-key inventory
+with daily 0.1% churn, scd2.py writes 10^9 rows per version; this module
+writes ~10^6. The trade is read-side: consumers call read_runs_closed
+(one merge-agg over the segments) instead of scanning a materialized
+table — the Delta/Iceberg MERGE trade, expressed in plain parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .segments import read_segmented_counts, segmented_count_sink
+
+SNAPSHOT_STREAM_SCHEMA = (
+    "key string, v int, etag string, size long"
+)
+
+_STATE_SCHEMA = (
+    "key string, run_id long, etag string, v_from int, v_to int, size long"
+)
+_KEYS = ["key", "run_id"]
+_WM_KEY = "\x00watermark"  # sorts before any real key; filtered from views
+
+
+def _merge_aggs():
+    return [
+        F.max("etag").alias("etag"),
+        F.max("v_from").alias("v_from"),
+        F.max("v_to").alias("v_to"),
+        F.min("size").alias("size"),
+    ]
+
+
+def _bucket():
+    return F.substring(F.md5("key"), 1, 2)
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    return read_segmented_counts(
+        spark, state_dir, _STATE_SCHEMA, _KEYS, _merge_aggs()
+    )
+
+
+def read_watermark(spark: SparkSession, state_dir: str) -> int:
+    rows = (
+        _read_state(spark, state_dir)
+        .filter(F.col("key") == _WM_KEY)
+        .select("v_to")
+        .collect()
+    )
+    return rows[0]["v_to"] if rows else 0
+
+
+def read_runs_open(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The raw run relation: open runs carry v_to NULL."""
+    return _read_state(spark, state_dir).filter(F.col("key") != _WM_KEY)
+
+
+def read_runs_closed(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The collapse_runs-shaped view: open runs close AT the watermark
+    (their key was present in every version up to it — by construction a
+    disappearance would have closed them)."""
+    w = read_watermark(spark, state_dir)
+    return read_runs_open(spark, state_dir).select(
+        "key",
+        "run_id",
+        "etag",
+        "v_from",
+        F.coalesce(F.col("v_to"), F.lit(w)).cast("int").alias("v_to"),
+        "size",
+    )
+
+
+def _make_events_fn(state_dir: str):
+    """Bind the state dir into the sink's count_fn (a closure, so two
+    streams over different state dirs can coexist)."""
+
+    def events_for_batch(fresh: DataFrame) -> DataFrame:
+        return _events_for_batch(fresh, state_dir)
+
+    return events_for_batch
+
+
+def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
+    """The per-batch event relation: fold each NEW version (ascending) over
+    the open-run state, emitting only churn. This is the count_fn of the
+    segmented sink — it reads the CURRENT (pre-batch) state version, which
+    a crash-replay reads identically (the meta pointer hasn't moved)."""
+    sp = fresh.sparkSession
+    full = _read_state(sp, state_dir)
+    wm = full.filter(F.col("key") == _WM_KEY).select("v_to").collect()
+    watermark = wm[0]["v_to"] if wm else 0
+    versions = sorted(
+        r["v"]
+        for r in fresh.select("v").distinct().collect()
+        if r["v"] > watermark
+    )
+    empty = sp.createDataFrame([], _STATE_SCHEMA)
+    if not versions:
+        return empty
+    runs = full.filter(F.col("key") != _WM_KEY)
+    # open runs (current min size) and per-key max run id, carried forward
+    o = runs.filter(F.col("v_to").isNull()).select(
+        "key", "run_id", "etag", "size"
+    )
+    m = runs.groupBy("key").agg(F.max("run_id").alias("max_run"))
+    events = empty
+    prev = watermark
+    for v in versions:
+        if prev and v != prev + 1:
+            # a gap in version NUMBERS is absence: collapse_runs breaks
+            # every run on v != lag(v)+1, so all open runs close at the
+            # last version that actually existed (O(open) events — gaps
+            # are anomalies; correctness over write thrift here)
+            gap_closes = o.select(
+                "key",
+                "run_id",
+                F.lit(None).cast("string").alias("etag"),
+                F.lit(None).cast("int").alias("v_from"),
+                F.lit(prev).cast("int").alias("v_to"),
+                F.lit(None).cast("long").alias("size"),
+            )
+            events = events.unionByName(gap_closes)
+            o = sp.createDataFrame([], "key string, run_id long, etag string, size long")
+        snap = (
+            fresh.filter(F.col("v") == v)
+            .groupBy("key", "etag")
+            .agg(F.min("size").alias("s_size"))
+        )
+        cont = snap.join(o, ["key", "etag"])
+        shrink = cont.filter(F.col("s_size") < F.col("size")).select(
+            "key",
+            "run_id",
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("int").alias("v_from"),
+            F.lit(None).cast("int").alias("v_to"),
+            F.col("s_size").alias("size"),
+        )
+        news = snap.join(o, ["key", "etag"], "left_anti")
+        closes = o.join(cont.select("key"), "key", "left_anti").select(
+            "key",
+            "run_id",
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("int").alias("v_from"),
+            F.lit(v - 1).cast("int").alias("v_to"),
+            F.lit(None).cast("long").alias("size"),
+        )
+        wk = Window.partitionBy("key").orderBy("etag")
+        opens = news.join(m, "key", "left").select(
+            "key",
+            (F.coalesce(F.col("max_run"), F.lit(0)) + F.row_number().over(wk))
+            .cast("long")
+            .alias("run_id"),
+            "etag",
+            F.lit(v).cast("int").alias("v_from"),
+            F.lit(None).cast("int").alias("v_to"),
+            F.col("s_size").alias("size"),
+        )
+        events = events.unionByName(shrink).unionByName(closes).unionByName(opens)
+        # fold state forward for the next version in this batch
+        o = (
+            o.join(closes.select("key", "run_id"), ["key", "run_id"], "left_anti")
+            .join(shrink.select("key", "run_id", F.col("size").alias("s2")),
+                  ["key", "run_id"], "left")
+            .select(
+                "key",
+                "run_id",
+                "etag",
+                F.coalesce(F.col("s2"), F.col("size")).alias("size"),
+            )
+            .unionByName(opens.select("key", "run_id", "etag", "size"))
+        )
+        m = (
+            m.unionByName(opens.groupBy("key").agg(F.max("run_id").alias("max_run")))
+            .groupBy("key")
+            .agg(F.max("max_run").alias("max_run"))
+        )
+        prev = v
+    sentinel = sp.createDataFrame(
+        [(_WM_KEY, -1, None, None, int(versions[-1]), None)], _STATE_SCHEMA
+    )
+    return events.unionByName(sentinel)
+
+
+def stream_snapshot_history_open(
+    spark: SparkSession,
+    snapshots_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+    **sink_opts,
+):
+    """Maintain the open-run event log over an append-only snapshot dir.
+    Returns the StreamingQuery (availableNow: drains, then stops)."""
+    stream = (
+        spark.readStream.schema(SNAPSHOT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(snapshots_dir)
+    )
+    sink = segmented_count_sink(
+        state_dir,
+        _STATE_SCHEMA,
+        _KEYS,
+        _make_events_fn(state_dir),
+        bucket_col=_bucket,
+        agg_exprs=_merge_aggs(),
+        **sink_opts,
+    )
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
