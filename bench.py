@@ -138,6 +138,7 @@ HEADLINE = [
     "media_fingerprint",     # byte-bigram aHash over payloads (mapInPandas)
     "media_near_pairs",      # perceptual near-dup banded Hamming self-join
     "media_near_pairs_capped",  # hot-bucket-capped twin (the 100x dial)
+    "media_canonical",       # CC over media near-pairs + keeper decision
     "pq_pack",               # 5-bit code packing (map-side byte sums)
 ]
 

@@ -595,6 +595,119 @@ WHERE bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
 """
 
 
+def media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media family's dedup DECISION, completing the fingerprint →
+    pairs → clusters → keeper chain the text side already has
+    (dedup_clusters/dedup_canonical): connected components over the CAPPED
+    near-pair graph (the production path), keeper = the lowest doc_id per
+    component, every other member a droppable near-duplicate.
+
+    Iterative min-label propagation, the dedup.py:854 pattern verbatim:
+    the fixpoint iterates ONLY over docs that appear in at least one edge
+    (isolated assets are singleton clusters by construction and join once
+    at the end), so the per-round working set is sized by the near-dup
+    population, not the corpus. Pairs exist only within a media_type, so
+    components never span types. Oracle: the same fixpoint as a DuckDB
+    recursive CTE over the same capped-pair SQL."""
+    docs = media_table(spark, sf_dir).select("doc_id", "media_type")
+    pairs = media_near_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a"), F.col("doc_b")),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b").transform(scoped_cache)
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
+        .transform(scoped_cache)
+    )
+    converged = False
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .transform(scoped_cache)
+        )
+        # full count() on purpose — the dedup_clusters materialization note
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            "media_canonical: label propagation did not converge in 20 "
+            "rounds (component diameter > 20 — raise the round cap)"
+        )
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "media_type",
+        F.coalesce("lbl", "doc_id").alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("lbl", "doc_id")).alias("is_keeper"),
+    )
+
+
+_MEDIA_CANONICAL_SQL = f"""
+WITH RECURSIVE {_FINGERPRINT_CTE},
+bands AS (
+  SELECT doc_id, media_type, b0, b1, b2, b3, u.band,
+         CASE u.band WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bkey
+  FROM fp, unnest(generate_series(0, {PHASH_BANDS - 1})) u(band)
+),
+cold AS (
+  SELECT media_type, band, bkey FROM bands
+  GROUP BY media_type, band, bkey HAVING count(*) <= {MEDIA_BUCKET_CAP}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b SEMI JOIN cold c
+    ON b.media_type = c.media_type AND b.band = c.band AND b.bkey = c.bkey
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a
+  JOIN bands_ok b ON a.media_type = b.media_type AND a.band = b.band
+                 AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+      + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+      + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+      + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT)) <= {PHASH_HAMMING_MAX}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION SELECT doc_b, doc_a FROM prs),
+lp(n, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, lp.lbl FROM lp JOIN edges e ON e.a = lp.n WHERE lp.lbl < e.b
+),
+clusters AS (SELECT n AS doc_id, min(lbl) AS cluster_id FROM lp GROUP BY n)
+SELECT c.doc_id, f.media_type, c.cluster_id,
+       c.doc_id = c.cluster_id AS is_keeper
+FROM clusters c JOIN fp f ON f.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "media_features": media_features,
     "frame_sample_plan": frame_sample_plan,
@@ -602,6 +715,7 @@ QUERIES = {
     "media_fingerprint": media_fingerprint,
     "media_near_pairs": media_near_pairs,
     "media_near_pairs_capped": media_near_pairs_capped,
+    "media_canonical": media_canonical,
 }
 
 ORACLES = {
@@ -611,4 +725,5 @@ ORACLES = {
     "media_fingerprint": _MEDIA_FINGERPRINT_SQL,
     "media_near_pairs": _MEDIA_NEAR_SQL,
     "media_near_pairs_capped": _MEDIA_NEAR_CAPPED_SQL,
+    "media_canonical": _MEDIA_CANONICAL_SQL,
 }

@@ -97,6 +97,7 @@ PACK_SPECS: dict[str, list[str]] = {
         "media_fingerprint",
         "media_near_pairs",
         "media_near_pairs_capped",
+        "media_canonical",
         "pq_pack",
         "simhash_near_pairs",
     ],
@@ -330,6 +331,12 @@ _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
         ("doc_a", "int"),
         ("doc_b", "int"),
         ("hamming", "int"),
+    ],
+    "media_canonical": [
+        ("doc_id", "int"),
+        ("media_type", "str"),
+        ("cluster_id", "int"),
+        ("is_keeper", "bool"),
     ],
     "pq_pack": [
         ("vec_id", "int"),

@@ -6,13 +6,13 @@ Two views of the same inventory:
       entries (the external correctness driver records at most 50 per round —
       round 1 recorded precisely the first 50 of 68, insertion-ordered;
       all_queries() asserts the cap so an overflow can never ship silently).
-      134 small, individually-proven queries are folded into 14 packs
+      135 small, individually-proven queries are folded into 14 packs
       (operators/packs.py) so every operator's semantics is driver-checked;
       the 18 queries the r01 driver never reached lead the ordering as
       insurance against any tighter cap.
 
   full_queries()/full_oracles() — every individual query PLUS the packs
-      (184 entries). pytest parametrizes over this, so each pack member is
+      (185 entries). pytest parametrizes over this, so each pack member is
       still compared one-by-one against its own oracle in-repo.
 """
 

@@ -84,6 +84,7 @@ DOC_QUERIES = [
     "media_fingerprint",
     "media_near_pairs",
     "media_near_pairs_capped",
+    "media_canonical",
     "pq_pack",
 ]
 
