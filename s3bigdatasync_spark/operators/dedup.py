@@ -879,22 +879,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole shingle-join subtree twice, and since the input is distinct
     # (a < b) pairs, the two directions are distinct by construction — no
     # dedup shuffle needed either.
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a"), F.col("doc_b")),
-                F.struct(
-                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-                ),
-            )
-        ).alias("e")
-    ).select("e.doc_a", "e.doc_b").transform(scoped_cache)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .localCheckpoint(eager=True)
+    )
     # symmetric edges: doc_a alone covers every non-isolated node
     labels = (
         edges.select("doc_a")
         .distinct()
         .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
-        .transform(scoped_cache)
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(20):
@@ -903,31 +907,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # eager localCheckpoint (round-10 fix, found via media_canonical):
+        # caching truncates physical re-execution but NOT the analyzed
+        # logical plan — labels feeds both join sides, so the plan tree
+        # doubles per round and round-k PLANNING cost is O(2^k). Shallow
+        # Jaccard components (2-3 rounds) only grazed that cliff; the
+        # checkpoint truncates the lineage itself, holding per-round cost
+        # flat at any diameter. Values are unchanged (the fixpoint is
+        # deterministic); the oracle re-pins them.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .transform(scoped_cache)
+            .localCheckpoint(eager=True)
         )
-        # count() (not take(1)) on purpose: it materializes EVERY partition of
-        # the round's cache. A partial probe leaves uncached partitions whose
-        # recompute re-enters the previous round twice (labels feeds both join
-        # sides) — exponential lineage blowup — and leaves the planner with
-        # garbage size stats that turn downstream joins into doomed broadcasts.
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         # a silent fall-through here would return wrong cluster labels with no
         # signal at production scale where no oracle runs

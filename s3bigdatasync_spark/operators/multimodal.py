@@ -602,30 +602,43 @@ def media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-pair graph (the production path), keeper = the lowest doc_id per
     component, every other member a droppable near-duplicate.
 
-    Iterative min-label propagation, the dedup.py:854 pattern verbatim:
-    the fixpoint iterates ONLY over docs that appear in at least one edge
-    (isolated assets are singleton clusters by construction and join once
-    at the end), so the per-round working set is sized by the near-dup
-    population, not the corpus. Pairs exist only within a media_type, so
-    components never span types. Oracle: the same fixpoint as a DuckDB
-    recursive CTE over the same capped-pair SQL."""
+    Iterative min-label propagation (the dedup.py:854 fixpoint), with one
+    deliberate difference: per-round LINEAGE TRUNCATION via eager
+    localCheckpoint instead of cache(). Caching truncates physical
+    re-execution but NOT the analyzed logical plan — labels appears twice
+    per round, so the plan tree doubles every round and round-k PLANNING
+    cost is O(2^k): measured at sf0.1, the cached loop's rounds ran 1.6,
+    1.4, 2.7, 7.8, 28, 89 s (121 s total) on a 766-node graph while the
+    checkpointed loop runs the same six rounds in 0.9, 0.6, 0.6, 0.4,
+    0.4, 0.4 s. This graph chains deeper than the Jaccard graph (bigram
+    near-cohorts — exactly what cluster_chain_audit measures), so it hits
+    the cliff the shallower text fixpoint only grazes. The fixpoint still
+    iterates ONLY over docs with at least one edge (isolated assets are
+    singleton clusters, joined once at the end); pairs exist only within a
+    media_type, so components never span types. Oracle: the same fixpoint
+    as a DuckDB recursive CTE over the same capped-pair SQL."""
     docs = media_table(spark, sf_dir).select("doc_id", "media_type")
     pairs = media_near_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a"), F.col("doc_b")),
-                F.struct(
-                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-                ),
-            )
-        ).alias("e")
-    ).select("e.doc_a", "e.doc_b").transform(scoped_cache)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"),
+                        F.col("doc_a").alias("doc_b"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select("doc_a")
         .distinct()
         .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
-        .transform(scoped_cache)
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(20):
@@ -642,21 +655,18 @@ def media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .transform(scoped_cache)
+            .localCheckpoint(eager=True)
         )
-        # full count() on purpose — the dedup_clusters materialization note
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             "media_canonical: label propagation did not converge in 20 "

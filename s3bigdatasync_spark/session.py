@@ -43,7 +43,13 @@ def get_spark(app_name: str = "s3bigdatasync-spark", cpus: int | None = None) ->
         # Broadcast small dimension tables aggressively (region/nation/spines
         # are tiny; the 10 MB default is fine but make intent explicit).
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode: ONE JVM hosts driver + all executor threads, so this is
+        # the whole engine's heap. 8g survived a 104-query bench pass but
+        # OOM'd at 109 queries (accumulated codegen classes + broadcasts +
+        # the round's new CC loop, ~12k stages in) — 16g on a 128 GiB box
+        # leaves margin without pretending memory is free. A real cluster
+        # splits this across executors and none of it applies.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Testdata parquet carries TIMESTAMP(NANOS) which Spark has no native
         # type for; read as long and convert (views.register_base_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
