@@ -86,6 +86,16 @@ for _m in _SOURCE_MODULES:
 
 # pack name -> member query names (every member must have an oracle)
 PACK_SPECS: dict[str, list[str]] = {
+    # round-11 additions, FIRST among the packs (forward-ordering): the
+    # evidence-driven media band-geometry plan (the lsh_band_plan doctrine
+    # applied to the perceptual fingerprint — the r10 verdict's prescription
+    # for the uncapped quadratic term), plus dedup_clusters (folded from
+    # standalone to keep the driver at 50 — thematically it IS the CC
+    # fixpoint media_canonical reuses)
+    "pack_r11": [
+        "media_band_plan",
+        "dedup_clusters",
+    ],
     # round-10 additions, FIRST among the packs (forward-ordering): the
     # perceptual media near-dup family (byte-bigram aHash fingerprint +
     # banded-Hamming candidate pairs — the r9 verdict's top LLM-pipeline
@@ -312,6 +322,23 @@ PACK_MEMBERS: set[str] = {m for ms in PACK_SPECS.values() for m in ms}
 # session. Drift between this spec and a member's actual schema fails loudly
 # (unresolved column on the Spark side / binder error on the DuckDB side).
 _MEMBER_COLS: dict[str, list[tuple[str, str]]] = {
+    "media_band_plan": [
+        ("bands", "int"),
+        ("band_bits", "int"),
+        ("exact_bound", "int"),
+        ("n_cand_pairs", "int"),
+        ("max_bucket", "int"),
+        ("n_true_pairs", "int"),
+        ("n_caught", "int"),
+        ("recall", "num"),
+        ("exact_at_threshold", "bool"),
+        ("recommended", "bool"),
+    ],
+    "dedup_clusters": [
+        ("doc_id", "int"),
+        ("cluster_id", "int"),
+        ("is_keeper", "bool"),
+    ],
     "media_fingerprint": [
         ("doc_id", "int"),
         ("media_type", "str"),

@@ -11,8 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from . import registry
-from .views import register_all
+from . import operators, registry
 
 VIEW_SUFFIX = "_v"
 
@@ -43,7 +42,12 @@ def register_query_views(
         # round-10 ADVICE).
         if names and spark.catalog.tableExists(names[0]):
             return names
-    register_all(spark, sf_dir)
+    # Seed operators._PREPARED, not a bare register_all (round-10 ADVICE):
+    # the pool below constructs queries that each call operators.prepared(),
+    # and an unseeded memo would make the first ~8 concurrent constructions
+    # re-run register_all concurrently — redundant catalog re-registration
+    # racing sibling threads' actions against those same views.
+    operators.prepared(spark, sf_dir)
     # Bulk construction tuned two ways (round-10 durations surgery, measured
     # at sf0.01 on the profile box):
     #   * raw (unwrapped) queries — construction does NOT release the
@@ -59,17 +63,20 @@ def register_query_views(
     #     (training is deterministic), so results are unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
-    from .operators import release_caches
-
     def build(item) -> str:
         name, fn = item
         view = f"{name}{VIEW_SUFFIX}"
         fn(spark, sf_dir).createOrReplaceTempView(view)
         return view
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        names = list(ex.map(build, registry.raw_queries().items()))
-    release_caches()
+    # try/finally (round-10 ADVICE): if any build() raises, the scoped
+    # caches accumulated across the ~185 raw constructions must still be
+    # released — otherwise every one of them leaks into the session.
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            names = list(ex.map(build, registry.raw_queries().items()))
+    finally:
+        operators.release_caches()
     _REGISTERED.clear()  # one sf_dir's views live in the catalog at a time
     _REGISTERED[key] = names
     return names

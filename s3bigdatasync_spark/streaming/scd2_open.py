@@ -41,7 +41,10 @@ semantics replicate timeline.snapshot_history_merge exactly, including
 its documented caveat: a key anomalously listing two different etags in
 ONE snapshot diverges from collapse_runs' strictly-sequential fold the
 same way the closed-encoding merge does (the fileSchema of a real
-inventory guarantees one etag per key per snapshot).
+inventory guarantees one etag per key per snapshot). That divergence is
+bounded to the anomalous version itself: run continuation anti-joins on
+(key, etag) — not key alone — so a sibling etag's continuation never
+keeps a non-continuing run open into later versions (round-10 ADVICE).
 
 Scale, the point of the module: per-batch WRITE cost is O(churn), read
 cost one assembly of a bounded segment fan-in. At a 10^9-key inventory
@@ -184,7 +187,13 @@ def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
             F.col("s_size").alias("size"),
         )
         news = snap.join(o, ["key", "etag"], "left_anti")
-        closes = o.join(cont.select("key"), "key", "left_anti").select(
+        # anti-join on (key, etag), not key alone (round-10 ADVICE): if a key
+        # anomalously lists two etags in one snapshot (two open runs) and only
+        # one continues, the other must still close — on key alone the sibling
+        # continuation would keep it open FOREVER, a divergence from
+        # collapse_runs that persists across every later version rather than
+        # being the one-version discrepancy the docstring disclaims.
+        closes = o.join(cont.select("key", "etag"), ["key", "etag"], "left_anti").select(
             "key",
             "run_id",
             F.lit(None).cast("string").alias("etag"),
@@ -222,6 +231,16 @@ def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
             .groupBy("key")
             .agg(F.max("max_run").alias("max_run"))
         )
+        # Per-version lineage truncation (round-10 ADVICE — the dedup_clusters
+        # O(2^k) planning cliff, verbatim): the fold above references o (and m)
+        # 3-4 times per iteration, so without truncation a k-version batch
+        # builds a plan where the open-run subtree appears O(4^k) times — a
+        # backlog drain at the default max_files_per_trigger=10 can carry ~10
+        # versions in one batch. Eager localCheckpoint holds each round's plan
+        # flat; `events` then unions shallow checkpointed subtrees instead of
+        # an exponentially-nested one.
+        o = o.localCheckpoint(eager=True)
+        m = m.localCheckpoint(eager=True)
         prev = v
     sentinel = sp.createDataFrame(
         [(_WM_KEY, -1, None, None, int(versions[-1]), None)], _STATE_SCHEMA

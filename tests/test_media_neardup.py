@@ -46,7 +46,19 @@ def test_banded_pairs_equal_brute_force(spark):
     <= 3 agrees on >= 1 band, so the banded candidate set must EQUAL the
     all-pairs scan at the threshold — recall 1.0, not approximately."""
     assert PHASH_HAMMING_MAX < PHASH_BANDS  # the pigeonhole precondition
+    # brute force over the same population pairs draw from: degenerate
+    # (0,0,0,0) fingerprints are excluded from pair generation by contract
+    # (multimodal._band_rows — none exist in this corpus, asserted below so
+    # a testdata change that introduces them fails loudly here, not as an
+    # exactness mystery)
     fp = media_fingerprint(spark, SF_SMALL).cache()
+    n_degenerate = fp.filter(
+        (F.col("b0") == 0)
+        & (F.col("b1") == 0)
+        & (F.col("b2") == 0)
+        & (F.col("b3") == 0)
+    ).count()
+    assert n_degenerate == 0
     a, b = fp.alias("a"), fp.alias("b")
     ham = sum(
         F.bit_count(
@@ -142,6 +154,32 @@ def test_fingerprint_shift_invariance():
         bin(x ^ y).count("1") for x, y in zip(phash(base), phash(shifted))
     )
     assert ham <= PHASH_HAMMING_MAX, ham
+
+
+def test_degenerate_fingerprints_excluded_from_pairs(spark):
+    """Round-10 ADVICE: payloads under 2 bytes (and low-diversity payloads
+    where no bigram class beats the uniform mean) all fingerprint to
+    (0,0,0,0) — a hamming-0 clique per media_type that would go O(n²) in
+    the uncapped join and cluster DISTINCT tiny assets as duplicates in
+    media_canonical. _band_rows must drop them from pair generation while
+    genuine near-dups still pair."""
+    rows = [
+        # three degenerate empties — must produce zero pairs among themselves
+        (1, "image", 0, 0, 0, 0),
+        (4, "image", 0, 0, 0, 0),
+        (7, "image", 0, 0, 0, 0),
+        # one genuine near-dup pair (hamming 1 on b0)
+        (10, "image", 5, 9, 3, 7),
+        (13, "image", 4, 9, 3, 7),
+    ]
+    fp = spark.createDataFrame(
+        rows, "doc_id long, media_type string, b0 int, b1 int, b2 int, b3 int"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal._pairs_from_bands(multimodal._band_rows(fp)).collect()
+    }
+    assert pairs == {(10, 13)}
 
 
 def test_near_pairs_oracle_members_registered():
