@@ -1009,7 +1009,15 @@ def pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC search keeps reading the unpacked (sub, code) relation: packing is
     a STORAGE layout (20 B/vector vs 256 B float = 12.8x), and the unpack
     round-trip is pinned bit-exactly in tests/test_pq_pack.py."""
-    codes = pq_encode(spark, sf_dir)
+    return _pack_from_codes(pq_encode(spark, sf_dir))
+
+
+def _pack_from_codes(codes: DataFrame) -> DataFrame:
+    """The pack aggregation alone, over any (vec_id, sub, code) relation —
+    split out so tools/scale_probe.py can time the pack leg against the
+    shared training+encode chain separately (round-11: decomposing the
+    20.3x-at-100x the r10 probe attributed to 'the training chain' without
+    measuring which leg grew)."""
     byte_cols = []
     for j in range(N_PACKED_BYTES):
         contrib = None

@@ -30,6 +30,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.utils import AnalysisException
 
 from ..operators.stats import CHECKSUM_MOD, checksum_chunk, checksum_sum
+from .localrel import local_rel
 
 INVENTORY_STREAM_SCHEMA = StructType(
     [
@@ -94,7 +95,7 @@ def stream_table_checksum(
                 batch_id,
             )
         ]
-        batch_df.sparkSession.createDataFrame(merged, _STATE_SCHEMA).write.mode(
+        local_rel(batch_df.sparkSession, merged, _STATE_SCHEMA).write.mode(
             "overwrite"
         ).parquet(state_dir)
 

@@ -91,19 +91,26 @@ def _hash_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_dedup_state(
+    spark: SparkSession, state_dir: str, probe: DataFrame | None = None
+) -> DataFrame:
     """The running (content_hash, c, keeper) index — empty before the first
     applied batch. Assembled from the live segments (bounded fan-in) with
-    the same associative merge the sink compacts by."""
+    the same associative merge the sink compacts by. `probe` (a relation
+    holding content_hash values) restricts assembly to those hashes via a
+    broadcast semi-join ahead of the merge-agg — sound because both merges
+    are per-key associative (see read_segmented_counts)."""
     return read_segmented_counts(
-        spark, state_dir, _STATE_SCHEMA, _STATE_KEYS, _MERGE_AGGS()
+        spark, state_dir, _STATE_SCHEMA, _STATE_KEYS, _MERGE_AGGS(), probe=probe
     )
 
 
-def dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+def dedup_state(
+    spark: SparkSession, state_dir: str, probe: DataFrame | None = None
+) -> DataFrame:
     """The state rendered in exact_dedup's exact output shape
     (content_hash, n_copies, keeper_doc_id) — the parity surface."""
-    return read_dedup_state(spark, state_dir).select(
+    return read_dedup_state(spark, state_dir, probe=probe).select(
         "content_hash",
         F.col("c").alias("n_copies"),
         F.col("keeper").alias("keeper_doc_id"),
@@ -146,7 +153,7 @@ def stream_dedup_state(
 
 
 def admission_report(
-    spark: SparkSession, state_dir: str, docs: DataFrame
+    spark: SparkSession, state_dir: str, docs: DataFrame, prune: bool = True
 ) -> DataFrame:
     """The gate decision for any (doc_id, text) relation against the current
     index: (doc_id, content_hash, keeper_doc_id, n_copies, admit) — admit
@@ -169,9 +176,20 @@ def admission_report(
     a straggler that duplicates state content, does not hold the group's
     lowest id, AND is handed in alongside fewer same-hash docs than the
     state already counts is indistinguishable from a merged doc by any
-    state-local check — only re-running the stream closes that."""
+    state-local check — only re-running the stream closes that.
+
+    Scale (round-11, the r10 verdict's read-path item): with prune=True
+    (default) the state assembly is restricted to the batch's OWN hashes
+    before the merge-agg — a broadcast semi-join of each segment scan
+    against the O(batch) hash set — so gating a 2k-doc batch against a
+    1B-row index shuffles and aggregates O(batch) rows, not O(state)
+    (measured in tools/probe_gate_read.py; SCALING.md r11). Every
+    staleness invariant below is per-content-group over the batch's own
+    hashes, so pruning cannot change a verdict. prune=False keeps the
+    full assembly for A/B measurement."""
     hashed = docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
-    state = dedup_state(spark, state_dir)
+    probe = hashed.select("content_hash") if prune else None
+    state = dedup_state(spark, state_dir, probe=probe)
     joined = hashed.join(state, "content_hash", "left").select(
         "doc_id",
         "content_hash",

@@ -47,6 +47,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.utils import AnalysisException
 
 from ..operators.curation import kl_report_from_counts, source_token_counts
+from .localrel import local_rel
 
 DOCS_STREAM_SCHEMA = StructType(
     [
@@ -131,7 +132,7 @@ def read_versioned_counts(
     (source, token), ppl_gate's (lang, token))."""
     last = _read_meta(spark, state_dir)
     if last < 0:
-        return spark.createDataFrame([], counts_schema)
+        return local_rel(spark, [], counts_schema)
     return spark.read.schema(counts_schema).parquet(f"{state_dir}/counts_v{last}")
 
 
@@ -165,7 +166,7 @@ def _read_files(spark: SparkSession, state_dir: str) -> DataFrame:
     """The applied-files log of the version the meta points at."""
     last = _read_meta(spark, state_dir)
     if last < 0:
-        return spark.createDataFrame([], _FILES_SCHEMA)
+        return local_rel(spark, [], _FILES_SCHEMA)
     return spark.read.schema(_FILES_SCHEMA).parquet(f"{state_dir}/files_v{last}")
 
 
@@ -253,7 +254,9 @@ def versioned_count_sink(
         # so no localCheckpoint materialization is needed.
         merged.write.mode("overwrite").parquet(f"{state_dir}/counts_v{version}")
         files.write.mode("overwrite").parquet(f"{state_dir}/files_v{version}")
-        sp.createDataFrame([(version,)], _META_SCHEMA).write.mode(
+        # local_rel, not createDataFrame: a Python-RDD-backed 1-row write
+        # costs seconds per micro-batch (see streaming/localrel.py)
+        local_rel(sp, [(version,)], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/meta")
         _gc_versions(state_dir, keep={version})

@@ -55,6 +55,7 @@ from pyspark.sql.types import LongType, IntegerType, StringType, StructField, St
 from pyspark.sql.utils import AnalysisException
 
 from ..operators.timeline import snapshot_history_merge
+from .localrel import local_rel
 
 SNAPSHOT_STREAM_SCHEMA = StructType(
     [
@@ -233,7 +234,7 @@ def stream_snapshot_history(
         runs.select(
             "key", "run_id", "etag", "v_from", "v_to", "size"
         ).write.mode("overwrite").parquet(f"{runs_dir}/runs_v{version}")
-        sess.createDataFrame([(version,)], _META_SCHEMA).write.mode(
+        local_rel(sess, [(version,)], _META_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{runs_dir}/meta")
         _gc_versions(runs_dir, keep={version})

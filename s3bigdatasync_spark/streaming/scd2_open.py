@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .localrel import local_rel
 from .segments import read_segmented_counts, segmented_count_sink
 
 SNAPSHOT_STREAM_SCHEMA = (
@@ -145,7 +146,7 @@ def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
         for r in fresh.select("v").distinct().collect()
         if r["v"] > watermark
     )
-    empty = sp.createDataFrame([], _STATE_SCHEMA)
+    empty = local_rel(sp, [], _STATE_SCHEMA)
     if not versions:
         return empty
     runs = full.filter(F.col("key") != _WM_KEY)
@@ -171,7 +172,7 @@ def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
                 F.lit(None).cast("long").alias("size"),
             )
             events = events.unionByName(gap_closes)
-            o = sp.createDataFrame([], "key string, run_id long, etag string, size long")
+            o = local_rel(sp, [], "key string, run_id long, etag string, size long")
         snap = (
             fresh.filter(F.col("v") == v)
             .groupBy("key", "etag")
@@ -242,8 +243,8 @@ def _events_for_batch(fresh: DataFrame, state_dir: str) -> DataFrame:
         o = o.localCheckpoint(eager=True)
         m = m.localCheckpoint(eager=True)
         prev = v
-    sentinel = sp.createDataFrame(
-        [(_WM_KEY, -1, None, None, int(versions[-1]), None)], _STATE_SCHEMA
+    sentinel = local_rel(
+        sp, [(_WM_KEY, -1, None, None, int(versions[-1]), None)], _STATE_SCHEMA
     )
     return events.unionByName(sentinel)
 

@@ -370,3 +370,116 @@ def test_compaction_preserves_state_and_bounds_segments(spark, tmp_path):
     assert _rows(dedup_state(spark, state_dir)) == _rows(
         batch_equivalent(spark, docs_dir)
     )
+
+
+def test_pruned_admission_equals_full_and_bounds_agg_input(spark, tmp_path):
+    """Round-11 read path: the pruned gate (default) must equal the full
+    assembly row-for-row, and the rows entering the merge-agg must track the
+    BATCH's hash set, not the state."""
+    import pyspark.sql.functions as F
+
+    from s3bigdatasync_spark.streaming import segments
+    from s3bigdatasync_spark.streaming.dedup_gate import (
+        _STATE_SCHEMA,
+        _norm_text,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for round_tag, n in (("a", 60), ("b", 40)):
+        spark.createDataFrame(_mk_docs(round_tag, n), DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+
+    gate = _landed(spark, docs_dir).filter(F.col("doc_id") < ord("a") * 10_000 + 9)
+    full = admission_report(spark, state_dir, gate, prune=False)
+    pruned = admission_report(spark, state_dir, gate, prune=True)
+    assert _rows(full) == _rows(pruned)
+
+    # the claim's direct axis: agg input rows O(batch hashes), not O(state)
+    union = None
+    for seg, _t, _n in segments._read_manifest(spark, state_dir):
+        part = segments._read_segment(spark, state_dir, seg, _STATE_SCHEMA)
+        union = part if union is None else union.unionByName(part)
+    probe = gate.select(F.md5(_norm_text()).alias("content_hash")).distinct()
+    n_probe = probe.count()
+    pruned_input = union.join(
+        F.broadcast(probe), "content_hash", "left_semi"
+    ).count()
+    assert union.count() > pruned_input  # full assembly reads more
+    # <= one state row per probed hash per live segment (tight when no
+    # hash spans segments)
+    assert pruned_input <= n_probe * len(
+        segments._read_manifest(spark, state_dir)
+    )
+
+
+def test_point_lookup_pushes_filter_into_sorted_scan(spark, tmp_path):
+    """point_keys lookups must (a) return the same merged totals as the full
+    assembly restricted to those keys, and (b) carry the isin() predicate
+    into the parquet scan (PushedFilters In[...]) — where the key-sorted
+    segment layout makes row-group min/max an effective zone map."""
+    from s3bigdatasync_spark.streaming.dedup_gate import (
+        _MERGE_AGGS,
+        _STATE_SCHEMA,
+    )
+    from s3bigdatasync_spark.streaming.segments import read_segmented_counts
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    for round_tag in ("a", "b"):
+        spark.createDataFrame(_mk_docs(round_tag, 30), DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(docs_dir)
+        q = stream_dedup_state(spark, docs_dir, state_dir, ckpt)
+        q.awaitTermination(120)
+
+    full = {r["content_hash"]: r for r in read_dedup_state(spark, state_dir).collect()}
+    keys = sorted(full)[:3]
+    looked = read_segmented_counts(
+        spark,
+        state_dir,
+        _STATE_SCHEMA,
+        ["content_hash"],
+        _MERGE_AGGS(),
+        point_keys=keys,
+    )
+    got = {r["content_hash"]: r for r in looked.collect()}
+    assert set(got) == set(keys)
+    for k in keys:
+        assert (got[k]["c"], got[k]["keeper"]) == (full[k]["c"], full[k]["keeper"])
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(content_hash" in plan, plan[:2000]
+
+    # segment files are key-sorted on disk (the zone-map precondition)
+    from s3bigdatasync_spark.streaming.segments import (
+        _read_manifest,
+        _read_segment,
+    )
+
+    for seg, _t, _n in _read_manifest(spark, state_dir):
+        hashes = [
+            r["content_hash"]
+            for r in _read_segment(spark, state_dir, seg, _STATE_SCHEMA)
+            .limit(10_000)
+            .collect()
+        ]
+        assert hashes == sorted(hashes), seg
+
+    # past the cap the call must refuse (isin would degrade to a useless
+    # min/max range filter on uniform hashes) and point to the probe path
+    with pytest.raises(AssertionError, match="probe DataFrame"):
+        read_segmented_counts(
+            spark,
+            state_dir,
+            _STATE_SCHEMA,
+            ["content_hash"],
+            _MERGE_AGGS(),
+            point_keys=sorted(full)[:11],
+        )

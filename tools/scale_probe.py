@@ -328,6 +328,71 @@ def build_scaled_events_dir(spark, out_dir: str, copies: int) -> None:
             shutil.copy(src, dst)
 
 
+def run_pq_decompose(spark, out_dir: str, copies: int) -> dict:
+    """Round-11 verdict item 5: the r10 probe read pq_pack at 20.3x under
+    100x data and attributed it to 'the shared PQ training chain' — but the
+    r9 chain measured 4.9x, so one of the legs grew unexplained. Time each
+    leg separately at 1x and copies-x:
+
+      train_s   — _train_codebook alone (the Lloyd loop's O(n)/round scans
+                  + driver collects; also what every cold registry query
+                  re-pays, since the codebook memo is query-scoped)
+      encode_s  — _assign_codes over an ALREADY-trained codebook (steady
+                  noop-write, bench methodology)
+      pack_s    — _pack_from_codes over eagerly checkpointed codes (the
+                  pack aggregation alone, no training, no encode)
+      total_s   — the registry pq_pack query end-to-end (what BENCH and the
+                  r10 probe measured: training + encode + pack)
+    """
+    from s3bigdatasync_spark.operators import _PREPARED, prepared, release_caches
+    from s3bigdatasync_spark.operators import pq
+
+    build_scaled_docs_dir(spark, out_dir, copies)
+
+    def steady(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
+    res: dict = {}
+    for tag, sf in (("base", BASE_SF), ("scaled", out_dir)):
+        _PREPARED.clear()
+        release_caches()
+        emb = prepared(spark, sf).table("embeddings")
+        t0 = time.perf_counter()
+        C, _q = pq._train_codebook(spark, emb, return_query=True)
+        train_s = round(time.perf_counter() - t0, 3)
+        codes = pq._assign_codes(emb, spark, C)
+        encode_s = steady(codes)
+        pinned = codes.localCheckpoint(eager=True)
+        pack_s = steady(pq._pack_from_codes(pinned))
+        from s3bigdatasync_spark import registry
+
+        fn = registry.full_queries()["pq_pack"]
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        total_s = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        res[tag] = {
+            "train_s": train_s,
+            "encode_s": encode_s,
+            "pack_s": pack_s,
+            "total_s": total_s,
+        }
+    res["ratio"] = {
+        k: round(res["scaled"][k] / res["base"][k], 2) if res["base"][k] else None
+        for k in res["base"]
+    }
+    _PREPARED.clear()
+    release_caches()
+    return res
+
+
 def measure(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     """Warm-measure (bench.py methodology): compile+warm run, clear caches,
     report the second, cold-cache execution."""
@@ -869,7 +934,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode",
-        choices=["inventory", "docs", "docs-knobs", "docs-boilerplate", "events", "bucketed", "skew", "resolve", "hll", "rangelayout"],
+        choices=["inventory", "docs", "docs-knobs", "docs-boilerplate", "events", "bucketed", "skew", "resolve", "hll", "rangelayout", "pq-decompose"],
         default="inventory",
         help="inventory: lineitem-derived ops; docs: dedup/text/similarity"
         " ops; events: time-window/session/behavior ops; bucketed: flagship"
@@ -910,6 +975,10 @@ def main() -> None:
     if args.mode == "rangelayout":
         res = run_rangelayout(spark, args.out, args.copies)
         _emit({"copies": args.copies, "mode": "rangelayout", **res}, args.json_out)
+        return
+    if args.mode == "pq-decompose":
+        res = run_pq_decompose(spark, args.out, args.copies)
+        _emit({"copies": args.copies, "mode": "pq-decompose", **res}, args.json_out)
         return
     if args.mode == "docs":
         build_scaled_docs_dir(spark, args.out, args.copies)
