@@ -224,12 +224,24 @@ def stream_snapshot_history(
             return  # retry / stale redelivery — idempotent skip
         for v in versions:
             snap = batch_df.filter(F.col("v") == v).select("key", "etag", "size")
-            runs = snapshot_history_merge(runs, snap, v)
+            # Per-version lineage truncation (round 11): the merge references
+            # `runs` three times (open-run probe, max_run, untouched anti-
+            # join), so chaining k versions without truncation builds a plan
+            # whose run-table subtree appears O(3^k) times — at the default
+            # max_files_per_trigger=10 a backlog drain carries 10 versions
+            # and PLANNING alone ran >9 minutes at 20k keys (caught by
+            # tools/probe_scd2_read.py; the scd2_open/dedup_clusters cliff,
+            # previously unexercised here because tests folded <=2 versions
+            # per batch). Eager localCheckpoint holds each fold's plan flat;
+            # the merge already scans the full run relation per fold, so the
+            # materialization adds no asymptotic cost.
+            runs = snapshot_history_merge(runs, snap, v).localCheckpoint(
+                eager=True
+            )
         # pointer-swap state: the merge writes the NEXT version dir (never
-        # the one it read, so no localCheckpoint lineage cut is needed and
-        # no crash can corrupt the current table), then flips the meta.
-        # (Production shape: a Delta/Iceberg MERGE — same plan, the table
-        # format supplies the atomic pointer.)
+        # the one it read, so no crash can corrupt the current table), then
+        # flips the meta. (Production shape: a Delta/Iceberg MERGE — same
+        # plan, the table format supplies the atomic pointer.)
         version = _read_meta(sess, runs_dir) + 1
         runs.select(
             "key", "run_id", "etag", "v_from", "v_to", "size"

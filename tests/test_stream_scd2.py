@@ -156,3 +156,45 @@ def test_flat_layout_migrates_on_write(spark, tmp_path):
         ROWS, "key string, v int, etag string, size long"
     )
     assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(collapse_runs(versions))
+
+
+def test_deep_backlog_batch_folds_without_planning_cliff(spark, tmp_path):
+    """Round 11: snapshot_history_merge references the run relation three
+    times per fold, so a backlog batch carrying k versions built a plan with
+    O(3^k) run-table subtrees — at the default max_files_per_trigger=10 a
+    12-version drain hung >9 minutes in PLANNING at 20k keys before the
+    per-version eager localCheckpoint landed (tools/probe_scd2_read.py
+    caught it; tests only folded <=2 versions per batch). Pin: 12 versions
+    folded in two batches (10 + 2) complete promptly and match
+    collapse_runs."""
+    import time
+
+    snaps = str(tmp_path / "snaps")
+    runs_dir = str(tmp_path / "runs")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    for v in range(1, 13):
+        for k in range(40):
+            # key k churns its etag at versions where (k + v) % 5 == 0
+            gen = max(
+                [0] + [u for u in range(1, v + 1) if (k + u) % 5 == 0]
+            )
+            rows.append((f"k{k:03d}", v, f"{k}:{gen}", 100 + k))
+    for v in range(1, 13):
+        spark.createDataFrame(
+            [r for r in rows if r[1] == v], SNAPSHOT_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(snaps)
+
+    t0 = time.perf_counter()
+    q = stream_snapshot_history(spark, snaps, runs_dir, ckpt)  # 10/trigger
+    q.awaitTermination(300)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 240, f"deep-backlog drain took {elapsed:.0f}s"
+
+    versions = spark.createDataFrame(
+        rows, "key string, v int, etag string, size long"
+    )
+    assert _runs_set(read_runs(spark, runs_dir)) == _runs_set(
+        collapse_runs(versions)
+    )

@@ -99,15 +99,18 @@ def main() -> None:
     open_dir, open_ckpt = str(out / "open_state"), str(out / "open_ckpt")
 
     # --- drain both encodings over the same snapshots ----------------------
+    print("snapshots written; draining scd2 (materialized)...", file=sys.stderr)
     t0 = time.perf_counter()
     q = scd2.stream_snapshot_history(spark, snaps, mat_dir, mat_ckpt)
     q.awaitTermination(1800)
     mat_drain_s = round(time.perf_counter() - t0, 3)
+    print(f"scd2 drained in {mat_drain_s}s; draining scd2_open...", file=sys.stderr)
 
     t0 = time.perf_counter()
     q = scd2_open.stream_snapshot_history_open(spark, snaps, open_dir, open_ckpt)
     q.awaitTermination(1800)
     open_drain_s = round(time.perf_counter() - t0, 3)
+    print(f"scd2_open drained in {open_drain_s}s", file=sys.stderr)
 
     # --- read side: full closed-form relation, N reps each ----------------
     def timed(mk) -> list[float]:
