@@ -74,9 +74,19 @@ def _cmd_query(spark: SparkSession, args) -> int:
 
 
 def _cmd_sql(spark: SparkSession, args) -> int:
-    from .sql_views import register_query_views
+    from .sql_views import referenced_queries, register_query_views
 
-    register_query_views(spark, args.sf_dir)
+    # register only the views the statement references (plan construction is
+    # the cost — ~187 constructions incl. model-training collects for the
+    # full catalog; one ad-hoc statement usually needs one or two). Base
+    # tables and reference-native views always register; --all-views forces
+    # the full catalog for exploratory sessions.
+    if args.all_views:
+        register_query_views(spark, args.sf_dir)
+    else:
+        register_query_views(
+            spark, args.sf_dir, only=referenced_queries(args.statement)
+        )
     _emit(spark.sql(args.statement), args)
     return 0
 
@@ -380,6 +390,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=int, default=None)
     s.add_argument("--explain", action="store_true")
     s.add_argument("--out", default=None)
+    s.add_argument(
+        "--all-views",
+        action="store_true",
+        help="register every registry view up front (exploratory sessions);"
+        " default registers only the views the statement references",
+    )
 
     lp = add("list-producer", _cmd_list_producer, help="§3.1 inventory → stats + tasks")
     lp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)

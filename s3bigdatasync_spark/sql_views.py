@@ -25,14 +25,50 @@ VIEW_SUFFIX = "_v"
 _REGISTERED: dict[tuple[int, str], list[str]] = {}
 
 
+def referenced_queries(statement: str) -> list[str]:
+    """Registry query names whose `<name>_v` view a SQL statement references
+    — every identifier-shaped `x_v` token intersected with the registry, so
+    `sql` consumers can register ONLY what a statement needs instead of
+    constructing all ~187 plans (plan construction includes model-training
+    collects; one ad-hoc query should not pay for the whole catalog)."""
+    import re
+
+    known = set(registry.raw_queries())
+    return sorted(
+        {
+            m.group(1)
+            for m in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)_v\b", statement)
+            if m.group(1) in known
+        }
+    )
+
+
 def register_query_views(
-    spark: SparkSession, sf_dir: str, force: bool = False
+    spark: SparkSession, sf_dir: str, force: bool = False, only=None
 ) -> list[str]:
     """Register base tables, derived reference-native views, and one temp
     view per registry query (named `<query>_v`). Returns the view names.
     Memoized per (session, sf_dir) — the views persist in the session
     catalog, so re-registration only matters if the tables changed
-    (force=True)."""
+    (force=True).
+
+    `only=[names]` registers just those queries' views (plus the base
+    tables): the subset path for statement-driven consumers (see
+    referenced_queries). Subset registration is memoized per view via the
+    catalog itself and never touches the full-registration memo."""
+    if only is not None:
+        operators.prepared(spark, sf_dir)
+        raw = registry.raw_queries()
+        names = []
+        try:
+            for name in only:
+                view = f"{name}{VIEW_SUFFIX}"
+                if force or not spark.catalog.tableExists(view):
+                    raw[name](spark, sf_dir).createOrReplaceTempView(view)
+                names.append(view)
+        finally:
+            operators.release_caches()
+        return names
     key = (id(spark), sf_dir)
     if not force and key in _REGISTERED:
         names = _REGISTERED[key]

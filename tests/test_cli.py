@@ -45,10 +45,12 @@ def test_query_csv_out(spark, tmp_path):
 
 
 def test_sql_over_views(spark, capsys):
-    # sf0.01 on purpose: registration cost is plan CONSTRUCTION (~2 min for
-    # 175 queries, data-size-independent), and register_query_views memoizes
-    # per (session, sf_dir) — using conftest's sf_dir shares one
-    # registration with test_sql_surface.py instead of paying a second
+    # The sql verb registers ONLY the views the statement references
+    # (round 11): plan construction is the cost (~187 constructions incl.
+    # model-training collects for the full catalog — the r10 suite's single
+    # largest test at 80 s), and an ad-hoc statement needs one or two. The
+    # full-catalog path stays covered by test_sql_surface.py and the
+    # --all-views flag.
     SF_DIR = "/root/testdata/sf0.01"  # == conftest.SF_DIR
 
     rc = run(
@@ -60,6 +62,15 @@ def test_sql_over_views(spark, capsys):
     )
     assert rc == 0
     assert "New" in capsys.readouterr().out
+    # subset semantics: the referenced view exists, an unreferenced one
+    # was NOT built by this statement (unless an earlier full registration
+    # in this session already populated the catalog)
+    from s3bigdatasync_spark.sql_views import referenced_queries
+
+    assert referenced_queries(
+        "SELECT variance, n_objects FROM diff_summary_v ORDER BY variance"
+    ) == ["diff_summary"]
+    assert spark.catalog.tableExists("diff_summary_v")
 
 
 def test_pipeline_lifecycle(spark, tmp_path, capsys):
