@@ -140,6 +140,8 @@ HEADLINE = [
     "media_near_pairs_capped",  # hot-bucket-capped twin (the 100x dial)
     "media_canonical",       # CC over media near-pairs + keeper decision
     "pq_pack",               # 5-bit code packing (map-side byte sums)
+    # round-11 additions
+    "media_band_plan",       # fused 4-geometry band-volume/recall evidence
 ]
 
 

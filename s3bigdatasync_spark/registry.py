@@ -6,13 +6,13 @@ Two views of the same inventory:
       entries (the external correctness driver records at most 50 per round —
       round 1 recorded precisely the first 50 of 68, insertion-ordered;
       all_queries() asserts the cap so an overflow can never ship silently).
-      135 small, individually-proven queries are folded into 14 packs
+      137 small, individually-proven queries are folded into 15 packs
       (operators/packs.py) so every operator's semantics is driver-checked;
       the 18 queries the r01 driver never reached lead the ordering as
       insurance against any tighter cap.
 
   full_queries()/full_oracles() — every individual query PLUS the packs
-      (185 entries). pytest parametrizes over this, so each pack member is
+      (187 entries). pytest parametrizes over this, so each pack member is
       still compared one-by-one against its own oracle in-repo.
 """
 
@@ -154,7 +154,7 @@ def raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Driver-facing registry: 18 extension queries, then 14 packs (pack_r10
+    """Driver-facing registry: 18 extension queries, then 15 packs (pack_r11
     first, then pack_r7, pack_r6, then older), then the core queries that
     aren't pack members — 50 entries. Same one-live-query contract as
     full_queries()."""

@@ -86,6 +86,9 @@ DOC_QUERIES = [
     "media_near_pairs_capped",
     "media_canonical",
     "pq_pack",
+    # round-11 batch: the media band-geometry planner (its ground-truth leg
+    # IS the uncapped 4x16 pair join, so it inherits that audit-tier slope)
+    "media_band_plan",
 ]
 
 # Event-shaped queries (time windows, sessions, behavior, copy-log ops).
