@@ -2000,15 +2000,14 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _calibration_from(sh, sigs)
 
 
-def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
-    """minhash_calibration over caller-supplied (cached) shingle + signature
-    relations — lsh_band_plan passes its own pinned `sh`/`sigs` so the
-    shingle scan and the 12-way min-agg run ONCE per query, not once for the
-    volume side and again inside the calibration subtree (r8: this double
-    computation was ~2.4 s of lsh_band_plan's 9 s at sf0.1)."""
+def _candidate_pairs_from(sigs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b), distinct, cache-pinned —
+    the front half of the calibration machinery, split out (r11) so
+    lsh_band_plan can price exact Jaccard WITHOUT the signature-agreement
+    joins it never reads (see _exact_jaccard_from)."""
     banded = _banded(sigs)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -2019,23 +2018,16 @@ def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
         .distinct()
         .transform(scoped_cache)  # feeds the agreement probe and the candidate-doc semi-join
     )
-    # sigs is |docs|-rows × 12 md5 strings — shuffle-hash, never a
-    # driver-built broadcast (the r8 _jaccard_scores_from doctrine: the 100×
-    # explain audit showed Catalyst volunteering these as broadcast builds
-    # off post-cache estimates; fine at 500k docs, a driver OOM at corpus
-    # scale — SCALING.md "round-9 100× minhash audit")
-    sa = sigs.alias("sa").hint("shuffle_hash")
-    sb = sigs.alias("sb").hint("shuffle_hash")
-    n_match = sum(
-        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
-        for k in range(MINHASH_K)
-    )
-    est = (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", n_match.cast("long").alias("n_sig_match"))
-    )
-    # exact Jaccard restricted to candidate docs (semi-join before self-join)
+
+
+def _exact_jaccard_from(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, exact_jaccard) for EXACTLY the candidate pairs: the
+    shingle relation is semi-joined down to candidate docs before the
+    shared-shingle self-join, and the pair-level left-semi against `cand`
+    restores pair exactness (doc-set membership alone would admit (a, c)
+    where a and c each match some other doc but not each other). Same
+    float contract as the full calibration (integer ix / (na + nb − ix),
+    6dp round)."""
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select("doc_b"))
@@ -2063,12 +2055,43 @@ def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
     cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     ca = cnt.alias("ca").hint("shuffle_hash")
     cb = cnt.alias("cb").hint("shuffle_hash")
-    est_j = F.round(F.col("n_sig_match") / F.lit(MINHASH_K), 6)
     ex_j = F.round(F.col("ix") / (F.col("ca.n") + F.col("cb.n") - F.col("ix")), 6)
     return (
-        est.join(inter, ["doc_a", "doc_b"])
+        inter.join(cand, ["doc_a", "doc_b"], "left_semi")
         .join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", F.col("ix"), ex_j.alias("exact_jaccard"))
+    )
+
+
+def _calibration_from(sh: DataFrame, sigs: DataFrame) -> DataFrame:
+    """minhash_calibration over caller-supplied (cached) shingle + signature
+    relations — lsh_band_plan passes its own pinned `sh`/`sigs` so the
+    shingle scan and the 12-way min-agg run ONCE per query, not once for the
+    volume side and again inside the calibration subtree (r8: this double
+    computation was ~2.4 s of lsh_band_plan's 9 s at sf0.1)."""
+    cand = _candidate_pairs_from(sigs)
+    # sigs is |docs|-rows × 12 md5 strings — shuffle-hash, never a
+    # driver-built broadcast (the r8 _jaccard_scores_from doctrine: the 100×
+    # explain audit showed Catalyst volunteering these as broadcast builds
+    # off post-cache estimates; fine at 500k docs, a driver OOM at corpus
+    # scale — SCALING.md "round-9 100× minhash audit")
+    sa = sigs.alias("sa").hint("shuffle_hash")
+    sb = sigs.alias("sb").hint("shuffle_hash")
+    n_match = sum(
+        F.when(F.col(f"sa.mh{k}") == F.col(f"sb.mh{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    est = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_match.cast("long").alias("n_sig_match"))
+    )
+    exact = _exact_jaccard_from(sh, cand)
+    est_j = F.round(F.col("n_sig_match") / F.lit(MINHASH_K), 6)
+    ex_j = F.col("exact_jaccard")
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
@@ -2184,11 +2207,15 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query (r8; previously minhash_calibration rebuilt both internally).
     sh = _shingles(docs).transform(scoped_cache)
     sigs = _signatures_from(sh).transform(scoped_cache)
+    # r11: the recall side only reads exact_jaccard, so skip the
+    # signature-agreement joins (_exact_jaccard_from instead of the full
+    # _calibration_from — the est subtree contributed two 13-column
+    # shuffle-hash joins whose output columns this query dropped), and no
+    # cache pin: the fused single-agg below is its only consumer.
     dups = (
-        _calibration_from(sh, sigs)
+        _exact_jaccard_from(sh, _candidate_pairs_from(sigs))
         .filter(F.col("exact_jaccard") >= JACCARD_THRESHOLD)
         .select("exact_jaccard")
-        .transform(scoped_cache)
     )
 
     # ONE banded exchange for all 6 configs (r8: the per-config loop ran six
@@ -2216,20 +2243,41 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bands", "rows_per_band")
         .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("v"))
     )
-    # recall per config: 6 one-row aggs over the tiny cached dups relation —
-    # these also carry the 6-row config identity (one row per config even
-    # over an empty corpus, the EMPTY_COUNTS contract)
-    recs = None
-    for b, r in _LSH_CONFIGS:
-        rec = dups.agg(
-            F.coalesce(
-                F.round(F.avg(_lsh_p_expr(F.col("exact_jaccard"), r, b)), 6),
-                F.lit(0.0),
-            ).alias("recall")
-        ).select(
-            F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"), "recall"
+    # recall per config: ONE agg over dups computes all six means, then a
+    # 6-struct explode restores one row per config (r11 — previously six
+    # separate agg subtrees unioned, each carrying the full calibration
+    # tree in the analyzed plan: 6× the plan mass for the same six
+    # numbers; the plan file shrank 746 KB → ~60 KB). Per-config values
+    # are bit-identical: the same F.avg over the same rows, the same 6dp
+    # round, the same coalesce-to-0.0 on an empty corpus (a global agg
+    # returns one all-NULL row, so the explode still emits all 6 configs
+    # — the EMPTY_COUNTS contract).
+    recs = (
+        dups.agg(
+            *[
+                F.coalesce(
+                    F.round(F.avg(_lsh_p_expr(F.col("exact_jaccard"), r, b)), 6),
+                    F.lit(0.0),
+                ).alias(f"recall_{b}_{r}")
+                for b, r in _LSH_CONFIGS
+            ]
         )
-        recs = rec if recs is None else recs.unionByName(rec)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bands"),
+                            F.lit(r).alias("rows_per_band"),
+                            F.col(f"recall_{b}_{r}").alias("recall"),
+                        )
+                        for b, r in _LSH_CONFIGS
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+    )
     out = recs.join(vols, ["bands", "rows_per_band"], "left").withColumn(
         "n_cand_pairs", F.coalesce(F.col("v"), F.lit(0)).cast("long")
     )
