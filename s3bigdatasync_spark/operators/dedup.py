@@ -220,26 +220,54 @@ def _df_capped(sh: DataFrame) -> DataFrame:
     return sh.join(hot, "shingle", "left_anti")
 
 
+def _posting_pairs(sh: DataFrame, key="shingle") -> DataFrame:
+    """Ordered cross-doc candidate pairs (doc_a < doc_b), one row per
+    (key, pair) co-occurrence, via per-key POSTING LISTS instead of a
+    self-join (r11 optimization, guide §2.4 "remove shuffles outright"):
+    groupBy(key) → sorted doc_id array → stream the i<j combinations out of
+    two pipelined posexplode generators. The self-join shape shuffled the
+    postings relation TWICE (Exchange per join side) and sorted both sides
+    for the SMJ; this shape shuffles it ONCE (the groupBy) and sorts only
+    within each tiny posting array. Interleaved N=5 A/B at sf0.1:
+    uncapped jaccard scores 2.87 s → 2.48 s (plan: 3 Exchanges → 2, 2
+    Sorts → 0).
+
+    Scale safety: memory per task is O(max postings-per-key) — the array
+    itself; the i<j generation STREAMS (posexplode emits rows one at a
+    time; no d² array is ever materialized — deliberately not the
+    `flatten(transform(...))` form, which builds the full pair array per
+    row). The previous SMJ buffered the same O(d) duplicate-key run per
+    hot key (spillable, but the d²/2 output rows dominate either way): a
+    key hot enough for its posting ARRAY to matter (~10⁸ docs ≈ 0.8 GB)
+    implies ~10¹⁵ candidate pairs — the pair volume kills the job long
+    before the array does, in both shapes. The capped callers bound d by
+    the derived cap, making the array trivially small."""
+    keys = [key] if isinstance(key, str) else list(key)
+    pl = (
+        sh.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    return (
+        pl.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select("doc_a", "i", F.posexplode("ds").alias("j", "doc_b"))
+        .filter(F.col("j") > F.col("i"))
+        .select("doc_a", "doc_b")
+    )
+
+
 def _jaccard_scores_from(sh: DataFrame) -> DataFrame:
     """Jaccard score core over any distinct (doc_id, shingle) relation,
     UNFILTERED (every pair sharing ≥1 shingle, with its score): |A∩B| from
-    the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|. No cross join
-    anywhere: pairs sharing zero shingles never materialize. Callers apply
-    their own operating point (JACCARD_THRESHOLD for the dedup pair ops,
-    the sweep spine for dedup_yield_curve)."""
+    the per-shingle posting-list pair counts (_posting_pairs — one exchange,
+    no self-join), |A∪B| = |A|+|B|−|A∩B|. No cross join anywhere: pairs
+    sharing zero shingles never materialize. Callers apply their own
+    operating point (JACCARD_THRESHOLD for the dedup pair ops, the sweep
+    spine for dedup_yield_curve)."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    # merge hint is load-bearing: `sh` sits under the in-plan cap
-    # derivation (filters + anti-join), whose size ESTIMATE is far below
-    # the true relation — without the hint Catalyst broadcast one whole
-    # side of the self-join and the 100× probe OOMed the driver (4.5 GiB
-    # build; SCALING.md "the capped pair self-join's latent broadcast").
-    # The postings self-join must shuffle on shingle at scale; AQE still
-    # localizes small runtime sides.
-    b = sh.alias("b").hint("merge")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _posting_pairs(sh)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
     )
     # counts is |docs|-rows — shuffle-hash, never a driver-built broadcast
@@ -505,22 +533,13 @@ def _banded(sigs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (4 bands × 3 rows),
-    hash each band, join docs sharing a band bucket. The join key is
+    hash each band, pair docs sharing a band bucket. The bucket key is
     (band_idx, band_sig) — at scale the bucket sizes are the only quadratic
-    term, and banding keeps them tiny."""
+    term, and banding keeps them tiny. Pair generation is the
+    _posting_pairs shape over the buckets (r11): one exchange instead of
+    the self-join's two."""
     banded = _banded(minhash_signatures(spark, sf_dir))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _posting_pairs(banded, key=["band", "sig"]).distinct()
 
 
 def _band_sig_sql(band: int) -> str:
@@ -1012,20 +1031,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # posting-list pair generation over the band buckets (r11, the
+    # _posting_pairs shape with the simhash payload riding along): one
+    # exchange instead of the bucket self-join's two.
+    pl = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        pl.select("ps", F.explode("ps").alias("x"))
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
@@ -1270,17 +1292,27 @@ def shared_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gram_pairs(capped: DataFrame) -> DataFrame:
     """Cross-doc gram-position pairs with their alignment diagonal, from a
-    kept-gram postings relation."""
-    a, b = capped.alias("a"), capped.alias("b")
+    kept-gram postings relation — via per-gram posting ARRAYS (the
+    _posting_pairs shape, r11): one exchange (groupBy h) instead of the
+    self-join's two, pair generation streamed out of two pipelined explode
+    generators. Arrays are bounded by the derived pn cap (_gram_keep keeps
+    only grams with ≤ cap total postings), so per-task memory is ≤ cap
+    structs per gram by construction."""
+    pl = (
+        capped.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
     return (
-        a.join(b, "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        pl.select("ps", F.explode("ps").alias("x"))
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.pos").alias("pa"),
-            F.col("b.pos").alias("pb"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.pos").alias("pa"),
+            F.col("y.pos").alias("pb"),
+            (F.col("x.pos") - F.col("y.pos")).alias("diag"),
         )
     )
 
@@ -1368,13 +1400,12 @@ def winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = prepared(spark, sf_dir).table("documents")
     grams = scoped_cache(_span_grams(docs))
     capped = _winnow_fps(grams).join(_gram_keep(grams), "h")
+    # posting-list pair generation (r11, the _posting_pairs shape): one
+    # exchange over the kept fingerprints instead of a self-join's two;
+    # per-fingerprint arrays bounded by the derived pn cap.
     pairs = (
-        capped.alias("a")
-        .join(capped.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _posting_pairs(capped, key="h")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return pairs.orderBy(F.desc("n_shared"), "doc_a", "doc_b").limit(SPAN_TOP_N)
@@ -1470,15 +1501,8 @@ def _build_winnow_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = scoped_cache(_span_grams(docs))
     keep = scoped_cache(_gram_keep(grams))
     fkept = _winnow_fps(grams).join(keep, "h")
-    cand = scoped_cache(
-        fkept.alias("a")
-        .join(fkept.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # posting-list candidate generation (r11, the _posting_pairs shape)
+    cand = scoped_cache(_posting_pairs(fkept, key="h").distinct())
     cand_docs = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()  # one pass over the cached pair index, not two
@@ -2004,17 +2028,12 @@ def _candidate_pairs_from(sigs: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs (doc_a < doc_b), distinct, cache-pinned —
     the front half of the calibration machinery, split out (r11) so
     lsh_band_plan can price exact Jaccard WITHOUT the signature-agreement
-    joins it never reads (see _exact_jaccard_from)."""
+    joins it never reads (see _exact_jaccard_from). Pair generation is the
+    _posting_pairs shape over (band, sig) buckets (r11): one exchange
+    instead of the banded self-join's two."""
     banded = _banded(sigs)
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _posting_pairs(banded, key=["band", "sig"])
         .distinct()
         .transform(scoped_cache)  # feeds the agreement probe and the candidate-doc semi-join
     )
@@ -2034,22 +2053,15 @@ def _exact_jaccard_from(sh: DataFrame, cand: DataFrame) -> DataFrame:
         .distinct()
     )
     # cache-pin: the candidate-restricted shingle relation feeds the pair
-    # intersection (both sides) and the per-doc counts
+    # intersection and the per-doc counts
     shc = sh.join(cdocs, "doc_id", "left_semi").transform(scoped_cache)
-    # same hint discipline as _jaccard_scores_from: shc sits under a
-    # semi-join whose size estimate is far below reality — the self-join
-    # must shuffle on shingle, and the per-doc counts must never be a
-    # driver-built broadcast (both are candidate-set-sized, which is
-    # data-sized in the adversarial case)
-    x = shc.alias("x")
-    y = shc.alias("y").hint("merge")
+    # posting-list pair counts (r11 — the _posting_pairs shape; previously a
+    # merge-hinted self-join that shuffled shc twice and sorted both sides).
+    # The per-doc counts must never be a driver-built broadcast (candidate-
+    # set-sized, which is data-sized in the adversarial case).
     inter = (
-        x.join(
-            y,
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        _posting_pairs(shc)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
     )
     cnt = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -2447,16 +2459,11 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_from(sh: DataFrame) -> DataFrame:
     """Containment pair core over any distinct (doc_id, shingle) relation."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # same merge hint as _jaccard_scores_from: the capped `sh` estimate
-    # undercounts and a broadcast self-join OOMs at the 100x probe
-    a, b = sh.alias("a"), sh.alias("b").hint("merge")
+    # posting-list pair counts (r11 — the _posting_pairs shape; one exchange
+    # instead of the merge-hinted self-join's two)
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _posting_pairs(sh)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
     )
     directed = inter.select(
