@@ -870,6 +870,57 @@ WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {COSINE_THRESHOLD}
 """
 
 
+def _cc_labels(edges: DataFrame, what: str) -> DataFrame:
+    """Min-label propagation fixpoint over a SYMMETRIC, eagerly-checkpointed
+    edge relation → (doc_id, lbl) for every non-isolated node — the shared
+    connected-components core of dedup_clusters and media_canonical.
+
+    Per round, eager localCheckpoint (round-10 fix): caching truncates
+    physical re-execution but NOT the analyzed logical plan — labels feeds
+    both join sides, so the plan tree doubles per round and round-k PLANNING
+    cost is O(2^k); the checkpoint truncates the lineage itself, holding
+    per-round cost flat at any diameter.
+
+    r11: the convergence probe rides the round's checkpoint — the `chg`
+    flag is computed in the same projection the checkpoint materializes, so
+    counting changed labels is a filter-count over the already-materialized
+    blocks. Previously each round re-JOINED the new and old label relations
+    (a full shuffle join per round) just to count differences; labels only
+    ever decrease, so `new < old` in-row is the same predicate with zero
+    extra shuffles."""
+    labels = (
+        edges.select("doc_a")
+        .distinct()
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_lbl = F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
+        checkpointed = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                new_lbl.alias("lbl"),
+                (new_lbl < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = checkpointed.select("doc_id", "lbl")
+        if checkpointed.filter("chg").count() == 0:
+            return labels
+    # a silent fall-through here would return wrong cluster labels with no
+    # signal at production scale where no oracle runs
+    raise RuntimeError(
+        f"{what}: label propagation did not converge in 20 rounds "
+        "(component diameter > 20 — raise the round cap for this graph)"
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the Jaccard pair graph
     — the actual dedup decision (keep one doc per component).
@@ -912,53 +963,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.doc_a", "e.doc_b")
         .localCheckpoint(eager=True)
     )
-    # symmetric edges: doc_a alone covers every non-isolated node
-    labels = (
-        edges.select("doc_a")
-        .distinct()
-        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # eager localCheckpoint (round-10 fix, found via media_canonical):
-        # caching truncates physical re-execution but NOT the analyzed
-        # logical plan — labels feeds both join sides, so the plan tree
-        # doubles per round and round-k PLANNING cost is O(2^k). Shallow
-        # Jaccard components (2-3 rounds) only grazed that cliff; the
-        # checkpoint truncates the lineage itself, holding per-round cost
-        # flat at any diameter. Values are unchanged (the fixpoint is
-        # deterministic); the oracle re-pins them.
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
-            converged = True
-            break
-    if not converged:
-        # a silent fall-through here would return wrong cluster labels with no
-        # signal at production scale where no oracle runs
-        raise RuntimeError(
-            "dedup_clusters: label propagation did not converge in 20 rounds "
-            "(component diameter > 20 — raise the round cap for this graph)"
-        )
+    labels = _cc_labels(edges, "dedup_clusters")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("lbl", "doc_id").alias("cluster_id"),

@@ -633,44 +633,9 @@ def media_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.doc_a", "e.doc_b")
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select("doc_a")
-        .distinct()
-        .select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "media_canonical: label propagation did not converge in 20 "
-            "rounds (component diameter > 20 — raise the round cap)"
-        )
+    from .dedup import _cc_labels
+
+    labels = _cc_labels(edges, "media_canonical")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         "media_type",

@@ -291,6 +291,15 @@ def with_global_order(
     path checks this inside its existing stats job (no extra pass) and raises;
     the manifest path inherits the check from collect_range_manifest's
     clustered-write provenance.
+
+    r11: the discovery path query-scope-caches the INPUT relation — three
+    consumers read it (repartitionByRange's internal boundary-sampling pass,
+    the stats job, and the returned plan itself), so without the pin the
+    upstream subtree executes three times per query. The cache does not
+    affect determinism (boundaries are still collected once and re-applied
+    as literals; the round-2 hazard was caching the sampled PARTITIONING,
+    not the input rows). The manifest path stays cache-free — it reads the
+    input exactly once.
     """
     key = _key_col(order_cols)
 
@@ -302,6 +311,9 @@ def with_global_order(
         return _attach_order(df, order_cols, sum_col, b_expr,
                              [(i, c, t) for i, (_, c, t) in enumerate(ranges)])
 
+    from . import scoped_cache
+
+    df = scoped_cache(df)
     any_null = F.greatest(*[F.col(c).isNull() for c in order_cols]) if len(order_cols) > 1 else F.col(order_cols[0]).isNull()
     aggs = [
         F.count("*").alias("_c"),
