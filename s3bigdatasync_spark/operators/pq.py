@@ -214,9 +214,18 @@ def _train_codebook(
 
     Each Lloyd round: one _assign_partials pass (constant-size shuffle) +
     a ≤K×DIM-row collect; a centroid that lost every vector in some
-    subspace keeps its previous-round slice (the oracle's coalesce)."""
+    subspace keeps its previous-round slice (the oracle's coalesce).
+
+    r11: the projected (vec_id, embedding) relation is query-scope-cached —
+    the init TakeOrdered plus every Lloyd round re-scanned the parquet
+    vectors (1 + LLOYD_ROUNDS passes), and the callers' encode/search pass
+    hits the same cached plan via the CacheManager's analyzed-plan match,
+    so each PQ query decodes the vector column once."""
     import numpy as np
 
+    from . import scoped_cache
+
+    emb = scoped_cache(emb.select("vec_id", "embedding"))
     head = (
         emb.select(
             "vec_id",
@@ -467,7 +476,9 @@ def ivf_pq_search(
 
     # probe cells: nprobe nearest IVF centroids to the query (driver-side —
     # the centroid table is the same tiny K×D state ivf_assign broadcasts)
-    cents = label_centroids(spark, sf_dir).toPandas()
+    from .similarity import _centroids_pdf
+
+    cents = _centroids_pdf(spark, sf_dir)
     labels = sorted(cents["label"].unique())
     dim = int(cents["dim"].max()) + 1
     Civf = np.zeros((len(labels), dim))

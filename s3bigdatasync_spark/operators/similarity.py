@@ -181,6 +181,21 @@ GROUP BY label, dim
 """
 
 
+
+def _centroids_pdf(spark: SparkSession, sf_dir: str):
+    """label_centroids collected to pandas ONCE per registry query (scoped
+    memo, r11): the K×D centroid table is tiny driver-held model state
+    consumed by ivf_assign / semantic-dedup / margin-audit / ivf_pq_search —
+    and by EACH of ivf_nprobe_curve's sweep arms. Previously every call site
+    re-ran the centroid aggregation + toPandas (one full posexplode pass
+    over the vectors per call)."""
+    from . import scoped_memo
+
+    return scoped_memo(
+        ("ivf_centroids_pdf", sf_dir),
+        lambda: label_centroids(spark, sf_dir).toPandas(),
+    )
+
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment: each vector routed to its nearest label-centroid
     (euclidean), the coarse-quantization step of an IVF index. Centroids are
@@ -194,7 +209,7 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    cents = label_centroids(spark, sf_dir).toPandas()
+    cents = _centroids_pdf(spark, sf_dir)
     labels = sorted(cents["label"].unique())
     dim = int(cents["dim"].max()) + 1
     C = np.zeros((len(labels), dim))
@@ -254,7 +269,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    cents = label_centroids(spark, sf_dir).toPandas()
+    cents = _centroids_pdf(spark, sf_dir)
     out_schema = "vec_id long, label int, assigned int, d2 double"
     if not len(cents):
         return spark.createDataFrame([], out_schema)
@@ -341,7 +356,7 @@ def label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
-    cents = label_centroids(spark, sf_dir).toPandas()
+    cents = _centroids_pdf(spark, sf_dir)
     out_schema = (
         "vec_id long, label int, nearest_other int, d2_own double, "
         "d2_other double, margin double, mislabeled boolean"
