@@ -869,7 +869,14 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str, k: int = CORESET_K) -> Dat
     DuckDB oracle replays all K−1 rounds as unrolled CTEs."""
     import numpy as np
 
-    emb = prepared(spark, sf_dir).table("embeddings")
+    from . import scoped_cache
+
+    # r11: the K−1 greedy rounds each run a full pass over the vectors —
+    # query-scope-cache the projection once so rounds read the pin, not
+    # K−1 parquet decodes of the vector column.
+    emb = scoped_cache(
+        prepared(spark, sf_dir).table("embeddings").select("vec_id", "label", "embedding")
+    )
     out_schema = "rank int, vec_id long, label int, radius double"
     seed = (
         emb.orderBy("vec_id").limit(1).select("vec_id", "label", "embedding").collect()

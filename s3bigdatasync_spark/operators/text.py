@@ -1076,24 +1076,44 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     train flow; each round's heavy op is the pair count, which aggregates to
     |vocab|² keys regardless of corpus size. The DuckDB oracle replays all
     rounds from the same prep/count/apply text."""
-    docs = prepared(spark, sf_dir).table("documents")
-    sdf = _bpe_prep_spark(docs)
-    out_rows = []
-    for rnd in range(1, BPE_ROUNDS + 1):
-        top = (
-            _bpe_pair_counts(sdf)
-            .orderBy(F.desc("freq"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        l, r, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
-        out_rows.append((rnd, l, r, l + r, int(freq)))
-        sdf = _bpe_apply(sdf, l, r)
     return spark.createDataFrame(
-        out_rows, "round int, lhs string, rhs string, merged string, freq long"
+        _bpe_merge_rows(spark, sf_dir),
+        "round int, lhs string, rhs string, merged string, freq long",
     )
+
+
+def _bpe_merge_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The learned merge table as driver rows, query-scope-memoized (r11):
+    bpe_tokenize (and through it vocab_coverage) re-ran the whole BPE_ROUNDS
+    training loop to get the merge list — inside a pack that meant training
+    twice per query. The prep stream (two regexes over every character of
+    the corpus) is also query-scope-cached: each round's pair count
+    re-derived it from parquet, so training cost was BPE_ROUNDS regex preps
+    plus an O(rounds²) replay of the apply chain; now prep runs once and
+    rounds read the pin."""
+    from . import scoped_memo
+
+    def build():
+        from . import scoped_cache
+
+        docs = prepared(spark, sf_dir).table("documents")
+        sdf = scoped_cache(_bpe_prep_spark(docs))
+        out_rows = []
+        for rnd in range(1, BPE_ROUNDS + 1):
+            top = (
+                _bpe_pair_counts(sdf)
+                .orderBy(F.desc("freq"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
+            out_rows.append((rnd, l, r, l + r, int(freq)))
+            sdf = _bpe_apply(sdf, l, r)
+        return out_rows
+
+    return scoped_memo(("bpe_merge_rows", sf_dir), build)
 
 
 def _bpe_ctes(final_apply: bool) -> tuple[list[str], list[str]]:
@@ -1146,9 +1166,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (tiny driver loop); encoding itself is BPE_ROUNDS pure scans —
     no shuffle at all, embarrassingly parallel at any corpus size."""
     docs = prepared(spark, sf_dir).table("documents")
-    merges = [
-        (r["lhs"], r["rhs"]) for r in bpe_merges(spark, sf_dir).collect()
-    ]
+    merges = [(l, r) for _, l, r, _, _ in _bpe_merge_rows(spark, sf_dir)]
     sdf = _bpe_prep_spark(docs)
     for l, r in merges:
         sdf = _bpe_apply(sdf, l, r)
