@@ -193,33 +193,6 @@ def derive_df_cap(sh: DataFrame) -> int:
     )
 
 
-def _df_capped(sh: DataFrame) -> DataFrame:
-    """Drop shingles with document frequency above the DERIVED cap from a
-    (doc_id, shingle) relation. The exact pair joins below are quadratic PER
-    SHINGLE in its df (a df-d shingle emits d·(d−1)/2 candidate rows), so
-    one boilerplate shingle — a license header, navigation chrome — present
-    in 30% of a 100 TB corpus would alone emit ~0.045·N² rows and dominate
-    the job. The cap is derived from the df spectrum (derive_df_cap): total
-    candidate volume is budgeted LINEAR in postings regardless of corpus
-    size (a fractional cutoff like boilerplate_report's 5% is not: 0.05N
-    still grows with N, and a fixed absolute cap bounds per-shingle fan-out
-    but not how much mass sits under it). The df relation is aggregated ONCE
-    and cached: the in-plan cap derivation (_cap_relation, no driver
-    collect, no extra job) reads its level histogram and the hot-shingle
-    anti-join probe filters the same DataFrame (bloom/semi prune at corpus
-    scale) — the heaviest shuffle of the capped family is not paid twice
-    (ADVICE r6). Under Zipf the hot set is a tiny fraction of the
-    vocabulary, so the anti-join is cheap."""
-    sh = scoped_cache(sh)  # two readers: the df aggregation and the join
-    dfr = scoped_cache(sh.groupBy("shingle").agg(F.count("*").alias("df")))
-    hot = (
-        dfr.crossJoin(F.broadcast(_cap_relation(dfr)))
-        .filter(F.col("df") > F.col("cap"))
-        .select("shingle")
-    )
-    return sh.join(hot, "shingle", "left_anti")
-
-
 def _posting_pairs(sh: DataFrame, key="shingle") -> DataFrame:
     """Ordered cross-doc candidate pairs (doc_a < doc_b), one row per
     (key, pair) co-occurrence, via per-key POSTING LISTS instead of a
@@ -248,6 +221,14 @@ def _posting_pairs(sh: DataFrame, key="shingle") -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    return _pairs_from_lists(pl)
+
+
+def _pairs_from_lists(pl: DataFrame) -> DataFrame:
+    """The i<j combination stream over a posting-list relation (`ds` =
+    sorted array of distinct doc_ids) — the generation half of
+    _posting_pairs, callable directly by operators that already hold a
+    posting-list relation (the capped family)."""
     return (
         pl.select("ds", F.posexplode("ds").alias("i", "doc_a"))
         .select("doc_a", "i", F.posexplode("ds").alias("j", "doc_b"))
@@ -270,6 +251,29 @@ def _jaccard_scores_from(sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
     )
+    return _finish_jaccard(inter, counts)
+
+
+def _jaccard_scores_from_postings(pl: DataFrame) -> DataFrame:
+    """_jaccard_scores_from over a CAPPED posting-list relation (shingle,
+    ds): both the pair counts and the per-doc sizes come straight out of the
+    cached lists — no (doc_id, shingle) row relation is ever rebuilt, and
+    the cap filter costs a size() comparison instead of the old
+    df-aggregation + hot-shingle anti-join (r11)."""
+    counts = (
+        pl.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    inter = (
+        _pairs_from_lists(pl.filter(F.size("ds") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    return _finish_jaccard(inter, counts)
+
+
+def _finish_jaccard(inter: DataFrame, counts: DataFrame) -> DataFrame:
     # counts is |docs|-rows — shuffle-hash, never a driver-built broadcast
     ca = counts.alias("ca").hint("shuffle_hash")
     cb = counts.alias("cb").hint("shuffle_hash")
@@ -303,19 +307,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from(sh)
 
 
-def _capped_corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The df-capped distinct (doc_id, shingle) relation of the corpus,
-    query-scoped-memoized: ngram_jaccard_pairs_capped, containment_pairs_capped
-    and dedup_yield_curve all build exactly this (cap derivation included),
-    so a pack running several of them fills ONE cache instead of three
-    (the _winnow_runs / _codebook_for sharing precedent)."""
+def _capped_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped corpus as a POSTING-LIST relation (shingle, ds =
+    sorted doc_id array), query-scoped-memoized: ngram_jaccard_pairs_capped,
+    containment_pairs_capped and dedup_yield_curve all consume exactly this
+    (cap derivation included), so a pack running several of them fills ONE
+    cache instead of three (the _winnow_runs / _codebook_for precedent).
+
+    r11 restructure: in posting-list form a shingle's df IS size(ds), so
+    the cap derivation reads the cached lists' size histogram and the cap
+    itself is a size() filter — the old shape aggregated a separate df
+    relation, cached it, and anti-joined the hot shingles back against the
+    row relation (one extra exchange + cache fill + anti-join per query,
+    measured ~2.4 s of the 4.4 s capped-shingle cost at sf0.1). Capping
+    semantics are identical: drop every shingle with df > derived cap."""
     from . import scoped_memo
 
     def build():
         docs = prepared(spark, sf_dir).table("documents")
-        return _df_capped(_shingles(docs)).transform(scoped_cache)
+        pl = scoped_cache(
+            _shingles(docs)
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        )
+        cap = _cap_relation(pl.select(F.size("ds").alias("df")), "df")
+        return scoped_cache(
+            pl.crossJoin(F.broadcast(cap)).filter(F.size("ds") <= F.col("cap"))
+            .select("shingle", "ds")
+        )
 
-    return scoped_memo(("capped_shingles", sf_dir), build)
+    return scoped_memo(("capped_postings", sf_dir), build)
 
 
 def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,8 +349,10 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (total candidate fan-out budgeted linear in postings, derive_df_cap). Docs whose
     shingles are all capped drop out: every candidate join they could enter
     is boilerplate-only."""
-    sh = _capped_corpus_shingles(spark, sf_dir)
-    return _jaccard_pairs_from(sh)
+    pl = _capped_corpus_postings(spark, sf_dir)
+    return _jaccard_scores_from_postings(pl).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
 
 # the oracle shingle relations mirror the two engine-side forms exactly:
@@ -395,9 +418,9 @@ def dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine), so the curve is always complete."""
     docs = prepared(spark, sf_dir).table("documents")
     total = docs.agg(F.count("*").alias("n_docs"))
-    sh = _capped_corpus_shingles(spark, sf_dir)
+    pl = _capped_corpus_postings(spark, sf_dir)
     scores = (
-        _jaccard_scores_from(sh)
+        _jaccard_scores_from_postings(pl)
         .filter(F.col("jaccard") >= min(YIELD_THRESHOLDS))
         .transform(scoped_cache)
     )
@@ -2457,8 +2480,18 @@ def containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew, containment measures how much of a doc's INFORMATIVE content is
     embedded elsewhere — a page sharing only its site chrome no longer
     reads as 100% contained."""
-    sh = _capped_corpus_shingles(spark, sf_dir)
-    return _containment_from(sh)
+    pl = _capped_corpus_postings(spark, sf_dir)
+    counts = (
+        pl.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    inter = (
+        _pairs_from_lists(pl.filter(F.size("ds") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ix"))
+    )
+    return _containment_tail(inter, counts)
 
 
 def _containment_from(sh: DataFrame) -> DataFrame:
@@ -2471,6 +2504,10 @@ def _containment_from(sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ix"))
     )
+    return _containment_tail(inter, counts)
+
+
+def _containment_tail(inter: DataFrame, counts: DataFrame) -> DataFrame:
     directed = inter.select(
         F.explode(
             F.array(
