@@ -447,29 +447,39 @@ def _band_rows(fp: DataFrame) -> DataFrame:
 
 
 def _pairs_from_bands(bands: DataFrame) -> DataFrame:
-    """Banded-Hamming self-join shared by the exact and capped twins:
-    equi-join on (media_type, band, bkey), refine by the exact hamming (sum
-    of per-band xor popcounts), dedup multi-band agreements."""
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
+    """Banded-Hamming pair generation shared by the exact and capped twins:
+    per (media_type, band, bkey) bucket, posting lists of (doc_id, b0..b3),
+    i<j combinations streamed out of two pipelined explode generators,
+    refined by the exact hamming (sum of per-band xor popcounts), dedup of
+    multi-band agreements. r11 — the _posting_pairs shape (dedup.py):
+    previously a shuffle_hash-pinned self-join that exchanged the band
+    relation twice; the groupBy exchanges it once, and per-task memory is
+    the bucket's posting array (the capped twin bounds it by
+    MEDIA_BUCKET_CAP; the exact twin's hot buckets were already its
+    documented audit-only hazard)."""
+    pl = (
+        bands.groupBy("media_type", "band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
+            ).alias("ps")
+        )
+        .filter(F.size("ps") >= 2)
+    )
     ham = sum(
         F.bit_count(
-            F.col(f"a.b{k}").cast("long").bitwiseXOR(F.col(f"b.b{k}").cast("long"))
+            F.col(f"x.b{k}").cast("long").bitwiseXOR(F.col(f"y.b{k}").cast("long"))
         )
         for k in range(PHASH_BANDS)
     )
     return (
-        a.join(
-            b,
-            (F.col("a.media_type") == F.col("b.media_type"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        pl.select("media_type", "ps", F.explode("ps").alias("x"))
+        .select("media_type", "x", F.explode("ps").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.col("a.media_type").alias("media_type"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "media_type",
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
@@ -787,29 +797,33 @@ def media_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ground truth: the production threshold's exact pair set (4×16 pigeonhole
     # — equals brute force at hamming <= PHASH_HAMMING_MAX), fingerprints
     # carried so each geometry's agreement is a pure integer predicate
-    bands = _band_rows(fp)
-    a = bands.alias("a")
-    b = bands.alias("b").hint("shuffle_hash")
+    # posting-list pair generation (r11 — the _pairs_from_bands shape)
+    pl = (
+        _band_rows(fp)
+        .groupBy("media_type", "band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
+            ).alias("ps")
+        )
+        .filter(F.size("ps") >= 2)
+    )
     ham = sum(
         F.bit_count(
-            F.col(f"a.b{k}").cast("long").bitwiseXOR(F.col(f"b.b{k}").cast("long"))
+            F.col(f"x.b{k}").cast("long").bitwiseXOR(F.col(f"y.b{k}").cast("long"))
         )
         for k in range(PHASH_BANDS)
     )
     tp = scoped_cache(
-        a.join(
-            b,
-            (F.col("a.media_type") == F.col("b.media_type"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        pl.select("ps", F.explode("ps").alias("x"))
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .filter(ham <= PHASH_HAMMING_MAX)
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            *[F.col(f"a.b{k}").alias(f"ab{k}") for k in range(4)],
-            *[F.col(f"b.b{k}").alias(f"bb{k}") for k in range(4)],
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            *[F.col(f"x.b{k}").alias(f"ab{k}") for k in range(4)],
+            *[F.col(f"y.b{k}").alias(f"bb{k}") for k in range(4)],
         )
         .distinct()
     )
