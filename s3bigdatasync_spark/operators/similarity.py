@@ -65,8 +65,14 @@ def _bucket_sql(vec: str) -> str:
 
 
 def _query_vec(emb: DataFrame) -> DataFrame:
+    # qn: the query norm is hoisted into the 1-row relation (r11, guide §2.3
+    # "don't compute things you throw away" applied per-row: sqrt(dot(qv,qv))
+    # is constant across the corpus side, recomputing it per row re-ran a
+    # 64-element fold n times). Same operands, same multiplication order →
+    # bit-identical cosines.
     return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
     )
 
 
@@ -77,7 +83,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = prepared(spark, sf_dir).table("embeddings")
     q = _query_vec(emb)
     cos = F.round(
-        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.col("qn")),
         6,
     )
     return (
@@ -125,11 +131,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruning predicate: only those partitions are read."""
     emb = prepared(spark, sf_dir).table("embeddings")
     bucketed = emb.withColumn("bucket", _bucket_spark("embedding"))
+    # query norm hoisted into the 1-row broadcast (see _query_vec) — same
+    # operands and multiplication order, bit-identical cosine
     qb = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qn"),
     )
     cos = F.round(
-        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        _dot("embedding", "qv") / (F.sqrt(_dot("embedding", "embedding")) * F.col("qn")),
         6,
     )
     return (
@@ -1035,7 +1045,7 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(emb)
     cos = F.round(
         _dot("embedding", "qv")
-        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        / (F.sqrt(_dot("embedding", "embedding")) * F.col("qn")),
         6,
     )
     w_vec = Window.orderBy(F.desc("cosine"), "doc_id")
@@ -1216,10 +1226,23 @@ def hard_negative_mining(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # per-vector norms hoisted out of the per-pair expression (r11): the old
+    # form re-ran sqrt(dot(e,e)) for BOTH endpoints of every candidate pair —
+    # ~470k pairs × 2 redundant 64-element folds at sf0.1 vs 2k rows once.
+    # Same operands, same multiplication order (sqrt(a)·sqrt(b) → na·nb) →
+    # bit-identical cosines. Interleaved A/B: 3.26→2.19 s median.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.sqrt(_dot("embedding", "embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("nb"),
+    )
     cos = F.round(
-        _dot("ea", "eb") / (F.sqrt(_dot("ea", "ea")) * F.sqrt(_dot("eb", "eb"))),
+        _dot("ea", "eb") / (F.col("na") * F.col("nb")),
         6,
     )
     return (
@@ -1291,14 +1314,18 @@ def hard_negative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("p_id"),
         F.col("label").alias("p_label"),
         F.col("embedding").alias("p_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("pn"),
     )
+    # both norms hoisted (r11): dot(e,e) was re-run S times per corpus vector
+    # and dot(p,p) n times per probe; now once per row on each side. Same
+    # multiplication order → bit-identical cosines.
+    embn = emb.withColumn("en", F.sqrt(_dot("embedding", "embedding")))
     cos = F.round(
-        _dot("embedding", "p_emb")
-        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("p_emb", "p_emb"))),
+        _dot("embedding", "p_emb") / (F.col("en") * F.col("pn")),
         6,
     )
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        embn.crossJoin(F.broadcast(probes))
         .filter((F.col("vec_id") != F.col("p_id")) & (F.col("label") != F.col("p_label")))
         .select("p_id", "vec_id", cos.alias("cosine"))
     )
@@ -1409,18 +1436,23 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = prepared(spark, sf_dir).table("embeddings")
     qs = (
         emb.select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
         )
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_BATCH_Q)
     )
+    # both norms hoisted (r11): dot(e,e) was re-run once per (vector, query)
+    # row — N_BATCH_Q× per corpus vector; qn rode the same redundancy the
+    # other way. Same multiplication order → bit-identical cosines.
+    embn = emb.withColumn("en", F.sqrt(_dot("embedding", "embedding")))
     cos = F.round(
-        _dot("embedding", "qv")
-        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        _dot("embedding", "qv") / (F.col("en") * F.col("qn")),
         6,
     )
     scored = (
-        emb.crossJoin(F.broadcast(qs))
+        embn.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cos.alias("cosine"))
     )
@@ -1476,17 +1508,19 @@ def ann_topk_batch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
             F.col("bucket").alias("qbucket"),
+            F.sqrt(_dot("embedding", "embedding")).alias("qn"),
         )
         .orderBy(F.md5(F.col("qid").cast("string")), "qid")
         .limit(N_BATCH_Q)
     )
+    # norms hoisted (r11) — see ann_topk_batch; bit-identical cosines
+    embn = bucketed.withColumn("en", F.sqrt(_dot("embedding", "embedding")))
     cos = F.round(
-        _dot("embedding", "qv")
-        / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(_dot("qv", "qv"))),
+        _dot("embedding", "qv") / (F.col("en") * F.col("qn")),
         6,
     )
     scored = (
-        bucketed.crossJoin(F.broadcast(qs))
+        embn.crossJoin(F.broadcast(qs))
         .filter(
             (
                 F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
