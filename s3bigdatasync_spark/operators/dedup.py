@@ -905,12 +905,18 @@ def _cc_labels(edges: DataFrame, what: str) -> DataFrame:
     per-round cost flat at any diameter.
 
     r11: the convergence probe rides the round's checkpoint — the `chg`
-    flag is computed in the same projection the checkpoint materializes, so
-    counting changed labels is a filter-count over the already-materialized
-    blocks. Previously each round re-JOINED the new and old label relations
-    (a full shuffle join per round) just to count differences; labels only
-    ever decrease, so `new < old` in-row is the same predicate with zero
-    extra shuffles."""
+    flag is computed in the same projection the checkpoint materializes, and
+    (r11 session 3) the changed-label COUNT is an `observe()` metric
+    collected DURING the checkpoint's own materialization job, so a round is
+    ONE Spark job, not two (the old shape ran a second filter-count job over
+    the checkpointed blocks — pure fixed cost per round at any scale, and a
+    second full pass over the O(participants) blocks at corpus scale).
+    Previously each round re-JOINED the new and old label relations (a full
+    shuffle join per round) just to count differences; labels only ever
+    decrease, so `new < old` in-row is the same predicate with zero extra
+    shuffles."""
+    from pyspark.sql import Observation
+
     labels = (
         edges.select("doc_a")
         .distinct()
@@ -924,17 +930,16 @@ def _cc_labels(edges: DataFrame, what: str) -> DataFrame:
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
         new_lbl = F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl")))
-        checkpointed = (
+        obs = Observation()
+        labels = (
             labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                new_lbl.alias("lbl"),
-                (new_lbl < F.col("lbl")).alias("chg"),
-            )
+            .select("doc_id", new_lbl.alias("lbl"), (new_lbl < F.col("lbl")).alias("chg"))
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             .localCheckpoint(eager=True)
+            .select("doc_id", "lbl")
         )
-        labels = checkpointed.select("doc_id", "lbl")
-        if checkpointed.filter("chg").count() == 0:
+        # sum over an empty relation observes NULL — an empty graph is converged
+        if not obs.get["n_chg"]:
             return labels
     # a silent fall-through here would return wrong cluster labels with no
     # signal at production scale where no oracle runs
