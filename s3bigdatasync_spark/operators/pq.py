@@ -456,22 +456,34 @@ def ivf_pq_search(
     Determinism: probe cells are chosen by the ivf_assign contract (6dp-round
     d2 before ranking, ties by ascending label); candidate ADC follows the
     pq_search contract; final ranking ties break by vec_id."""
-    import numpy as np
+    parts = _ivf_probe_and_codes(spark, sf_dir, nprobe)
+    if parts is None:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, adc_d2 double, rank int"
+        )
+    _probe, dq_df, codes = parts
+    return _ivf_adc_rank(codes, dq_df)
 
-    from .similarity import label_centroids
+
+def _ivf_probe_and_codes(spark: SparkSession, sf_dir: str, nprobe: int):
+    """The nprobe-dependent half of ivf_pq_search, factored out (r11) so
+    ivf_nprobe_curve can run the fused assign+encode pass ONCE at the widest
+    sweep point and derive the narrower arms by filtering: the fused kernel
+    assigns every vector against ALL centroids and keeps those whose nearest
+    cell is in the probe set, so `codes(probe_k) == codes(probe_max).filter
+    (cell ∈ probe_k)` exactly — probe sets are prefixes of one deterministic
+    centroid ordering. Returns (probe, dq_df, codes) or None when the corpus
+    is empty / the query vector is missing."""
+    import numpy as np
 
     emb = prepared(spark, sf_dir).table("embeddings")
     C, qvec = _codebook_for(spark, sf_dir, emb)
     if C is None:
-        return spark.createDataFrame(
-            [], "vec_id long, cell int, adc_d2 double, rank int"
-        )
+        return None
     if qvec is None:  # QUERY_VEC_ID not among the init ids — fetch it alone
         q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
         if not q:
-            return spark.createDataFrame(
-                [], "vec_id long, cell int, adc_d2 double, rank int"
-            )
+            return None
         qvec = np.asarray(q[0]["embedding"], dtype=np.float64)
 
     # probe cells: nprobe nearest IVF centroids to the query (driver-side —
@@ -560,6 +572,12 @@ def ivf_pq_search(
             )
 
     codes = emb.select("vec_id", "embedding").mapInPandas(fused, fused_schema)
+    return probe, dq_df, codes
+
+
+def _ivf_adc_rank(codes: DataFrame, dq_df: DataFrame) -> DataFrame:
+    """ADC distance + deterministic top-k rank over a fused-codes relation —
+    the nprobe-independent tail of ivf_pq_search."""
     adc = (
         codes.join(F.broadcast(dq_df), ["sub", "code"])
         .groupBy("vec_id", "cell")
@@ -864,13 +882,17 @@ def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoped_memo(("pq_exact_l2", sf_dir), build)
 
 
-def _recall_row(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _recall_row(
+    spark: SparkSession, sf_dir: str, nprobe: int, approx: DataFrame | None = None
+) -> DataFrame:
     """One (nprobe, n_exact, n_hit, recall) row: ivf_pq_search at the given
-    nprobe measured against the shared exact-L2 yardstick."""
+    nprobe measured against the shared exact-L2 yardstick. `approx` lets
+    ivf_nprobe_curve supply its shared-codes arm (r11) instead of a fresh
+    ivf_pq_search plan."""
     exact = _exact_l2_topk(spark, sf_dir)
-    approx = ivf_pq_search(spark, sf_dir, nprobe=nprobe).select(
-        F.col("vec_id").alias("aid")
-    )
+    if approx is None:
+        approx = ivf_pq_search(spark, sf_dir, nprobe=nprobe)
+    approx = approx.select(F.col("vec_id").alias("aid"))
     n_hit = exact.join(approx, exact.vec_id == approx.aid, "left_semi").agg(
         F.count("*").alias("n_hit")
     )
@@ -915,14 +937,30 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     now measures a real nprobe/recall trade instead of a codebook ceiling.
 
     Scale shape: the exact yardstick is ONE cached brute-force scan (shared
-    via query-scoped memo with ivf_recall_audit in the same pack); each
-    sweep point re-runs the fused assign+encode pass with a wider probe
-    set — at production scale each is a partition-pruned read of
-    nprobe/K of the codes table, so the curve costs ~Σ(nprobe_i)/K of one
-    full scan, not |sweep| full scans."""
+    via query-scoped memo with ivf_recall_audit in the same pack), and (r11)
+    the fused assign+encode pass runs ONCE at the widest sweep point with
+    the codes relation cache-pinned — every narrower arm is a cell-membership
+    filter over the pin, exact by construction (the kernel assigns against
+    ALL centroids and keeps probe members; probe sets are prefixes of one
+    deterministic centroid ordering, so filtering the widest arm's codes by
+    a narrower prefix reproduces that arm bit-for-bit). Previously each
+    sweep point re-ran the fused pass: |sweep| full Arrow scans for the one
+    scan's worth of information. At production scale the widest arm is
+    itself a partition-pruned read of max(sweep)/K of the codes table."""
+    parts = _ivf_probe_and_codes(spark, sf_dir, max(NPROBE_SWEEP))
     rows = None
+    if parts is None:
+        for p in NPROBE_SWEEP:
+            row = _recall_row(spark, sf_dir, p)
+            rows = row if rows is None else rows.unionByName(row)
+        return rows.orderBy("nprobe")
+    probe, dq_df, codes = parts
+    codes = scoped_cache(codes)
     for p in NPROBE_SWEEP:
-        row = _recall_row(spark, sf_dir, p)
+        arm = _ivf_adc_rank(
+            codes.filter(F.col("cell").isin(probe[:p])), dq_df
+        )
+        row = _recall_row(spark, sf_dir, p, approx=arm)
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("nprobe")
 
