@@ -240,21 +240,25 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     ref = _load_reference(sf)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_runs": n_runs,
-                "spread": spreads,
-                "ref_snapshot": ref[0] if ref else None,
-                "regressions": _regressions(timings, spreads, ref[1]) if ref else {},
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_runs": n_runs,
+    }
+    # The driver's tail capture truncated r10's one-line JSON (PERF_r11 lost
+    # its whole round-over-round comparison to output-line LENGTH — r11
+    # verdict item 1). spread/regressions/ref_snapshot are per-round
+    # diagnostics for the committed BENCH_LOCAL snapshots, not part of the
+    # driver contract, so emit them only on request and keep the
+    # driver-parsed line minimal.
+    if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+        line["spread"] = spreads
+        line["ref_snapshot"] = ref[0] if ref else None
+        line["regressions"] = _regressions(timings, spreads, ref[1]) if ref else {}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

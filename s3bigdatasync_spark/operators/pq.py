@@ -950,8 +950,16 @@ def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _ivf_probe_and_codes(spark, sf_dir, max(NPROBE_SWEEP))
     rows = None
     if parts is None:
+        # Degenerate corpus (no embeddings / missing query vector):
+        # ivf_pq_search would return this same empty relation at every
+        # nprobe, so supply it directly instead of re-running the probe's
+        # codebook fetch + query-vector lookup once per sweep arm
+        # (ADVICE r11: 4 redundant driver round-trips on this path).
+        empty = spark.createDataFrame(
+            [], "vec_id long, cell int, adc_d2 double, rank int"
+        )
         for p in NPROBE_SWEEP:
-            row = _recall_row(spark, sf_dir, p)
+            row = _recall_row(spark, sf_dir, p, approx=empty)
             rows = row if rows is None else rows.unionByName(row)
         return rows.orderBy("nprobe")
     probe, dq_df, codes = parts

@@ -83,6 +83,11 @@ _MANIFEST_SCHEMA = "seg string, tier int, n_rows long"
 _FILES_SCHEMA = "file_path string"
 _SEG_PREFIXES = ("manifest", "files")
 
+# state_dir -> the token of the writer allowed to flip it (see the
+# single-writer contract note inside segmented_count_sink). Keyed per
+# driver process; never cleaned up — a handful of object() sentinels.
+_ACTIVE_WRITERS: dict[str, object] = {}
+
 
 def _key_names(counts_schema: str) -> list[str]:
     """Column names of a `name type, ...` DDL string, in declared order."""
@@ -268,9 +273,33 @@ def segmented_count_sink(
     # (Round-11 overhead cut: the r10 sink re-read meta three times per
     # batch — once here, once inside _read_files, once inside
     # _read_manifest.)
+    #
+    # SINGLE-WRITER CONTRACT (r12, verdict item 9): the cached pointer is
+    # only sound if no other sink writes this state_dir concurrently — a
+    # second writer would flip meta underneath the cache and the stale
+    # sink's next batch would recompute the SAME next version and overwrite
+    # the newer writer's committed segments (segment names are derived from
+    # the version, so the clobber happens at the first segment write,
+    # before any flip-time check could catch it). Within one driver process
+    # that contract is ENFORCED: creating a new sink for a state_dir takes
+    # over the dir, and any older sink closure raises on its next batch
+    # instead of corrupting state. Across processes it is the deployment's
+    # lock to provide (one compactor per LSM state dir — the same rule
+    # every log-structured store documents); an external writer cannot be
+    # detected without re-reading meta before every write, which is exactly
+    # the per-batch overhead the r11 cut removed.
     last_flipped: dict[str, int] = {}
+    token = object()
+    _ACTIVE_WRITERS[state_dir] = token
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _ACTIVE_WRITERS.get(state_dir) is not token:
+            raise RuntimeError(
+                f"segmented_count_sink: a newer sink took over state_dir "
+                f"{state_dir!r} in this process — this writer's cached "
+                "version pointer is stale and writing would clobber the "
+                "newer writer's committed segments (single-writer contract)"
+            )
         sp = batch_df.sparkSession
         if "v" not in last_flipped:
             last_flipped["v"] = _read_meta(sp, state_dir, _SEG_PREFIXES)

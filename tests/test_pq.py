@@ -141,3 +141,26 @@ def test_ivf_pq_candidates_come_from_probed_cells(spark):
     assert len(cells) <= pqm.IVF_NPROBE
     ranked = sorted(rows, key=lambda r: (r["adc_d2"], r["vec_id"]))
     assert [r["rank"] for r in ranked] == list(range(1, len(rows) + 1))
+
+
+def test_ivf_sweep_arms_equal_fresh_search_at_every_nprobe(spark):
+    """The shared-codes sweep (ivf_nprobe_curve) is exact only because the
+    fused kernel assigns against ALL centroids and uses the probe set purely
+    as a keep-filter, so codes(p) == codes(max).filter(cell ∈ probe[:p]).
+    Pin EVERY sweep arm — not just the operating and exhaustive points —
+    against a fresh ivf_pq_search at that nprobe, so a future probe-aware
+    kernel change cannot silently skew the unpinned arms (ADVICE r11)."""
+    from pyspark.sql import functions as F
+
+    parts = pqm._ivf_probe_and_codes(spark, SF, max(pqm.NPROBE_SWEEP))
+    assert parts is not None
+    probe, dq_df, codes = parts
+    from s3bigdatasync_spark.operators import scoped_cache
+
+    codes = scoped_cache(codes)
+    for p in pqm.NPROBE_SWEEP:
+        arm = pqm._ivf_adc_rank(codes.filter(F.col("cell").isin(probe[:p])), dq_df)
+        fresh = pqm.ivf_pq_search(spark, SF, nprobe=p)
+        got = sorted(map(tuple, arm.collect()))
+        want = sorted(map(tuple, fresh.collect()))
+        assert got == want, f"sweep arm nprobe={p} diverged from fresh search"

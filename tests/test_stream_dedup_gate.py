@@ -483,3 +483,59 @@ def test_point_lookup_pushes_filter_into_sorted_scan(spark, tmp_path):
             _MERGE_AGGS(),
             point_keys=sorted(full)[:11],
         )
+
+
+def test_second_sink_takeover_makes_stale_sink_raise(spark, tmp_path):
+    """Single-writer contract (r12): the sink caches the flipped version
+    across batches, so a SECOND sink created for the same state_dir takes
+    over the dir and the stale first closure must raise on its next batch —
+    writing with its cached pointer would recompute the same next version
+    and clobber the new writer's committed segments. (Cross-process writers
+    are the deployment's lock to exclude — documented in segments.py.)"""
+    import pytest as _pytest
+
+    from s3bigdatasync_spark.streaming.dedup_gate import (
+        _BUCKET,
+        _MERGE_AGGS,
+        _STATE_KEYS,
+        _STATE_SCHEMA,
+        _hash_counts,
+    )
+    from s3bigdatasync_spark.streaming.segments import segmented_count_sink
+
+    docs_dir = str(tmp_path / "docs")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(_mk_docs("a", 20), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+
+    def mk_sink():
+        return segmented_count_sink(
+            state_dir,
+            _STATE_SCHEMA,
+            _STATE_KEYS,
+            _hash_counts,
+            bucket_col=_BUCKET,
+            agg_exprs=_MERGE_AGGS(),
+        )
+
+    sink_a = mk_sink()
+    sink_a(_landed(spark, docs_dir), 0)  # A owns the dir; batch commits
+    state_after_a = _rows(dedup_state(spark, state_dir))
+
+    sink_b = mk_sink()  # takeover: B is now the writer for state_dir
+    with _pytest.raises(RuntimeError, match="single-writer"):
+        sink_a(_landed(spark, docs_dir), 1)
+    # the stale sink raised BEFORE touching the dir: state is intact...
+    assert _rows(dedup_state(spark, state_dir)) == state_after_a
+
+    # ...and the new writer operates normally (idempotent redelivery of the
+    # same files is a no-op flip, new files merge in)
+    sink_b(_landed(spark, docs_dir), 0)
+    spark.createDataFrame(_mk_docs("b", 10), DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    sink_b(_landed(spark, docs_dir), 1)
+    assert _rows(dedup_state(spark, state_dir)) == _rows(
+        batch_equivalent(spark, docs_dir)
+    )

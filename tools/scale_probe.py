@@ -80,6 +80,8 @@ DOC_QUERIES = [
     "ann_topk_batch_lsh",
     "ivf_cell_balance",
     "cluster_chain_audit",
+    # round-12 batch: the r11 full-projection-cache question (verdict item 6)
+    "coreset_kcenter",
     # round-10 batch: perceptual media near-dup + packed PQ codes
     "media_fingerprint",
     "media_near_pairs",
