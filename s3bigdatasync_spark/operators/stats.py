@@ -235,21 +235,30 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality, min/max per column — the schema-drift / data-quality gate a
     pipeline runs before trusting a new snapshot drop.
 
-    One wide agg over a single scan (Catalyst plans the multi-countDistinct
-    via one Expand — still a single shuffle of partial aggregates), then the
-    1-row result is unpivoted driver-free with explode. min/max computed in
+    TWO single-row aggs over the scan, crossJoined (r12): the r11 shape was
+    ONE wide agg mixing the five countDistincts with min/max — Catalyst
+    plans multi-distinct via Expand (6× rows), and because the fused agg
+    buffer then carries min/max over STRING columns (not a mutable
+    fixed-size type), every aggregate in the Expand pipeline fell back to
+    SortAggregate: a full Sort of the 3.6M expanded wide rows on a 6-part
+    key dominated the query (3.4 s of its 3.7 s total, probe_phases r12).
+    Splitting min/max+counts (no Expand, global agg needs no sort) from the
+    countDistincts (Expand path, but with count-only buffers every stage is
+    a HashAggregate) removes the sort entirely — same scan count per side,
+    both results are 1 row, the crossJoin is trivial. min/max computed in
     the column's native type, cast to string only for the canonical layout
-    (lexicographic min of casts would be wrong for numerics)."""
+    (lexicographic min of casts would be wrong for numerics); the 1-row
+    result is unpivoted driver-free with explode."""
     inv = prepared(spark, sf_dir).table("inventory_src")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    plain = [F.count(F.lit(1)).alias("n_rows")]
     for c, _ in _PROFILE_COLS:
-        aggs += [
+        plain += [
             F.count(c).alias(f"{c}__cnt"),
-            F.countDistinct(c).alias(f"{c}__nd"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    row = inv.agg(*aggs)
+    nd = [F.countDistinct(c).alias(f"{c}__nd") for c, _ in _PROFILE_COLS]
+    row = inv.agg(*plain).crossJoin(inv.agg(*nd))
     entries = [
         F.struct(
             F.lit(c).alias("col"),

@@ -209,7 +209,23 @@ def _nanos_ts_columns(path: str) -> list[str]:
 #   * tests/test_plans.py flips WIDEN_SMALL_SCANS off to pin the pure plan
 #     shapes — exactly the shapes that run at scale.
 WIDEN_SMALL_SCANS = True
-_WIDEN_MIN_BYTES = 1 << 20
+# r12: 1 MiB left the 0.6 MB documents table — whose rows explode 100-300×
+# into shingles/grams/minhashes downstream — on ONE core for the whole text
+# family (the scan stage carries every fused map expression). 512 KiB keeps
+# true broadcast dims (customer 0.3 MB, part 0.2 MB, nation/region/supplier)
+# narrow while giving the text corpus cores-wide map stages: measured
+# (N=3 medians, sf0.1) minhash_lsh_pairs 2.18→0.88, incremental_neardup
+# 2.42→0.85, boilerplate_report 2.02→1.26, shared_substring_spans
+# 1.89→1.02, bpe_merges 3.35→1.55 with identical results.
+_WIDEN_MIN_BYTES = 512 * 1024
+# Vector tables (array-typed columns) feed Arrow/pandas kernels that want
+# batch-sized inputs: shredding a sub-batch table (< one
+# arrow.maxRecordsPerBatch of rows) across cores multiplies Python worker
+# round-trips instead of adding parallelism — measured pq_encode 1.56→2.50
+# and coreset_kcenter 2.14→3.25 when the 2k-row embeddings table was
+# widened. At production scale vector tables far exceed one batch per core
+# and the narrow-scan guard below makes this moot.
+_WIDEN_MIN_VECTOR_ROWS = 10_000
 
 
 def _widen_if_narrow(spark: SparkSession, df, path: str):
@@ -222,9 +238,20 @@ def _widen_if_narrow(spark: SparkSession, df, path: str):
     except OSError:
         return df
     target = spark.sparkContext.defaultParallelism
-    if size >= _WIDEN_MIN_BYTES and df.rdd.getNumPartitions() * 2 < target:
-        return df.repartition(target)
-    return df
+    if size < _WIDEN_MIN_BYTES or df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    from pyspark.sql.types import ArrayType
+
+    if any(isinstance(f.dataType, ArrayType) for f in df.schema.fields):
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return df  # can't size it cheaply — leave the scan alone
+        if n_rows < _WIDEN_MIN_VECTOR_ROWS:
+            return df
+    return df.repartition(target)
 
 
 def register_base_tables(spark: SparkSession, sf_dir: str) -> None:

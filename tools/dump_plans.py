@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for named queries to plans/r11/<query>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/r12/<query>_<tag>.txt.
 
 Usage: python tools/dump_plans.py before q1 q2 ...
        python tools/dump_plans.py after  q1 q2 ...
@@ -12,7 +12,7 @@ tag = sys.argv[1]
 names = sys.argv[2:]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
 os.makedirs(OUT, exist_ok=True)
 
 from s3bigdatasync_spark import registry
